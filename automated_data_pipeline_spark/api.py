@@ -1,0 +1,118 @@
+"""Monitoring read API as pure DataFrame queries (SURVEY.md §3.4).
+
+Each function mirrors one reference endpoint:
+- list_runs:   GET /runs   — optional pipeline/status equality filters,
+               ORDER BY created_at DESC LIMIT 100
+               (python_code/api/server.js:42-78; ApiServlet.java:435-478)
+- run_detail:  GET /runs/:id — run row + its steps ordered by step_number,
+               nested as steps[] (server.js:80-108; ApiServlet.java:480-507)
+- run_logs:    GET /runs/:id/logs — chronological (server.js:111-134)
+- list_logs:   GET /logs — runId/pipeline/level filters, ORDER BY log_at
+               DESC LIMIT min(n, 2000) default 500 (server.js:143-158)
+
+All are declarative single-pass plans: conjunctive filters push to the
+scan; ORDER-BY+LIMIT compiles to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MAX_RUNS = 100  # server.js:57
+DEFAULT_LOG_LIMIT = 500  # server.js:158
+MAX_LOG_LIMIT = 2000
+
+
+def with_run_number_fallback(runs: DataFrame) -> DataFrame:
+    """A5: synthesize run_number when missing — newest first enumeration
+    (server.js:63-69; backfill db.js:30-34 = row_number by created_at)."""
+    w = Window.orderBy(F.desc("created_at"), F.desc("run_id"))
+    return runs.withColumn(
+        "run_number",
+        F.coalesce(F.col("run_number"), F.row_number().over(w).cast("long")),
+    )
+
+
+def list_runs(
+    runs: DataFrame,
+    pipeline: str | None = None,
+    status: str | None = None,
+    limit: int = MAX_RUNS,
+) -> DataFrame:
+    df = runs
+    if pipeline is not None:
+        df = df.filter(F.col("pipeline_name") == pipeline)
+    if status is not None:
+        df = df.filter(F.col("status") == status)
+    return df.orderBy(F.desc("created_at"), F.desc("run_id")).limit(limit)
+
+
+def run_detail(runs: DataFrame, steps: DataFrame, run_id: str) -> DataFrame:
+    """J1: one run row with its steps nested as an ordered steps[] array.
+    The runs side is a point lookup; steps aggregate sorted by
+    step_number (server.js:100)."""
+    r = runs.filter(F.col("run_id") == run_id)
+    s = (
+        steps.filter(F.col("run_id") == run_id)
+        .groupBy("run_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "step_number", "step_name", "status", "started_at",
+                        "finished_at", "rows_affected", "rows_processed",
+                        "rows_total", "error_message",
+                    )
+                )
+            ).alias("steps")
+        )
+    )
+    return r.join(s, "run_id", "left")
+
+
+def run_logs(logs: DataFrame, run_id: str) -> DataFrame:
+    """J2: logs for one run, chronological."""
+    return logs.filter(F.col("run_id") == run_id).orderBy("log_at", "log_id")
+
+
+def list_logs(
+    logs: DataFrame,
+    run_id: str | None = None,
+    pipeline: str | None = None,
+    level: str | None = None,
+    limit: int = DEFAULT_LOG_LIMIT,
+) -> DataFrame:
+    df = logs
+    if run_id is not None:
+        df = df.filter(F.col("run_id") == run_id)
+    if pipeline is not None:
+        df = df.filter(F.col("pipeline_name") == pipeline)
+    if level is not None:
+        df = df.filter(F.col("level") == level)
+    limit = min(limit, MAX_LOG_LIMIT)
+    return df.orderBy(F.desc("log_at"), F.desc("log_id")).limit(limit)
+
+
+def derived_run_status(steps: DataFrame) -> DataFrame:
+    """A4: run status derived from its steps — Failed if any step failed,
+    Running if any still running/pending-after-start, else Success
+    (projectplan.md:254-255)."""
+    rank = (
+        F.when(F.col("status") == "Failed", 2)
+        .when(F.col("status").isin("Running", "Pending"), 1)
+        .otherwise(0)
+    )
+    return (
+        steps.withColumn("_rank", rank)
+        .groupBy("run_id")
+        .agg(F.max("_rank").alias("_max_rank"))
+        .select(
+            "run_id",
+            F.when(F.col("_max_rank") == 2, "Failed")
+            .when(F.col("_max_rank") == 1, "Running")
+            .otherwise("Success")
+            .alias("derived_status"),
+        )
+    )

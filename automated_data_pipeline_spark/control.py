@@ -1,0 +1,253 @@
+"""Control-plane tables: pipeline_runs / step_runs / pipeline_logs.
+
+The reference keeps run/step/log state in mutable DB rows, committed
+eagerly so monitors see progress mid-flight (sqlite_schema.sql:5-46;
+PipelineRunner.java:212-218). A Spark-native engine has no cheap
+row-update primitive, so the control plane is **event-sourced**: every
+state change appends an immutable full-state row (tiny parquet file,
+written driver-side via pyarrow — the control plane is metadata beside
+the dataflow, exactly like the reference's SQLite-beside-the-pipeline);
+the *current* state is the latest row per key, derived with a window
+function. Appends are atomic-by-file, so concurrent readers (the
+monitoring API) never see torn state — the reference gets the same
+property from WAL journaling (orchestrator/db.js:17).
+
+At scale this would be a Delta/Iceberg table with OPTIMIZE compaction;
+the event-sourced latest-wins view is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .schemas import STEP_NAMES
+
+_RUN_FIELDS = [
+    ("run_id", pa.string()),
+    ("run_number", pa.int64()),
+    ("pipeline_name", pa.string()),
+    ("adf_run_id", pa.string()),
+    ("started_at", pa.timestamp("us", tz="UTC")),
+    ("finished_at", pa.timestamp("us", tz="UTC")),
+    ("status", pa.string()),
+    ("created_at", pa.timestamp("us", tz="UTC")),
+    ("updated_at", pa.timestamp("us", tz="UTC")),
+    ("event_seq", pa.int64()),
+]
+_STEP_FIELDS = [
+    ("run_id", pa.string()),
+    ("step_number", pa.int32()),
+    ("step_name", pa.string()),
+    ("started_at", pa.timestamp("us", tz="UTC")),
+    ("finished_at", pa.timestamp("us", tz="UTC")),
+    ("status", pa.string()),
+    ("rows_affected", pa.int64()),
+    ("rows_processed", pa.int64()),
+    ("rows_total", pa.int64()),
+    ("error_message", pa.string()),
+    ("created_at", pa.timestamp("us", tz="UTC")),
+    ("updated_at", pa.timestamp("us", tz="UTC")),
+    ("event_seq", pa.int64()),
+]
+_LOG_FIELDS = [
+    ("log_id", pa.int64()),
+    ("run_id", pa.string()),
+    ("pipeline_name", pa.string()),
+    ("log_at", pa.timestamp("us", tz="UTC")),
+    ("level", pa.string()),
+    ("step_number", pa.int32()),
+    ("step_name", pa.string()),
+    ("message", pa.string()),
+    ("details", pa.string()),
+]
+
+
+def utcnow() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+class ControlStore:
+    """Append-only control tables under ``<workdir>/control/``."""
+
+    def __init__(self, workdir: str):
+        self.workdir = workdir
+        self.runs_dir = os.path.join(workdir, "control", "pipeline_runs")
+        self.steps_dir = os.path.join(workdir, "control", "step_runs")
+        self.logs_dir = os.path.join(workdir, "control", "pipeline_logs")
+        for d in (self.runs_dir, self.steps_dir, self.logs_dir):
+            os.makedirs(d, exist_ok=True)
+        # current-state caches so each append carries full state
+        self._runs: dict[str, dict[str, Any]] = {}
+        self._steps: dict[tuple[str, int], dict[str, Any]] = {}
+
+    # ---- low-level append ----------------------------------------------
+    def _append(self, directory: str, fields, row: dict[str, Any]) -> None:
+        schema = pa.schema(fields)
+        arrays = [pa.array([row.get(name)], type=typ) for name, typ in fields]
+        table = pa.Table.from_arrays(arrays, schema=schema)
+        fname = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(directory, f".tmp-{fname}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(directory, fname))
+
+    # ---- run lifecycle (reference: index.js:32-51; PipelineRunner.java:59-119)
+    def next_run_number(self) -> int:
+        """A1: COALESCE(MAX(RunNumber),0)+1 (index.js:36)."""
+        mx = 0
+        for r in self._runs.values():
+            mx = max(mx, r.get("run_number") or 0)
+        if mx == 0:
+            try:
+                ds = pq.ParquetDataset(self.runs_dir)
+                tbl = ds.read(columns=["run_number"])
+                if tbl.num_rows:
+                    mx = max(x for x in tbl.column(0).to_pylist() if x is not None)
+            except Exception:
+                mx = 0
+        return mx + 1
+
+    def start_run(
+        self,
+        pipeline_name: str = "OrdersPipeline",
+        adf_run_id: str | None = None,
+        run_id: str | None = None,
+    ) -> str:
+        """Insert the Running run row + 4 Pending step placeholders
+        (the reference's 'logical plan': index.js:38-49)."""
+        run_id = run_id or str(uuid.uuid4())
+        now = utcnow()
+        row = {
+            "run_id": run_id,
+            "run_number": self.next_run_number(),
+            "pipeline_name": pipeline_name,
+            "adf_run_id": adf_run_id or f"local-{time.time_ns() // 1_000_000}",
+            "started_at": now,
+            "finished_at": None,
+            "status": "Running",
+            "created_at": now,
+        }
+        self._write_run(row)
+        for i, name in enumerate(STEP_NAMES, start=1):
+            self._write_step(
+                {
+                    "run_id": run_id,
+                    "step_number": i,
+                    "step_name": name,
+                    "started_at": None,
+                    "finished_at": None,
+                    "status": "Pending",
+                    "rows_affected": None,
+                    "rows_processed": None,
+                    "rows_total": None,
+                    "error_message": None,
+                    "created_at": now,
+                }
+            )
+        return run_id
+
+    def _write_run(self, row: dict[str, Any]) -> None:
+        row = dict(row)
+        row["updated_at"] = utcnow()
+        row["event_seq"] = time.time_ns()
+        self._runs[row["run_id"]] = row
+        self._append(self.runs_dir, _RUN_FIELDS, row)
+
+    def _write_step(self, row: dict[str, Any]) -> None:
+        row = dict(row)
+        row["updated_at"] = utcnow()
+        row["event_seq"] = time.time_ns()
+        self._steps[(row["run_id"], row["step_number"])] = row
+        self._append(self.steps_dir, _STEP_FIELDS, row)
+
+    def update_run(self, run_id: str, **fields: Any) -> None:
+        cur = dict(self._runs.get(run_id) or {"run_id": run_id})
+        cur.update(fields)
+        self._write_run(cur)
+
+    def update_step(self, run_id: str, step_number: int, **fields: Any) -> None:
+        cur = dict(
+            self._steps.get((run_id, step_number))
+            or {"run_id": run_id, "step_number": step_number}
+        )
+        cur.update(fields)
+        self._write_step(cur)
+
+    def log(
+        self,
+        run_id: str | None,
+        level: str,
+        message: str,
+        pipeline_name: str | None = None,
+        step_number: int | None = None,
+        step_name: str | None = None,
+        details: str | None = None,
+    ) -> None:
+        """Append-only log stream (logger.js:21-33; PipelineLogger.java:15-34)."""
+        self._append(
+            self.logs_dir,
+            _LOG_FIELDS,
+            {
+                "log_id": time.time_ns(),
+                "run_id": run_id,
+                "pipeline_name": pipeline_name,
+                "log_at": utcnow(),
+                "level": level,
+                "step_number": step_number,
+                "step_name": step_name,
+                "message": message,
+                "details": details,
+            },
+        )
+
+    # ---- DataFrame views ------------------------------------------------
+    def _latest(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.col("event_seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "event_seq")
+        )
+
+    def _read_dir(self, spark: SparkSession, directory: str, fields) -> DataFrame:
+        files = [f for f in os.listdir(directory) if f.endswith(".parquet")]
+        if not files:
+            # empty frame with the right schema
+            schema = pa.schema(fields)
+            return spark.createDataFrame([], schema=str_schema(schema))
+        return spark.read.parquet(directory)
+
+    def runs(self, spark: SparkSession) -> DataFrame:
+        return self._latest(self._read_dir(spark, self.runs_dir, _RUN_FIELDS), ["run_id"])
+
+    def steps(self, spark: SparkSession) -> DataFrame:
+        return self._latest(
+            self._read_dir(spark, self.steps_dir, _STEP_FIELDS),
+            ["run_id", "step_number"],
+        )
+
+    def logs(self, spark: SparkSession) -> DataFrame:
+        return self._read_dir(spark, self.logs_dir, _LOG_FIELDS)
+
+
+def str_schema(schema: pa.Schema) -> str:
+    """pyarrow schema -> Spark DDL string for empty-frame construction."""
+    mapping = {
+        pa.string(): "string",
+        pa.int64(): "bigint",
+        pa.int32(): "int",
+        pa.timestamp("us", tz="UTC"): "timestamp",
+    }
+    parts = []
+    for f in schema:
+        parts.append(f"{f.name} {mapping.get(f.type, 'string')}")
+    return ", ".join(parts)

@@ -1,0 +1,228 @@
+"""Pipeline run lifecycle state machine (SURVEY.md §3).
+
+Mirrors the reference orchestrators:
+- start: control rows (Running run + 4 Pending steps) then execute steps
+  in order, marking Running/Success per step and writing log rows
+  (python_code/orchestrator/index.js:59-125; PipelineRunner.java:120-236).
+- failure path: the step still Running is marked Failed with the error
+  message, the run is marked Failed, and the error re-raised
+  (index.js:112-124).
+- cancellation: cooperative flag checked between steps + Spark job-group
+  cancel for the in-flight stage (PipelineRunner.java:39-49,204-210).
+- timeout sweep: Running runs older than 6h -> 'Failed-TimeOut-6Hours'
+  (ApiServlet.java:382-433).
+
+Data plane: stage tables are parquet partitioned by run_id (per-run reads
+partition-prune, the Spark analogue of the reference's indexed
+``WHERE RunId = ?`` scans); the target table is versioned
+(``v=N`` directories + atomic LATEST pointer) so migrate commits are
+snapshot-isolated — readers of version N never see a half-written N+1,
+the plain-parquet stand-in for a Delta transaction log.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from datetime import timedelta
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Observation
+
+from .control import ControlStore, utcnow
+from .operators import stages, upsert
+from .schemas import STEP_NAMES
+from .sources.files import read_orders_file, resolve_input_columns
+
+RUN_TIMEOUT_HOURS = 6  # ApiServlet.java:382-383
+TIMEOUT_STATUS = "Failed-TimeOut-6Hours"
+
+
+class PipelineCancelledError(RuntimeError):
+    pass
+
+
+class TargetTable:
+    """Versioned parquet target with an atomic LATEST pointer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._pointer = os.path.join(path, "_LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        v = self.latest_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, f"v={v}"))
+
+    def commit(self, df: DataFrame) -> int:
+        v = (self.latest_version() or 0) + 1
+        out = os.path.join(self.path, f"v={v}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)
+        return v
+
+
+class PipelineRunner:
+    """Drives the 4-stage dataflow for one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, workdir: str, control: ControlStore | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.control = control or ControlStore(workdir)
+        self.landing_dir = os.path.join(workdir, "stages", "landing")
+        self.staging_dir = os.path.join(workdir, "stages", "staging")
+        self.transformed_dir = os.path.join(workdir, "stages", "staging_transformed")
+        self.target = TargetTable(os.path.join(workdir, "stages", "target"))
+        self._cancel_flags: set[str] = set()
+        self._lock = threading.Lock()
+
+    # ---- cancellation (ST5) --------------------------------------------
+    def cancel(self, run_id: str) -> None:
+        with self._lock:
+            self._cancel_flags.add(run_id)
+        try:
+            self.spark.sparkContext.cancelJobGroup(run_id)
+        except Exception:
+            pass
+
+    def _check_cancelled(self, run_id: str) -> None:
+        with self._lock:
+            cancelled = run_id in self._cancel_flags
+        if cancelled:
+            raise PipelineCancelledError(f"run {run_id} cancelled")
+
+    # ---- stage table IO -------------------------------------------------
+    def _write_stage(self, df: DataFrame, directory: str) -> int:
+        """Append a run's rows to a stage table, partitioned by run_id,
+        counting rows via an Observation on the write (no second scan)."""
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.mode("append").partitionBy("run_id").parquet(directory)
+        return int(obs.get["n"])
+
+    def _read_stage(self, directory: str, run_id: str) -> DataFrame:
+        return self.spark.read.parquet(directory).where(F.col("run_id") == run_id)
+
+    # ---- the four steps -------------------------------------------------
+    def _step_pull(self, run_id: str, source_path: str) -> int:
+        resolved, source_type = read_orders_file(self.spark, source_path)
+        landing = stages.pull(resolved, run_id, source_type)
+        return self._write_stage(landing, self.landing_dir)
+
+    def _step_pull_df(self, run_id: str, df: DataFrame, source_type: str) -> int:
+        landing = stages.pull(resolve_input_columns(df), run_id, source_type)
+        return self._write_stage(landing, self.landing_dir)
+
+    def _step_extract(self, run_id: str) -> int:
+        landing = self._read_stage(self.landing_dir, run_id)
+        return self._write_stage(stages.extract(landing), self.staging_dir)
+
+    def _step_transform(self, run_id: str, fail_on_negative: bool) -> int:
+        staging = self._read_stage(self.staging_dir, run_id)
+        out = stages.transform(staging, fail_on_negative=fail_on_negative)
+        return self._write_stage(out, self.transformed_dir)
+
+    def _step_migrate(self, run_id: str) -> int:
+        transformed = self._read_stage(self.transformed_dir, run_id)
+        updates = stages.migrate_updates(transformed)
+        obs = Observation()
+        updates = updates.observe(obs, F.count(F.lit(1)).alias("n"))
+        merged = upsert.upsert_replace(self.target.read(self.spark), updates, key="order_id")
+        self.target.commit(merged)
+        return int(obs.get["n"])
+
+    # ---- run loop (index.js:59-125) -------------------------------------
+    def run(
+        self,
+        source_path: str | None = None,
+        source_df: DataFrame | None = None,
+        source_type: str = "DataFrame",
+        pipeline_name: str = "OrdersPipeline",
+        fail_on_negative: bool = False,
+        run_id: str | None = None,
+    ) -> str:
+        if (source_path is None) == (source_df is None):
+            raise ValueError("provide exactly one of source_path / source_df")
+        ctl = self.control
+        run_id = ctl.start_run(pipeline_name=pipeline_name, run_id=run_id)
+        ctl.log(run_id, "Info", f"Pipeline started: {source_path or source_type}",
+                pipeline_name=pipeline_name)
+        sc = self.spark.sparkContext
+        sc.setJobGroup(run_id, f"pipeline run {run_id}", interruptOnCancel=True)
+
+        def step_fns() -> list[Callable[[], int]]:
+            return [
+                (lambda: self._step_pull(run_id, source_path))
+                if source_df is None
+                else (lambda: self._step_pull_df(run_id, source_df, source_type)),
+                lambda: self._step_extract(run_id),
+                lambda: self._step_transform(run_id, fail_on_negative),
+                lambda: self._step_migrate(run_id),
+            ]
+
+        current = 0
+        try:
+            for i, fn in enumerate(step_fns(), start=1):
+                current = i
+                self._check_cancelled(run_id)
+                ctl.update_step(run_id, i, status="Running", started_at=utcnow())
+                ctl.log(run_id, "Info", f"Step started: {STEP_NAMES[i-1]}",
+                        pipeline_name=pipeline_name, step_number=i,
+                        step_name=STEP_NAMES[i - 1])
+                n = fn()
+                ctl.update_step(
+                    run_id, i, status="Success", finished_at=utcnow(), rows_affected=n,
+                    rows_processed=n, rows_total=n,
+                )
+                ctl.log(run_id, "Info",
+                        f"Step finished: {STEP_NAMES[i-1]} ({n} rows)",
+                        pipeline_name=pipeline_name, step_number=i,
+                        step_name=STEP_NAMES[i - 1])
+            ctl.update_run(run_id, status="Success", finished_at=utcnow())
+            ctl.log(run_id, "Info", "Pipeline finished", pipeline_name=pipeline_name)
+        except PipelineCancelledError:
+            ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
+                            error_message="Cancelled")
+            ctl.update_run(run_id, status="Cancelled", finished_at=utcnow())
+            ctl.log(run_id, "Warning", "Pipeline cancelled", pipeline_name=pipeline_name)
+        except Exception as exc:  # failure path, index.js:112-124
+            ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
+                            error_message=str(exc)[:4000])
+            ctl.update_run(run_id, status="Failed", finished_at=utcnow())
+            ctl.log(run_id, "Error", f"Pipeline failed at {STEP_NAMES[current-1]}: {exc}",
+                    pipeline_name=pipeline_name, step_number=current,
+                    step_name=STEP_NAMES[current - 1])
+            raise
+        finally:
+            sc.setJobGroup("", "")
+        return run_id
+
+    # ---- timeout sweep (ST6, ApiServlet.java:382-433) -------------------
+    def sweep_timeouts(self, now=None, timeout_hours: float = RUN_TIMEOUT_HOURS) -> int:
+        now = now or utcnow()
+        cutoff = now - timedelta(hours=timeout_hours)
+        n = 0
+        rows = (
+            self.control.runs(self.spark)
+            .filter((F.col("status") == "Running") & (F.col("started_at") < F.lit(cutoff)))
+            .select("run_id")
+            .collect()
+        )
+        for r in rows:
+            self.control.update_run(r["run_id"], status=TIMEOUT_STATUS, finished_at=now)
+            n += 1
+        return n

@@ -1,0 +1,101 @@
+"""File scan sources (SURVEY.md §2.1 S1–S3).
+
+Semantics mirrored from the reference:
+- CSV: header row, case-insensitive column match with camelCase fallback,
+  unknown columns dropped, missing columns NULL, empty lines skipped
+  (python_code/orchestrator/steps/pull.js:24-37; quote-aware parsing
+  java_code/.../steps/PullStep.java:116-130 — Spark's CSV reader is
+  RFC-4180 quote-aware already).
+- JSON: a file holding an array of objects, or a single object treated as
+  a 1-row array (pull.js:38-52); each row retains the full original
+  record re-serialized as a JSON string (`raw_payload`, pull.js:50).
+
+Scale notes: reads are schema-explicit (no inferSchema job), PERMISSIVE
+mode, and stay entirely declarative so Catalyst prunes/pushes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CANONICAL_INPUT_COLUMNS
+
+
+def _canonical_name(col: str) -> str | None:
+    """Case-insensitive resolution onto the canonical input schema
+    (pull.js:30-33 `row.OrderId || row.orderId`)."""
+    lowered = {c.lower(): c for c in CANONICAL_INPUT_COLUMNS}
+    return lowered.get(col.strip().lower())
+
+
+def resolve_input_columns(df: DataFrame) -> DataFrame:
+    """Project any raw input frame onto (OrderId, CustomerId, Amount,
+    OrderDate) as strings: case-insensitive match, unknown columns
+    dropped, missing columns NULL. First match wins on duplicates."""
+    return df.select(*_resolved_exprs(df))
+
+
+def read_orders_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: CSV scan. All columns as strings (landing is stringly-typed);
+    typing happens in Extract. Keeps raw_payload for parity with the JSON
+    path (reference keeps it NULL for CSV; we serialize the raw row —
+    strictly more information, same downstream behavior)."""
+    raw = spark.read.options(header=True, mode="PERMISSIVE").csv(path)
+    resolved = resolve_input_columns(raw)
+    return resolved.withColumn("raw_payload", F.lit(None).cast("string"))
+
+
+def _resolved_exprs(df: DataFrame):
+    mapping: dict[str, str] = {}
+    for c in df.columns:
+        if c == "raw_payload":
+            continue
+        canon = _canonical_name(c)
+        if canon is not None and canon not in mapping:
+            mapping[canon] = c
+    exprs = []
+    for canon in CANONICAL_INPUT_COLUMNS:
+        if canon in mapping:
+            exprs.append(F.col(f"`{mapping[canon]}`").cast("string").alias(canon))
+        else:
+            exprs.append(F.lit(None).cast("string").alias(canon))
+    return exprs
+
+
+def read_orders_json(spark: SparkSession, path: str) -> DataFrame:
+    """S2+S3: JSON scan (array-of-objects or single object -> 1 row) with
+    raw-payload retention (`raw_payload` = the original record
+    re-serialized, pull.js:50)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    with_payload = raw.withColumn("raw_payload", F.to_json(F.struct(*raw.columns)))
+    return with_payload.select(*_resolved_exprs(with_payload), F.col("raw_payload"))
+
+
+def read_orders_file(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
+    """Dispatch on extension like the reference trigger endpoint
+    (python_code/api/server.js:23-31 whitelist .csv/.json). A directory
+    (e.g. a Spark-written dataset of part files) dispatches on the
+    extension of the data files inside. Returns (frame, source_type)."""
+    lower = path.lower()
+    if os.path.isdir(path):
+        exts = {
+            os.path.splitext(f)[1].lower()
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        }
+        data_exts = exts & {".csv", ".json"}
+        if len(data_exts) == 1:
+            lower = data_exts.pop()
+        else:
+            raise ValueError(
+                f"cannot infer source type for directory {path}: "
+                f"found extensions {sorted(exts)} (need exactly one of .csv/.json)"
+            )
+    if lower.endswith(".json"):
+        return read_orders_json(spark, path), "JSON"
+    if lower.endswith(".csv"):
+        return read_orders_csv(spark, path), "CSV"
+    raise ValueError(f"unsupported source file type: {path} (.csv/.json only)")
