@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
+  semantics) + category revenue rollup over sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 plus the
+  LLM-pipeline extensions (see automated_data_pipeline_spark/suite/).
+- ``oracle_sql()``: DuckDB twins; rows-only entries (approximate or
+  bit-level ops) are intentionally omitted from the oracle dict.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's
+    Extract+Transform semantics applied to the orders fixture, rolled up
+    into the category/revenue summary the monitoring GUI would chart."""
+    from automated_data_pipeline_spark.functions import business, cleaning
+    from automated_data_pipeline_spark.suite import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    landing = o.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("customer_id"),
+        # scale prices into the reference's order-of-magnitude so the
+        # Low/Medium/High rule produces a real spread
+        F.round(F.col("o_totalprice") / 1000, 2).cast("string").alias("amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    staged = landing.filter(cleaning.valid_order_id(F.col("order_id"))).select(
+        F.trim("order_id").alias("order_id"),
+        cleaning.default_customer(F.col("customer_id")).alias("customer_id"),
+        cleaning.safe_amount(F.col("amount")).alias("amount"),
+        cleaning.safe_date(F.col("order_date")).alias("order_date"),
+    )
+    transformed = staged.withColumn(
+        "amount_category", business.amount_category(F.col("amount"))
+    )
+    return transformed.groupBy("amount_category").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("amount"), 2).cast("double").alias("total_amount"),
+        F.countDistinct("customer_id").alias("n_customers"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from automated_data_pipeline_spark.suite import queries_dict
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_dict()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from automated_data_pipeline_spark.suite import oracles_dict
+
+    return oracles_dict()

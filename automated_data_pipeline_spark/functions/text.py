@@ -1,0 +1,148 @@
+"""Text-analysis expressions for the LLM-data-pipeline extensions:
+tokenization, shingling, quality stats, language-ID heuristic, document
+fingerprinting. All built-in ``pyspark.sql.functions`` higher-order
+expressions — JVM-side, codegen'd, no Python UDFs — so they hold up on
+100 TB text scans.
+
+These extend the reference's surface (it has no text ops) per the
+BASELINE.json mandate; semantics are fixed here and mirrored 1:1 in the
+DuckDB oracle SQL of the suite queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, fixed stopword lists (heuristic lang-id; public
+# common-word lists)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "y", "es", "de", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我"],
+}
+LANG_PRECEDENCE = ["en", "de", "es", "fr", "zh"]
+
+
+def tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def distinct_tokens(c: Column) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def bigram_shingles(words: Column) -> Column:
+    """Distinct word-bigram shingles of a token array (for Jaccard /
+    MinHash dedup). Empty when fewer than 2 tokens."""
+    return F.when(
+        F.size(words) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat(
+                    F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stable_hash64(c: Column, seed: int | str = "") -> Column:
+    """Engine-portable deterministic 60-bit hash: first 15 hex chars of
+    md5. Identical in DuckDB as CAST('0x'||substr(md5(...),1,15) AS
+    BIGINT) — used wherever the oracle must reproduce hashing (MinHash,
+    SimHash). Spark's xxhash64 would be faster but engine-specific."""
+    payload = F.concat(F.lit(f"{seed}:"), c) if seed != "" else c
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def stable_hash64_py(s: str, seed: int | str = "") -> int:
+    """Python twin of stable_hash64 (same md5-prefix derivation), for
+    driver-side constants like LSH hyperplane components."""
+    import hashlib
+
+    payload = f"{seed}:{s}" if seed != "" else s
+    return int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+
+
+# MinHash permutation family: h_i(x) = (a_i * (base(x) mod P) + b_i) mod P.
+# One md5 per element, then cheap integer mixing per permutation —
+# identical arithmetic in the DuckDB oracle. P = 2^31 - 1 keeps
+# a*h + b inside int64.
+MINHASH_P = 2_147_483_647
+MINHASH_AB = [
+    (1103515245, 12345),
+    (1588635695, 98765),
+    (1117695901, 54321),
+    (1387672319, 11111),
+    (1289706101, 77777),
+    (1464165419, 33333),
+    (1987654321, 55555),
+    (1732584193, 99999),
+]
+
+
+def token_count_regex(c: Column) -> Column:
+    """BPE-ish token count: runs of alphanumerics or single non-space
+    symbols (a cheap proxy for subword token counts)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the lowercased text with all
+    non-alphanumerics stripped (whitespace/punctuation-insensitive
+    exact-dup key)."""
+    return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", ""))
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda x: x.isin(sw)))
+
+
+def lang_id(words: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits, ties resolved by
+    fixed precedence (en > de > es > fr > zh); no hits -> 'und'."""
+    scores = {lang: stopword_hits(words, lang) for lang in LANG_PRECEDENCE}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRECEDENCE):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+SIMHASH_BITS = 60  # stable_hash64 yields 60-bit values; stay in signed range
+
+
+def simhash_frame(df, id_col: str, text_col: str, seed: str = "sim"):
+    """(id, simhash): 60-bit SimHash per document. Explode tokens, one
+    grouped aggregation with a SUM per bit (map-side partial agg — one
+    shuffle on id regardless of bit width), then pack sign bits."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", stable_hash64(F.col("tok"), seed))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return sums.select("id", packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed hashes: popcount of XOR
+    (bit_count is built-in, JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale text corpora.
+
+Variants (all Spark-first, shuffle-aware):
+- exact:     hash-groupBy on a normalized fingerprint. One shuffle on the
+             fingerprint; at 100 TB this is the cheapest possible dedup
+             (map-side partial agg + AQE-coalesced reducers).
+- jaccard:   blocked pairwise n-gram Jaccard. Blocking keys bound the
+             quadratic blow-up; only same-block pairs shuffle together.
+- minhash:   MinHash signatures + LSH banding. Candidate generation is a
+             self-join on (band, bucket) — linear-ish in corpus size —
+             followed by exact verification on the candidates only. This
+             is the 100 TB-scale path: no all-pairs comparison ever
+             materializes.
+- simhash:   64-bit SimHash + same-key bucket join on the hash for
+             near-identical detection (hamming distance on candidates).
+- embedding: cosine near-dup over embedding vectors (see similarity.py
+             for the kNN machinery).
+
+Hashing uses the engine-portable md5-derived ``stable_hash64`` so every
+step is reproducible in the DuckDB oracle. Swap in ``F.xxhash64`` for
+production speed — identical structure, ~3x faster hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup on the normalized fingerprint: one row per distinct
+    fingerprint with the smallest id as canonical representative and the
+    duplicate count. min/count do map-side partial aggregation."""
+    return (
+        df.select(
+            TX.fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingles) with distinct word-bigram shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        TX.bigram_shingles(TX.tokens(F.col(text_col))).alias("shingles"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Blocked pairwise bigram-shingle Jaccard: emits (id_a, id_b,
+    jaccard) for same-block pairs with jaccard >= threshold.
+
+    Without blocking this is O(n^2) within the corpus — fine for
+    verification sets; at scale pass blocking columns (lang, length
+    bucket, LSH bucket) so only same-key pairs co-shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        TX.bigram_shingles(TX.tokens(F.col(text_col))).alias("shingles"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_jaccard(F.col("a.shingles"), F.col("b.shingles")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures: (id, sig0..sigK): sig_i = min over the shingle
+    set of (a_i * base + b_i) mod P, base = stable_hash64(shingle) mod P.
+    One md5 pass over the shingles, then cheap integer mixing per
+    permutation — no explode, no shuffle."""
+    assert num_hashes <= len(TX.MINHASH_AB)
+    based = shingled.withColumn(
+        "_bases",
+        F.transform(
+            F.col("shingles"),
+            lambda w: F.pmod(TX.stable_hash64(w), F.lit(TX.MINHASH_P)),
+        ),
+    )
+    sigs = []
+    for s in range(num_hashes):
+        a, b = TX.MINHASH_AB[s]
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    F.col("_bases"),
+                    lambda h: F.pmod(h * a + b, F.lit(TX.MINHASH_P)),
+                )
+            ).alias(f"sig{s}")
+        )
+    return based.select("id", *sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding dedup: returns verified candidate pairs
+    (id_a, id_b, jaccard>=threshold).
+
+    Plan shape (the part that matters at 100 TB):
+      1. signatures: narrow map, no shuffle
+      2. band buckets: unpivot to (id, band, bucket) — still narrow
+      3. candidates: self-join on (band, bucket) = one shuffle on the
+         bucket key; DISTINCT pairs
+      4. verification: join candidate ids back to shingle sets (two
+         shuffles on id) and compute exact Jaccard on candidates only
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    # persist: the shingle arrays feed signature generation AND both
+    # sides of candidate verification — recomputing the md5 pass 3x
+    # dominates runtime otherwise. At cluster scale this is a
+    # checkpoint/intermediate table instead.
+    shingled = (
+        shingle_frame(df, id_col, text_col).filter(F.size("shingles") > 0).persist()
+    )
+    sigs = minhash_signatures(shingled, num_hashes)
+
+    band_cols = []
+    for b in range(n_bands):
+        members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[m.cast("string") for m in members])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    buckets = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_rotations: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates: exact 64-bit match on rotated hash
+    prefixes (bucket join per rotation — the classic Charikar/Manku
+    trick), verified by full hamming distance <= max_hamming.
+
+    Each rotation r buckets on 15 bits of shift(simhash, 15*r);
+    near-identical docs collide in at least one rotation w.h.p."""
+    base = TX.simhash_frame(df, id_col, text_col)
+    rotations = []
+    for r in range(n_rotations):
+        shift = 15 * r
+        rotated = (
+            F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << 15) - 1))
+        )
+        rotations.append(
+            base.select(
+                "id", "simhash", F.lit(r).alias("rot"), rotated.alias("bucket")
+            )
+        )
+    buckets = rotations[0]
+    for r in rotations[1:]:
+        buckets = buckets.unionByName(r)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", TX.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k of a (small, broadcast)
+  query set against the full corpus. The corpus side streams — one
+  narrow pass + a per-query top-k (window row_number). This is the
+  correctness baseline and is oracle-checkable.
+- ``rhp_lsh_topk``: random-hyperplane LSH bucketing as the scale path:
+  corpus and queries hash to sign-bit buckets; only same-bucket pairs
+  are scored. Hyperplanes are derived deterministically from
+  md5-hashes, so no driver-side RNG state ships to executors.
+- ``embedding_near_dup``: all-pairs cosine >= threshold via bucketed
+  candidates (near-dup flavor of the same machinery).
+
+At 100 TB the brute-force path is a single scan per query batch
+(fine for few queries); LSH turns it into a bucket-equi-join whose
+shuffle is proportional to candidate count, not corpus x queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-query top-k by cosine (ranking on the rounded value with id
+    tie-break, so results are deterministic and engine-portable)."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col), digits).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: str = "rhp"):
+    """Deterministic pseudo-random hyperplane, materialized driver-side
+    as a literal array (component i = (md5-hash('seed:plane:i') % 2001
+    - 1000)/1000). Constant-folds into codegen — no per-row hashing."""
+    from ..functions.text import stable_hash64_py
+
+    vals = [
+        (stable_hash64_py(f"{seed}:{plane}:{i}") % 2001 - 1000) / 1000.0
+        for i in range(dim)
+    ]
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def rhp_bucket(vec_col, dim: int, n_planes: int = 8, seed: str = "rhp"):
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into a
+    bigint. Pure expressions — executors recompute plane components from
+    hashes; nothing is shipped from the driver."""
+    bits = []
+    for p in range(n_planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col, _hyperplane(dim, p, seed), lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def rhp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """Approximate top-k: only same-bucket (candidate) pairs are scored.
+    Recall depends on n_planes; at scale add multiprobe (flip one bit)
+    by unioning neighbor buckets."""
+    c = corpus.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn("bucket", rhp_bucket(F.col(query_vec_col), dim, n_planes))
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, candidates bucketed
+    by RHP-LSH (high-cosine pairs collide w.h.p.)."""
+    b = df.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
+    a = b.alias("a")
+    c = b.alias("b")
+    cand = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return cand.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        V.cosine_rounded(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,356 @@
+"""LLM-data-pipeline extension queries over documents/embeddings:
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+These extend the reference's surface per BASELINE.json. Every hash used
+is the engine-portable md5-derived ``stable_hash64`` so MinHash/LSH is
+bit-reproducible in the DuckDB oracle — the oracle runs the *same
+algorithm*, so candidate generation and verification match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup, similarity
+from . import QuerySpec, load
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name, oracle, doc=""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_exact_fingerprint",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: hash-groupBy on normalized fingerprint",
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text").withColumnRenamed("id", "keep_id")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+                  ELSE [] END AS shingles
+      FROM w
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+          THEN len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(list_distinct(list_concat(a.shingles, b.shingles)))
+          ELSE 0.0 END, 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+    "all-pairs bigram-shingle Jaccard >= 0.8",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_minhash_lsh",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+        round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+    """,
+    "MinHash(8) + LSH(4 bands x 2) candidates, exact-verified",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2, threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash near-dup: no SQL oracle (64 nested bit-aggregations make the
+# SQL twin unreadable); rows-only driver check + pytest unit oracle.
+@spec(
+    "dedup_simhash",
+    None,
+    "SimHash-64 rotations bucket join, hamming <= 3",
+)
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "text_stats",
+    f"""
+    WITH w AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents)
+    SELECT doc_id, lang,
+      length(text) AS n_chars,
+      len(ws) AS n_words,
+      len(list_distinct(ws)) AS n_distinct_words,
+      CASE WHEN len(ws) > 0
+           THEN round(list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws), 4)
+           ELSE 0.0 END AS avg_word_len,
+      CASE WHEN len(ws) > 0
+           THEN round(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0 / len(ws), 4)
+           ELSE 0.0 END AS stopword_ratio
+    FROM w
+    """,
+    "per-doc quality stats",
+)
+def text_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ws = TX.tokens(F.col("text"))
+    d = d.withColumn("ws", ws)
+    n = F.size("ws")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n.alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        F.when(
+            n > 0,
+            F.round(
+                F.aggregate(
+                    F.transform("ws", lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / n,
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_word_len"),
+        F.when(
+            n > 0,
+            F.round(TX.stopword_hits(F.col("ws"), "en") / n, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------
+def _hits_sql(words: list[str]) -> str:
+    inlist = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(ws, x -> x IN ({inlist})))"
+
+
+_LANG_SQL_CASE = " ".join(
+    f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'"
+    for lang in TX.LANG_PRECEDENCE
+)
+
+
+@spec(
+    "lang_id_heuristic",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        {", ".join(f"{_hits_sql(TX.STOPWORDS[lang])} AS h_{lang}" for lang in TX.LANG_PRECEDENCE)}
+      FROM w
+    ),
+    best AS (
+      SELECT *, greatest({", ".join(f"h_{lang}" for lang in TX.LANG_PRECEDENCE)}) AS best
+      FROM scored
+    )
+    SELECT doc_id, lang AS actual_lang,
+      CASE {_LANG_SQL_CASE} ELSE 'und' END AS predicted_lang
+    FROM best
+    """,
+    "n-gram/stopword language-ID heuristic",
+)
+def lang_id_heuristic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        TX.lang_id(TX.tokens(F.col("text"))).alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "token_count_bpeish",
+    r"""
+    SELECT doc_id,
+      length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    "BPE-ish regex token counting",
+)
+def token_count_bpeish(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_regex(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------
+_COSINE_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+        round(
+          (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i))
+          / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+           * sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.qid
+    )
+"""
+
+
+@spec(
+    "knn_cosine_bruteforce",
+    _COSINE_SQL
+    + """
+    , ranked AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "brute-force cosine top-5 for 3 query vectors",
+)
+def knn_cosine_bruteforce(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.cosine_topk(e, q, k=5)
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------
+@spec(
+    "embedding_near_dup_brute",
+    _COSINE_SQL.replace("WHERE vec_id < 3", "WHERE vec_id % 50 = 0").replace(
+        "e.vec_id != q.qid", "e.vec_id > q.qid"
+    )
+    + """
+    SELECT qid AS id_a, vec_id AS id_b, cosine FROM pairs WHERE cosine >= 0.3
+    """,
+    "near-dup by cosine >= 0.3, sampled anchor set",
+)
+def embedding_near_dup_brute(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    from ..functions import vectors as V
+
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") > F.col("qid"))
+    return (
+        pairs.select(
+            F.col("qid").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            V.cosine_rounded(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# --------------------------------------------------------------------
+# ANN via random-hyperplane LSH: approximate by construction, so no SQL
+# oracle — rows-only check; recall is unit-tested against brute force.
+@spec(
+    "ann_rhp_lsh",
+    None,
+    "approximate top-5 via random-hyperplane LSH buckets",
+)
+def ann_rhp_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.rhp_lsh_topk(e, q, dim=64, k=5, n_planes=6)
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------
+@spec(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      sha256(text) AS content_sha
+    FROM documents
+    """,
+    "opaque binary payload + typed metadata plumbing",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )

@@ -1,0 +1,135 @@
+"""Local mirror of the driver's correctness gate: run every suite query
+on Spark and its DuckDB oracle side-by-side, compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+import datetime as _dt
+
+
+def _canon(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+        return "␀NULL"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+    return str(v)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64") or df[c].dtype == object:
+            if str(df[c].dtype).startswith("datetime64") and getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
+            df[c] = df[c].map(_canon)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf.copy()), normalize(duck_pdf.copy())
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv2 = sv.astype(float).to_numpy()
+            dv2 = dv.astype(float).to_numpy()
+            both_nan = np.isnan(sv2) & np.isnan(dv2)
+            eq = (sv2 == dv2) | both_nan
+            if not eq.all():
+                bad = int((~eq).sum())
+                mx = np.nanmax(np.abs(np.where(both_nan, 0, sv2 - dv2)))
+                problems.append(f"col {c}: {bad} value diffs (max abs {mx:.3e})")
+        else:
+            sv2 = sv.astype(str).to_numpy()
+            dv2 = dv.astype(str).to_numpy()
+            if not (sv2 == dv2).all():
+                bad = int((sv2 != dv2).sum())
+                ex_i = int(np.argmax(sv2 != dv2))
+                problems.append(
+                    f"col {c}: {bad} value diffs e.g. row{ex_i} spark={sv2[ex_i]!r} duck={dv2[ex_i]!r}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from automated_data_pipeline_spark.session import get_spark
+    from automated_data_pipeline_spark.suite import all_specs
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_skip = 0
+    for s in all_specs():
+        if only and s.name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = s.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {s.name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if s.oracle is None:
+            print(f"skip  {s.name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            dpdf = con.execute(s.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {s.name}: duckdb error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        problems = compare(s.name, spdf, dpdf)
+        if problems:
+            print(f"FAIL  {s.name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {s.name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} FAIL, {n_skip} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
