@@ -33,19 +33,24 @@ def _canonical_name(col: str) -> str | None:
 
 def resolve_input_columns(df: DataFrame) -> DataFrame:
     """Project any raw input frame onto (OrderId, CustomerId, Amount,
-    OrderDate) as strings: case-insensitive match, unknown columns
-    dropped, missing columns NULL. First match wins on duplicates."""
-    return df.select(*_resolved_exprs(df))
+    OrderDate, raw_payload) as strings: case-insensitive match, unknown
+    columns dropped, missing columns NULL. First match wins on
+    duplicates. ``raw_payload`` passes through when present (JSON path),
+    else is NULL (CSV path, matching the reference's NULL RawPayload)."""
+    exprs = _resolved_exprs(df)
+    if "raw_payload" in df.columns:
+        exprs.append(F.col("raw_payload"))
+    else:
+        exprs.append(F.lit(None).cast("string").alias("raw_payload"))
+    return df.select(*exprs)
 
 
 def read_orders_csv(spark: SparkSession, path: str) -> DataFrame:
     """S1: CSV scan. All columns as strings (landing is stringly-typed);
-    typing happens in Extract. Keeps raw_payload for parity with the JSON
-    path (reference keeps it NULL for CSV; we serialize the raw row —
-    strictly more information, same downstream behavior)."""
+    typing happens in Extract. raw_payload stays NULL for CSV, matching
+    the reference (pull.js keeps RawPayload only for JSON)."""
     raw = spark.read.options(header=True, mode="PERMISSIVE").csv(path)
-    resolved = resolve_input_columns(raw)
-    return resolved.withColumn("raw_payload", F.lit(None).cast("string"))
+    return resolve_input_columns(raw)
 
 
 def _resolved_exprs(df: DataFrame):
@@ -71,7 +76,7 @@ def read_orders_json(spark: SparkSession, path: str) -> DataFrame:
     re-serialized, pull.js:50)."""
     raw = spark.read.option("multiLine", True).json(path)
     with_payload = raw.withColumn("raw_payload", F.to_json(F.struct(*raw.columns)))
-    return with_payload.select(*_resolved_exprs(with_payload), F.col("raw_payload"))
+    return resolve_input_columns(with_payload)
 
 
 def read_orders_file(spark: SparkSession, path: str) -> tuple[DataFrame, str]:

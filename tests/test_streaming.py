@@ -1,0 +1,116 @@
+"""Structured Streaming surface tests: file-drop trigger end-to-end and
+windowed aggregations driven to completion with availableNow/memory
+sinks."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.runner import PipelineRunner
+from automated_data_pipeline_spark.streaming.file_trigger import start_file_trigger
+from automated_data_pipeline_spark.streaming import windows as SW
+from automated_data_pipeline_spark.suite import load
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+
+def test_file_trigger_runs_pipeline(spark, tmp_path, workdir):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "drop1.csv"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """\
+                OrderId,CustomerId,Amount,OrderDate
+                ORD-S1,C1,25.00,2024-01-02
+                ORD-S2,C2,250.00,2024-01-03
+                """
+            )
+        )
+    runner = PipelineRunner(spark, workdir)
+    q = start_file_trigger(spark, runner, landing)
+    q.awaitTermination(120)
+
+    target = {r["order_id"]: r for r in runner.target.read(spark).collect()}
+    assert set(target) == {"ORD-S1", "ORD-S2"}
+    assert target["ORD-S1"]["amount_category"] == "Low"
+    assert target["ORD-S2"]["amount_category"] == "High"
+    runs = runner.control.runs(spark).collect()
+    assert len(runs) == 1 and runs[0]["status"] == "Success"
+
+    # second drop -> second run, upserted target
+    with open(os.path.join(landing, "drop2.csv"), "w") as f:
+        f.write("OrderId,CustomerId,Amount,OrderDate\nORD-S1,C9,75.00,2024-02-01\n")
+    q2 = start_file_trigger(spark, runner, landing)
+    q2.awaitTermination(120)
+    target = {r["order_id"]: r for r in runner.target.read(spark).collect()}
+    assert len(target) == 2  # upsert, not append
+    assert target["ORD-S1"]["customer_id"] == "C9"
+    assert target["ORD-S1"]["amount_category"] == "Medium"
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    # batch events -> re-materialized as a file stream. Append mode only
+    # emits a window once the watermark passes its end, so the trailing
+    # window would stay in state forever; a sentinel event 2h past the max
+    # event time pushes the watermark beyond every real window.
+    events = load(spark, SF, "events")
+    sentinel = (
+        events.limit(1)
+        .withColumn("ts", F.lit(events.agg(F.max("ts")).first()[0]) + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("event_type", F.lit("_sentinel"))
+    )
+    src = str(tmp_path / "events_stream")
+    events.unionByName(sentinel).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    out = _run_stream(spark, SW.tumbling_counts(stream), "tumbling_out")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in out.collect()
+        if r["event_type"] != "_sentinel"
+    }
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want  # every real window finalized; watermark drops nothing
+
+
+def test_streaming_session_window(spark, tmp_path):
+    events = load(spark, SF, "events")
+    src = str(tmp_path / "events_sess")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = _run_stream(spark, SW.session_counts(stream), "session_out")
+    assert out.count() > 0
+    # sessions are per-user and non-overlapping
+    row = out.orderBy("user_id", "session_start").first()
+    assert row["session_end"] >= row["session_start"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    events = load(spark, SF, "events").limit(200)
+    dup = events.union(events)  # every event twice
+    src = str(tmp_path / "events_dup")
+    dup.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = _run_stream(spark, SW.dedup_within_watermark(stream), "dedup_out")
+    assert out.count() == 200
