@@ -45,11 +45,32 @@ def exact_dedup(
     )
 
 
-def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingles) with distinct word-bigram shingles."""
-    return df.select(
+def shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[str] | None = None,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, shingles [, extra_cols]) with distinct word-bigram shingles.
+
+    With ``spread`` the raw rows are round-robin repartitioned *before*
+    the shingle projection: shingling cost is O(text bytes), and a small
+    upstream (single parquet footer, one streaming micro-batch) would
+    otherwise serialize it into one task. The exchange also pins the
+    token array as a materialized column, so project-collapsing can't
+    re-inline the tokenizer once per downstream reference."""
+    base = df.select(
         F.col(id_col).alias("id"),
-        TX.bigram_shingles(TX.tokens(F.col(text_col))).alias("shingles"),
+        TX.tokens(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in (extra_cols or [])],
+    )
+    if spread:
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return base.select(
+        "id",
+        TX.bigram_shingles(F.col("_toks")).alias("shingles"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 
@@ -66,22 +87,42 @@ def jaccard_pairs(
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Blocked pairwise bigram-shingle Jaccard: emits (id_a, id_b,
-    jaccard) for same-block pairs with jaccard >= threshold.
+    """Pairwise bigram-shingle Jaccard: emits (id_a, id_b, jaccard) for
+    pairs with jaccard >= threshold.
 
-    Without blocking this is O(n^2) within the corpus — fine for
-    verification sets; at scale pass blocking columns (lang, length
-    bucket, LSH bucket) so only same-key pairs co-shuffle."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        TX.bigram_shingles(TX.tokens(F.col(text_col))).alias("shingles"),
-        *[F.col(c) for c in (block_cols or [])],
+    Losslessly blocked by shingle-set size: jaccard(A,B) >= t implies
+    |A|/|B| in [t, 1/t], so qualifying pairs land in the same or an
+    adjacent log_{1/t} size bucket. Each side emits (bucket, bucket+1)
+    keys, the self-join is an *equi-join* on the key (shuffle-hash, not
+    nested-loop cross product), duplicates from double-bucket hits are
+    dropped before verification. Output is provably identical to the
+    all-pairs plan — the DuckDB oracle keeps the naive formulation.
+    Optional ``block_cols`` (lang, domain, ...) further restrict pairs
+    *semantically* (changes the result, use when that's the intent)."""
+    inv = 1.0 / threshold
+    sh = shingle_frame(df, id_col, text_col, extra_cols=block_cols).withColumn(
+        "n_sh", F.size("shingles")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    bucket = F.floor(F.log(inv, F.greatest(F.col("n_sh"), F.lit(1)).cast("double")))
+    keyed = sh.withColumn("bucket", bucket).withColumn(
+        "bkey", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cond = (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # exact size-ratio prefilter: cheap integer compare before the
+    # array-intersect work; also restores the precise t-ratio bound the
+    # coarse bucketing over-approximates
+    cond = cond & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")) & (
+        F.col("a.n_sh") * threshold <= F.col("b.n_sh")
+    )
+    # each qualifying pair matches at exactly one key — the larger of the
+    # two buckets — so no distinct/dedup pass is needed afterwards
+    cond = cond & (
+        F.col("a.bkey") == F.greatest(F.col("a.bucket"), F.col("b.bucket"))
+    )
     return (
         a.join(b, cond)
         .select(
