@@ -43,9 +43,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import events, llm, parity
+    from . import events, extra, llm, parity
 
-    return parity.SPECS + events.SPECS + llm.SPECS
+    return parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
 
 
 def queries_dict():

@@ -1,0 +1,408 @@
+"""Advanced relational operators beyond the reference's own surface
+(SURVEY.md §2.5 'absent' list + §2.7): as-of join, range join,
+rollup/cube/pivot, set operations, exploded top-k, exact percentiles,
+JSON extraction, synthetic-source parity, char-gram fingerprints.
+
+Each query has a DuckDB oracle twin; cross-engine conventions per
+suite/__init__.py (decimal sums, formatted timestamps, deterministic
+orderings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import joins
+from ..sources.generators import AMOUNT_CYCLE, generate_orders
+from . import QuerySpec, load
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name, oracle, doc=""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------
+@spec(
+    "asof_click_before_purchase",
+    f"""
+    WITH cp AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+      FROM cp
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           click_id,
+           strftime(click_ts, '{_TS_FMT_DUCK}') AS click_ts
+    FROM w WHERE is_left = 1
+    """,
+    "backward as-of join: each purchase to the user's latest prior click",
+)
+def asof_click_before_purchase(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = joins.asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"event_id": "click_id", "ts": "click_ts"},
+        left_seq="purchase_id",
+        right_seq="event_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", _TS_FMT_SPARK).alias("click_ts"),
+    )
+
+
+# --------------------------------------------------------------------
+_BANDS = [
+    ("budget", 0, 10_000),
+    ("mid", 10_000, 40_000),
+    ("premium", 40_000, 80_000),
+    ("luxury", 80_000, 200_000),
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _BANDS
+)
+
+
+@spec(
+    "range_join_price_bands",
+    f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band,
+           count(*) AS n_items,
+           round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS total_price
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+    "range join onto broadcast price bands + aggregate",
+)
+def range_join_price_bands(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    joined = joins.range_join_bands(li, bands, "l_extendedprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "revenue_rollup_region_nation",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+           count(*) AS n_orders,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    "hierarchical rollup over region/nation with grouping flags",
+)
+def revenue_rollup_region_nation(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "o_totalprice",
+        )
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.grouping("region_name").cast("long").alias("g_region"),
+        F.grouping("nation_name").cast("long").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "full cube over order status x priority",
+)
+def cube_status_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@spec(
+    "pivot_priority_counts",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"""count(*) FILTER (WHERE o_orderpriority = '{p}') AS "{p}" """
+        for p in _PRIORITIES
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+    "pivot: order counts by status x priority (explicit value list)",
+)
+def pivot_priority_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PRIORITIES)
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "top_terms_en",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+      FROM documents WHERE lang = 'en'
+    )
+    SELECT term, count(*) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term LIMIT 25
+    """,
+    "explode tokens -> frequency top-k (deterministic ordering)",
+)
+def top_terms_en(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "price_percentiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact linear-interpolated percentiles per group",
+)
+def price_percentiles_by_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "segments_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "INTERSECT of two customer segments",
+)
+def segments_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey")
+        .intersect(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    )
+
+
+@spec(
+    "segments_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "EXCEPT of two customer segments",
+)
+def segments_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey")
+        .exceptAll(
+            c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "JSON payload extraction (F9 surface) + aggregate",
+)
+def json_props_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "distinct aggregation per group",
+)
+def distinct_users_per_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "chargram_min_fingerprint",
+    """
+    SELECT doc_id,
+      list_aggregate(
+        list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+          i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)),
+        'min') AS fp
+    FROM documents
+    """,
+    "rolling char-5-gram min-hash document fingerprint",
+)
+def chargram_min_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+            lambda i: TX.stable_hash64(F.substr(F.col("text"), i, F.lit(5))),
+        )
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+# --------------------------------------------------------------------
+_CYCLE_SQL = "[" + ", ".join(str(a) for a in AMOUNT_CYCLE) + "]"
+
+
+@spec(
+    "synthetic_orders_category_agg",
+    f"""
+    WITH gen AS (
+      SELECT i,
+        {_CYCLE_SQL}[CAST(i % 14 AS INT) + 1] AS amount
+      FROM (SELECT unnest(range(10000)) AS i)
+    )
+    SELECT CASE WHEN amount < 50 THEN 'Low'
+                WHEN amount < 200 THEN 'Medium'
+                ELSE 'High' END AS amount_category,
+           count(*) AS n,
+           round(sum(CAST(amount AS DECIMAL(18,2))), 2) AS total
+    FROM gen GROUP BY 1
+    """,
+    "S11 synthetic generator parity: deterministic cycle -> F6 bucketing",
+)
+def synthetic_orders_category_agg(spark, sf_dir):
+    from ..functions import business
+
+    g = generate_orders(spark, 10_000)
+    amt = F.col("Amount").cast("double")
+    return (
+        g.select(business.amount_category(amt).alias("amount_category"), amt.alias("a"))
+        .groupBy("amount_category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("a").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
