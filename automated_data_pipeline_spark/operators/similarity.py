@@ -115,6 +115,85 @@ def rhp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse index: k-means centroids over the corpus + cluster
+    assignment per vector. Returns (assigned_corpus, centroids_df).
+
+    Spark-native IVF: training samples the corpus through pyspark.ml
+    KMeans (a few passes over a cached sample); assignment is one narrow
+    pass. At 100 TB you train on a ~1% sample and assign the full corpus
+    — the assignment output is what you'd persist, partitioned/bucketed
+    by ``ivf_cluster`` so probes read only nprobe buckets."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="ivf_cluster")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("_features")
+    centroids = model.clusterCenters()
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "ivf_cluster int, centroid array<double>",
+    )
+    return assigned, cent_df
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query scores only the vectors in
+    its ``nprobe`` nearest clusters. The probe set is a broadcast join on
+    the cluster id — corpus shuffle-free when the index is pre-bucketed
+    by cluster. Recall rises with nprobe (nprobe == n_clusters is exact).
+    """
+    assigned, cent_df = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+    # rank clusters per query by centroid cosine; keep nprobe best
+    qc = queries.crossJoin(F.broadcast(cent_df))
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("c_cos"), F.asc("ivf_cluster")
+    )
+    probes = (
+        qc.select(
+            query_id_col,
+            query_vec_col,
+            "ivf_cluster",
+            V.cosine_rounded(
+                F.col(query_vec_col).cast("array<double>"), F.col("centroid")
+            ).alias("c_cos"),
+        )
+        .withColumn("_pr", F.row_number().over(qw))
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_pr", "c_cos")
+    )
+    pairs = assigned.join(F.broadcast(probes), "ivf_cluster").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.9,

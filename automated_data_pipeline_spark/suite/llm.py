@@ -337,6 +337,39 @@ def ann_rhp_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# IVF ANN: approximate by construction (k-means clustering) — rows-only;
+# recall vs brute force is unit-tested (tests/test_similarity_ivf.py).
+@spec(
+    "ann_ivf_topk",
+    None,
+    "approximate top-5 via IVF (KMeans coarse quantizer, nprobe=4)",
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.ivf_topk(e, q, k=5, n_clusters=8, nprobe=3)
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------
+# mapInPandas featurization: Python-side by necessity (media decode) —
+# rows-only; the batch plumbing and determinism are unit-tested.
+@spec(
+    "multimodal_feature_extract",
+    None,
+    "binary payload -> Arrow-batched mapInPandas featurization (decode stubbed)",
+)
+def multimodal_feature_extract(spark, sf_dir):
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(d, "doc_id", "text")
+    return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------
 @spec(
     "multimodal_binary_meta",
     """
