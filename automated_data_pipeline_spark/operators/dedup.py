@@ -55,21 +55,21 @@ def shingle_frame(
     """(id, shingles [, extra_cols]) with distinct word-bigram shingles.
 
     With ``spread`` the raw rows are round-robin repartitioned *before*
-    the shingle projection: shingling cost is O(text bytes), and a small
-    upstream (single parquet footer, one streaming micro-batch) would
-    otherwise serialize it into one task. The exchange also pins the
-    token array as a materialized column, so project-collapsing can't
-    re-inline the tokenizer once per downstream reference."""
+    tokenization: shingling cost is O(text bytes), and a small upstream
+    (single parquet footer, one streaming micro-batch) would otherwise
+    serialize it into one task. Callers that reference the result more
+    than once should persist it — the whole tokenize+shingle lineage
+    re-executes per downstream reference otherwise."""
     base = df.select(
         F.col(id_col).alias("id"),
-        TX.tokens(F.col(text_col)).alias("_toks"),
+        F.col(text_col).alias("_text"),
         *[F.col(c) for c in (extra_cols or [])],
     )
     if spread:
         base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return base.select(
         "id",
-        TX.bigram_shingles(F.col("_toks")).alias("shingles"),
+        TX.bigram_shingles(TX.tokens(F.col("_text"))).alias("shingles"),
         *[F.col(c) for c in (extra_cols or [])],
     )
 
@@ -90,47 +90,87 @@ def jaccard_pairs(
     """Pairwise bigram-shingle Jaccard: emits (id_a, id_b, jaccard) for
     pairs with jaccard >= threshold.
 
-    Losslessly blocked by shingle-set size: jaccard(A,B) >= t implies
-    |A|/|B| in [t, 1/t], so qualifying pairs land in the same or an
-    adjacent log_{1/t} size bucket. Each side emits (bucket, bucket+1)
-    keys, the self-join is an *equi-join* on the key (shuffle-hash, not
-    nested-loop cross product), duplicates from double-bucket hits are
-    dropped before verification. Output is provably identical to the
-    all-pairs plan — the DuckDB oracle keeps the naive formulation.
+    Prefix-filtered similarity join (Bayardo et al. / PPJoin family,
+    lossless): order each shingle set by a global total order (the
+    md5-derived hash), keep only the first ``n - ceil(t*n) + 1`` tokens
+    as the *prefix*; any pair with jaccard >= t must share a token that
+    lies in BOTH prefixes, so candidates come from an equi-join on
+    prefix tokens — shuffle proportional to shared-rare-token pairs,
+    near-linear on non-duplicate corpora, never the all-pairs product.
+    A size-ratio prefilter (|A|/|B| in [t, 1/t], implied by jaccard>=t)
+    prunes before verification; verification intersects the *hashed*
+    shingle arrays (bigint compares, not string compares) — identical to
+    string Jaccard absent a 60-bit in-pair hash collision (~1e-15).
+    The DuckDB oracle keeps the naive all-pairs string formulation, so
+    correctness checks compare against the unblocked ground truth.
     Optional ``block_cols`` (lang, domain, ...) further restrict pairs
     *semantically* (changes the result, use when that's the intent)."""
-    inv = 1.0 / threshold
-    sh = shingle_frame(df, id_col, text_col, extra_cols=block_cols).withColumn(
-        "n_sh", F.size("shingles")
+    sh = shingle_frame(df, id_col, text_col, extra_cols=block_cols)
+    # persist: the hashed shingle sets feed df-counting, prefix
+    # generation, AND both verification sides — 4 references that would
+    # each re-run tokenize+shingle+md5 otherwise. At cluster scale this
+    # is a checkpointed intermediate table instead.
+    hashed = (
+        sh.select(
+            "id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: TX.stable_hash64(s))
+                )
+            ).alias("hs"),
+            *[F.col(c) for c in (block_cols or [])],
+        )
+        .withColumn("n_sh", F.size("hs"))
+        .persist()
     )
-    bucket = F.floor(F.log(inv, F.greatest(F.col("n_sh"), F.lit(1)).cast("double")))
-    keyed = sh.withColumn("bucket", bucket).withColumn(
-        "bkey", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
+    # global token order = ascending document frequency (ties by hash):
+    # prefixes then hold each document's *rarest* tokens, so prefix-token
+    # buckets stay small — a random (hash) order would park stop-bigrams
+    # in prefixes and recreate the quadratic hot bucket this operator
+    # exists to avoid. df-counting is one explode + groupBy (linear).
+    tok = hashed.select("id", "n_sh", F.explode("hs").alias("h"),
+                        *[F.col(c) for c in (block_cols or [])])
+    dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(dfreq, "h")
+        .groupBy("id", "n_sh", *[F.col(c) for c in (block_cols or [])])
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("oh"))
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    cond = (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id"))
+    pref = ordered.select(
+        "id",
+        "n_sh",
+        F.explode(
+            F.slice(
+                F.transform("oh", lambda x: x["h"]),
+                F.lit(1),
+                F.greatest(plen, F.lit(1)),
+            )
+        ).alias("pk"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cond = (F.col("a.pk") == F.col("b.pk")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # exact size-ratio prefilter: cheap integer compare before the
-    # array-intersect work; also restores the precise t-ratio bound the
-    # coarse bucketing over-approximates
     cond = cond & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")) & (
         F.col("a.n_sh") * threshold <= F.col("b.n_sh")
     )
-    # each qualifying pair matches at exactly one key — the larger of the
-    # two buckets — so no distinct/dedup pass is needed afterwards
-    cond = cond & (
-        F.col("a.bkey") == F.greatest(F.col("a.bucket"), F.col("b.bucket"))
-    )
-    return (
+    cand = (
         a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    vb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(_jaccard(F.col("a.shingles"), F.col("b.shingles")), 6).alias(
-                "jaccard"
-            ),
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

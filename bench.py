@@ -33,13 +33,19 @@ HEADLINE = [
     "sliding_window_counts",
     "sessionize_users",
     "dedup_exact_fingerprint",
+    "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_bruteforce",
     "ann_rhp_lsh",
+    "ann_ivf_topk",
     "text_stats",
     "lang_id_heuristic",
     "token_count_bpeish",
+    "asof_click_before_purchase",
+    "revenue_rollup_region_nation",
+    "chargram_min_fingerprint",
+    "json_props_extract",
 ]
 
 
