@@ -119,27 +119,60 @@ SIMHASH_BITS = 60  # stable_hash64 yields 60-bit values; stay in signed range
 
 
 def simhash_frame(df, id_col: str, text_col: str, seed: str = "sim"):
-    """(id, simhash): 60-bit SimHash per document. Explode tokens, one
-    grouped aggregation with a SUM per bit (map-side partial agg — one
-    shuffle on id regardless of bit width), then pack sign bits."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", stable_hash64(F.col("tok"), seed))
-    sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-            ).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    packed = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    """(id, simhash): 60-bit SimHash per document — entirely shuffle-free.
+
+    One projection hashes the token array (one md5 per token), a second
+    computes the per-bit signed sums with ``F.aggregate`` over that
+    array and packs the sign bits. No explode, no groupBy: the previous
+    explode+groupBy formulation shuffled every (doc, token) row; this
+    one never leaves the scan stage, which is the difference between a
+    full-corpus shuffle and a map-only pass at 100 TB. The intermediate
+    exchange exists only to spread small inputs and pin the hash array
+    against projection re-inlining."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # second exchange pins _hs as a materialized column: the 60 bit-sum
+    # aggregates below each reference it, and project-collapse would
+    # otherwise re-inline tokenize+md5 into every reference (60x work);
+    # the shuffled payload is just (id, hash array) — tiny
+    hashed = (
+        base.repartition(par)
+        .select(
+            "id",
+            F.transform(
+                tokens(F.col("_text")), lambda t: stable_hash64(t, seed)
+            ).alias("_hs"),
         )
-        packed = term if packed is None else packed + term
-    return sums.select("id", packed.alias("simhash"))
+        .repartition(par)
+    )
+    # one aggregate pass: accumulator = per-bit signed sums (array<int>);
+    # then pack sign bits. Single compact expression instead of 60
+    # separate array scans (which overwhelm codegen).
+    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    sums = F.aggregate(
+        "_hs",
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda a, j: a
+            + (
+                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("int"),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            sums,
+            bits,
+            lambda s, j: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return hashed.select("id", packed.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1,0 +1,56 @@
+"""Python-oracle tests for the hash-based text operators whose SQL
+twins are impractical (SimHash packing, hamming distance)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.functions import text as TX
+from automated_data_pipeline_spark.suite import load
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+
+def _simhash_py(text: str, seed: str = "sim") -> int:
+    toks = [t for t in text.lower().split() if t]
+    sums = [0] * TX.SIMHASH_BITS
+    for t in toks:
+        h = TX.stable_hash64_py(t, seed)
+        for j in range(TX.SIMHASH_BITS):
+            sums[j] += ((h >> j) & 1) * 2 - 1
+    packed = 0
+    for j in range(TX.SIMHASH_BITS):
+        if sums[j] > 0:
+            packed |= 1 << j
+    return packed
+
+
+def test_simhash_matches_python_oracle(spark):
+    d = load(spark, SF, "documents").limit(20)
+    got = {r["id"]: r["simhash"] for r in TX.simhash_frame(d, "doc_id", "text").collect()}
+    for r in d.collect():
+        assert got[r["doc_id"]] == _simhash_py(r["text"]), r["doc_id"]
+
+
+def test_hamming64(spark):
+    df = spark.range(1).select(
+        TX.hamming64(F.lit(0b1011), F.lit(0b0001)).alias("h1"),
+        TX.hamming64(F.lit(0), F.lit((1 << 60) - 1)).alias("h2"),
+        TX.hamming64(F.lit(12345), F.lit(12345)).alias("h3"),
+    )
+    r = df.first()
+    assert (r["h1"], r["h2"], r["h3"]) == (2, 60, 0)
+
+
+def test_stable_hash64_engine_portable(spark):
+    # the Spark expression and the Python twin must agree bit-for-bit
+    words = ["hello", "wörld", "的", "x y", ""]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", TX.stable_hash64(F.col("w")).alias("h")).collect()
+    }
+    for w in words:
+        assert got[w] == TX.stable_hash64_py(w), w
