@@ -114,3 +114,70 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     stream = spark.readStream.schema(events.schema).parquet(src)
     out = _run_stream(spark, SW.dedup_within_watermark(stream), "dedup_out")
     assert out.count() == 200
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    import os as _os
+    import time as _time
+    from pyspark.sql import Row
+    from automated_data_pipeline_spark.streaming.stateful import stateful_sessionize
+
+    events = load(spark, SF, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "events_stateful")
+    events.coalesce(1).write.parquet(src)
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    # two sentinel batches push the watermark past every real session's
+    # timeout (the last data batch is the only chance for timeouts to fire)
+    from datetime import timedelta
+    for i, delta_h in enumerate([2, 4]):
+        s = spark.createDataFrame(
+            [Row(user_id=-1, ts=max_ts + timedelta(hours=delta_h), value=0.0)]
+        )
+        _time.sleep(1.1)
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = stateful_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM stateful_sessions")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+
+    # batch oracle: lag+cumsum sessionization (same strict >30min gap)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.when(
+        F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800, 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        events.withColumn("new_session", gap)
+        .withColumn("sid", F.sum("new_session").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got_set == want_set
