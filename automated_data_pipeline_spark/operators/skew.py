@@ -1,0 +1,74 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+partitions at runtime and is the first line of defense. These explicit
+operators cover the cases AQE cannot fix:
+
+- ``salted_aggregate``: a hot-key groupBy where ONE reducer drowns.
+  Two-phase: pre-aggregate on (key, salt) — map-side combine already
+  shrinks this — then final-aggregate on key. Works for any algebraic
+  aggregate (decomposable into partial + merge).
+- ``salted_join``: join a skewed fact against a dimension by exploding
+  the dimension R ways and salting the fact uniformly, so a hot key's
+  rows spread over R reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name ->
+    (input column, fn) with fn in {sum, count, min, max}. COUNT becomes
+    SUM of partial counts in the merge phase; AVG callers compose it
+    from sum+count (algebraic decomposition)."""
+    partial_exprs, merge_exprs = [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(f"_p_{out}"))
+            merge_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*key_cols).agg(*merge_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join: the dimension replicates n_salts
+    ways, the fact salts uniformly, and the join key becomes
+    (key, salt) — a hot fact key spreads across n_salts reducers.
+    Use when the dim is too large to broadcast but small enough to
+    replicate n_salts times."""
+    dim_salted = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact_salted = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)
+        ).cast("int"),
+    )
+    return fact_salted.join(dim_salted, [key, "_salt"], how).drop("_salt")

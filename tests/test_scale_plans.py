@@ -1,0 +1,73 @@
+"""Scale-technique verification: bucketed co-located joins plan without
+a shuffle; salted aggregates/joins match their naive equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.operators import skew
+from automated_data_pipeline_spark.plans import bucketing
+
+
+@pytest.fixture()
+def warehouse_db(spark, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    yield "bktest"
+    spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, warehouse_db):
+    orders = spark.range(10_000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 97).alias("custkey")
+    )
+    items = spark.range(30_000).select(
+        (F.col("id") % 10_000).alias("order_id"), F.rand(7).alias("amount")
+    )
+    bucketing.write_bucketed(orders, f"{warehouse_db}.orders_b", "order_id", 8)
+    bucketing.write_bucketed(items, f"{warehouse_db}.items_b", "order_id", 8)
+
+    ob = bucketing.read_table(spark, f"{warehouse_db}.orders_b")
+    ib = bucketing.read_table(spark, f"{warehouse_db}.items_b")
+    joined = ob.join(ib, "order_id")
+    assert not bucketing.plan_has_shuffle(joined)
+    assert joined.count() == 30_000
+
+    # the same join on unbucketed frames does shuffle — sanity check the
+    # detector itself
+    plain = orders.join(items.hint("merge"), "order_id")
+    assert bucketing.plan_has_shuffle(plain)
+
+
+def test_salted_aggregate_matches_naive(spark):
+    # 90% of rows share one hot key
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = skew.salted_aggregate(
+        df, ["k"], {"n": ("*", "count"), "s": ("v", "sum"), "mx": ("v", "max")}
+    )
+    want = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    g = {r["k"]: (r["n"], r["s"], r["mx"]) for r in got.collect()}
+    w = {r["k"]: (r["n"], r["s"], r["mx"]) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_join_matches_naive(spark):
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("fid"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id").cast("string")).alias("label")
+    )
+    got = skew.salted_join(fact, dim, "k").select("fid", "label")
+    want = fact.join(dim, "k").select("fid", "label")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
