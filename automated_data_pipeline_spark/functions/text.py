@@ -92,6 +92,27 @@ def token_count_regex(c: Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
+def punct_ratio(c: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / n
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document quality in [0, 1]: rewards reasonable length
+    (saturating at 100 words), low punctuation density, and a natural
+    stopword rate. Fixed public heuristic — weights are part of the
+    operator contract and mirrored in the DuckDB oracle."""
+    ws = tokens(c)
+    nw = F.size(ws)
+    length_term = F.least(nw / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    sw_term = F.least(
+        stopword_hits(ws, "en") / F.greatest(nw, F.lit(1)) * 5, F.lit(1.0)
+    )
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 4)
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5 of the lowercased text with all
     non-alphanumerics stripped (whitespace/punctuation-insensitive

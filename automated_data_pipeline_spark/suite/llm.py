@@ -194,6 +194,33 @@ def text_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+@spec(
+    "doc_quality_score",
+    f"""
+    WITH w AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+        len(ws) AS nw,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+          / greatest(length(text), 1) AS pr,
+        len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
+          / greatest(len(ws), 1) AS swr
+      FROM w
+    )
+    SELECT doc_id, lang,
+      round(0.4 * least(nw / 100.0, 1.0)
+          + 0.3 * (1.0 - least(pr * 5, 1.0))
+          + 0.3 * least(swr * 5, 1.0), 4) AS quality
+    FROM c
+    """,
+    "composite quality score: length + punctuation + stopword terms",
+)
+def doc_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------
 def _hits_sql(words: list[str]) -> str:
     inlist = ",".join(f"'{w}'" for w in words)
     return f"len(list_filter(ws, x -> x IN ({inlist})))"
