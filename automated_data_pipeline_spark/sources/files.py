@@ -54,17 +54,23 @@ def read_orders_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _resolved_exprs(df: DataFrame):
-    mapping: dict[str, str] = {}
+    """Per-row case fallback like the reference (pull.js:30-33
+    ``row.OrderId || row.orderId``): when several case-variant columns
+    exist (a JSON file mixing camelCase and PascalCase records yields
+    one column per variant), COALESCE them in column order rather than
+    dropping all but the first."""
+    mapping: dict[str, list[str]] = {}
     for c in df.columns:
         if c == "raw_payload":
             continue
         canon = _canonical_name(c)
-        if canon is not None and canon not in mapping:
-            mapping[canon] = c
+        if canon is not None:
+            mapping.setdefault(canon, []).append(c)
     exprs = []
     for canon in CANONICAL_INPUT_COLUMNS:
         if canon in mapping:
-            exprs.append(F.col(f"`{mapping[canon]}`").cast("string").alias(canon))
+            variants = [F.col(f"`{c}`").cast("string") for c in mapping[canon]]
+            exprs.append(F.coalesce(*variants).alias(canon))
         else:
             exprs.append(F.lit(None).cast("string").alias(canon))
     return exprs

@@ -1,0 +1,99 @@
+"""REST/SOAP source tests with injected transports (no network in the
+container); end-to-end through the pipeline to the target table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.runner import PipelineRunner
+from automated_data_pipeline_spark.sources.rest import (
+    rest_json_source,
+    soap_orders_source,
+)
+
+ORDERS = [
+    {"orderId": "ORD-R1", "customerId": "C1", "amount": "25.00", "orderDate": "2024-01-02"},
+    {"OrderId": "ORD-R2", "CustomerId": "", "Amount": "junk", "OrderDate": "2024-03-04"},
+]
+
+
+def test_rest_json_source_resolves_and_runs_pipeline(spark, workdir):
+    def fake_get(url):
+        assert url == "https://api.example.com/orders?page=1"
+        return json.dumps({"data": {"orders": ORDERS}})
+
+    df = rest_json_source(
+        spark,
+        "https://api.example.com/orders?page=1",
+        record_path=["data", "orders"],
+        transport=fake_get,
+    )
+    assert df.columns == ["OrderId", "CustomerId", "Amount", "OrderDate", "raw_payload"]
+    rows = {r["OrderId"]: r for r in df.collect()}
+    assert set(rows) == {"ORD-R1", "ORD-R2"}  # camelCase resolved too
+    assert json.loads(rows["ORD-R1"]["raw_payload"])["orderId"] == "ORD-R1"
+
+    runner = PipelineRunner(spark, workdir)
+    runner.run(source_df=df, source_type="REST")
+    target = {r["order_id"]: r for r in runner.target.read(spark).collect()}
+    assert target["ORD-R1"]["amount_category"] == "Low"
+    # junk amount -> coerced to 0 -> Low; blank customer -> UNKNOWN
+    assert target["ORD-R2"]["customer_id"] == "UNKNOWN"
+    assert float(target["ORD-R2"]["amount"]) == 0.0
+
+
+def test_rest_single_object_payload(spark):
+    df = rest_json_source(
+        spark, "u", transport=lambda u: json.dumps(ORDERS[0])
+    )
+    assert df.count() == 1
+
+
+SOAP_RESPONSE = """<?xml version="1.0"?>
+<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/"
+               xmlns:m="https://example.com/orders">
+  <soap:Body>
+    <m:GetOrdersResponse>
+      <m:Order>
+        <m:OrderId>ORD-S1</m:OrderId>
+        <m:CustomerId>C7</m:CustomerId>
+        <m:Amount>150.00</m:Amount>
+        <m:OrderDate>2024-02-02</m:OrderDate>
+      </m:Order>
+      <m:Order>
+        <m:OrderId>ORD-S2</m:OrderId>
+        <m:CustomerId>C8</m:CustomerId>
+        <m:Amount>49.99</m:Amount>
+        <m:OrderDate>2024-02-03</m:OrderDate>
+      </m:Order>
+    </m:GetOrdersResponse>
+  </soap:Body>
+</soap:Envelope>"""
+
+
+def test_soap_source_flattens_namespaced_records(spark):
+    def fake_post(url, envelope):
+        assert "GetOrders" in envelope
+        return SOAP_RESPONSE
+
+    df = soap_orders_source(
+        spark, "https://example.com/soap", "<GetOrders/>", transport=fake_post
+    )
+    rows = {r["OrderId"]: r for r in df.collect()}
+    assert set(rows) == {"ORD-S1", "ORD-S2"}
+    assert rows["ORD-S1"]["Amount"] == "150.00"
+
+
+def test_soap_source_requires_transport(spark):
+    with pytest.raises(NotImplementedError):
+        soap_orders_source(spark, "u", "<e/>")
+
+
+def test_soap_empty_response(spark):
+    df = soap_orders_source(
+        spark, "u", "<e/>", transport=lambda u, e: "<soap:Envelope xmlns:soap='s'><soap:Body/></soap:Envelope>"
+    )
+    assert df.count() == 0
