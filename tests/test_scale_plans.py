@@ -100,3 +100,33 @@ def test_compact_partitioned_table(spark, tmp_path):
     assert df.filter("run_id = 'r1'").count() == 600
     assert df.filter("run_id = 'r2'").count() == 50
     assert df.filter("run_id = 'r1'").agg({"id": "sum"}).first()[0] == sum(range(600))
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", F.col("l_quantity")
+    )
+    plan = _formatted_plan(q)
+    # predicate reaches the parquet scan...
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # ...and the scan reads only the referenced columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    q = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+    q.count()  # let AQE finalize
+    assert "BroadcastHashJoin" in _formatted_plan(q)
