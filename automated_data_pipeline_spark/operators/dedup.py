@@ -291,20 +291,20 @@ def simhash_pairs(
     Each rotation r buckets on 15 bits of shift(simhash, 15*r);
     near-identical docs collide in at least one rotation w.h.p."""
     base = TX.simhash_frame(df, id_col, text_col)
-    rotations = []
-    for r in range(n_rotations):
-        shift = 15 * r
-        rotated = (
-            F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << 15) - 1))
+    # one explode, not a 4-way union: each union branch would re-execute
+    # the whole simhash lineage (tokenize+hash+pack) per rotation
+    rot_structs = [
+        F.struct(
+            F.lit(r).alias("rot"),
+            F.shiftright(F.col("simhash"), 15 * r)
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias("bucket"),
         )
-        rotations.append(
-            base.select(
-                "id", "simhash", F.lit(r).alias("rot"), rotated.alias("bucket")
-            )
-        )
-    buckets = rotations[0]
-    for r in rotations[1:]:
-        buckets = buckets.unionByName(r)
+        for r in range(n_rotations)
+    ]
+    buckets = base.select(
+        "id", "simhash", F.explode(F.array(*rot_structs)).alias("rb")
+    ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -500,3 +500,49 @@ def returned_revenue_by_customer(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "window_function_family",
+    """
+    SELECT o_custkey, o_orderkey,
+      rank()       OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      row_number() OVER w AS rn,
+      ntile(4)     OVER w AS quartile,
+      lag(o_orderkey)  OVER w AS prev_order,
+      lead(o_orderkey) OVER w AS next_order,
+      CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * (count(*) OVER (PARTITION BY o_custkey))
+        - sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey), 2) AS DOUBLE)
+        AS dev_x_n
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "rank/dense_rank/row_number/ntile/lag/lead/windowed-avg family",
+)
+def window_function_family(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wp = Window.partitionBy("o_custkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    # deviation-from-mean scaled by n: exact decimal arithmetic (a
+    # windowed AVG's division scale differs between engines)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(
+            price * F.count(F.lit(1)).over(wp) - F.sum(price).over(wp), 2
+        ).cast("double").alias("dev_x_n"),
+    )
