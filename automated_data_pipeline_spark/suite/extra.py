@@ -546,3 +546,54 @@ def window_function_family(spark, sf_dir):
             price * F.count(F.lit(1)).over(wp) - F.sum(price).over(wp), 2
         ).cast("double").alias("dev_x_n"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "snapshot_diff_cdc",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+           WHEN n.o_orderkey IS NULL THEN 'deleted'
+           WHEN o.o_orderstatus != n.o_orderstatus
+             OR o.o_totalprice != n.o_totalprice THEN 'changed'
+           ELSE 'unchanged' END AS change_type,
+      o.o_totalprice AS old_o_totalprice,
+      n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus = n.o_orderstatus
+               AND o.o_totalprice = n.o_totalprice)
+    """,
+    "CDC snapshot diff: inserted/deleted/changed between keyed versions",
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    from ..operators.diff import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    out = snapshot_diff(old, new, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_o_totalprice"),
+        F.col("new_o_totalprice"),
+    )
