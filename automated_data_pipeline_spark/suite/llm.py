@@ -414,3 +414,65 @@ def multimodal_binary_meta(spark, sf_dir):
         F.octet_length("text").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "train_val_test_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM b
+    """,
+    "deterministic hash split 80/10/10 (stable across runs and engines)",
+)
+def train_val_test_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        TX.stable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+@spec(
+    "pii_redaction_stats",
+    f"""
+    SELECT doc_id,
+      length(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+      length(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+      length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+    FROM documents
+    """,
+    "PII scrubbing: email/phone detection counts + redacted text length",
+)
+def pii_redaction_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+    )

@@ -181,3 +181,51 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got_set == want_set
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving in a later micro-batch, with event time older than
+    the advanced watermark, is dropped from the aggregation."""
+    import time as _time
+    from datetime import datetime, timedelta
+    from pyspark.sql import Row
+
+    base = datetime(2024, 6, 1, 12, 0, 0)
+    schema_src = load(spark, SF, "events").select("user_id", "ts", "event_type", "value")
+    src = str(tmp_path / "late_events")
+
+    def write_batch(rows):
+        spark.createDataFrame([Row(**r) for r in rows], schema_src.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    # Late-drop guarantee: once a window is emitted+evicted (watermark
+    # passed its end in an earlier batch), later rows for it are dropped
+    # — Spark's late filter uses the PREVIOUS batch's watermark, so the
+    # late row must arrive at least one batch after the advance.
+    write_batch([dict(user_id=1, ts=base, event_type="click", value=1.0)])
+    # advance the watermark past the base-hour window's end...
+    write_batch(
+        [dict(user_id=1, ts=base + timedelta(hours=3), event_type="click", value=1.0)]
+    )
+    # ...so this batch EVICTS and emits the base-hour window (n=1)...
+    write_batch(
+        [dict(user_id=1, ts=base + timedelta(hours=4), event_type="click", value=1.0)]
+    )
+    # ...and the late row, arriving after eviction, is dropped
+    write_batch(
+        [
+            dict(user_id=1, ts=base + timedelta(minutes=1), event_type="click", value=1.0),
+            dict(user_id=1, ts=base + timedelta(hours=6), event_type="click", value=1.0),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream(spark, SW.tumbling_counts(stream), "late_drop_out")
+    counts = {r["window_start"]: r["n"] for r in out.collect()}
+    # the base-hour window closed with ONE event: the late row was dropped
+    assert counts[base.replace(minute=0)] == 1
