@@ -61,12 +61,18 @@ def upsert_merge(
     for c in target.columns:
         if c == key:
             continue
-        if c in set_columns and c in updates.columns:
-            cols.append(
-                F.when(F.col(f"u.{key}").isNotNull(), F.col(f"u.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-            )
-        else:
-            cols.append(F.col(f"t.{c}").alias(c))
+        u_val = F.col(f"u.{c}") if c in updates.columns else F.lit(None)
+        matched_val = (
+            F.col(f"u.{c}")
+            if (c in set_columns and c in updates.columns)
+            else F.col(f"t.{c}")
+        )
+        cols.append(
+            # WHEN NOT MATCHED INSERT * — every update column, not just
+            # set_columns, feeds a brand-new row
+            F.when(F.col(f"t.{key}").isNull(), u_val)
+            .when(F.col(f"u.{key}").isNull(), F.col(f"t.{c}"))
+            .otherwise(matched_val)
+            .alias(c)
+        )
     return joined.select(*cols)

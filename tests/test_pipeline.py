@@ -129,3 +129,25 @@ def test_json_source_with_raw_payload(spark, tmp_path, workdir):
     assert target["ORD-J1"]["amount_category"] == "Medium"
     assert target["ORD-J2"]["customer_id"] == "UNKNOWN"
     assert target["ORD-J2"]["amount_category"] == "High"
+
+
+def test_upsert_merge_partial_update_semantics(spark):
+    """upsert_merge: matched rows update only set_columns; NOT-MATCHED
+    rows insert ALL update columns (WHEN NOT MATCHED INSERT *)."""
+    from automated_data_pipeline_spark.operators.upsert import upsert_merge
+
+    target = spark.createDataFrame(
+        [("k1", "old-a", 10), ("k2", "old-b", 20)], ["k", "name", "score"]
+    )
+    updates = spark.createDataFrame(
+        [("k2", "new-b", 99), ("k3", "new-c", 77)], ["k", "name", "score"]
+    )
+    out = {
+        r["k"]: (r["name"], r["score"])
+        for r in upsert_merge(target, updates, "k", set_columns=["score"]).collect()
+    }
+    assert out == {
+        "k1": ("old-a", 10),   # untouched
+        "k2": ("old-b", 99),   # only score updated (set_columns)
+        "k3": ("new-c", 77),   # inserted with ALL columns from updates
+    }
