@@ -2,10 +2,15 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: every implemented operator from SURVEY.md §2 plus the
-  LLM-pipeline extensions (see automated_data_pipeline_spark/suite/).
-- ``oracle_sql()``: DuckDB twins; rows-only entries (approximate or
-  bit-level ops) are intentionally omitted from the oracle dict.
+- ``queries()``: 56 named queries — every implemented operator from
+  SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
+  and the LLM-pipeline family (dedup, similarity, text analysis,
+  multimodal) — see automated_data_pipeline_spark/suite/ and the
+  coverage matrix in README.md.
+- ``oracle_sql()``: DuckDB twins for 52 of them; the 4 rows-only
+  entries (SimHash pairs, RHP-LSH / IVF ANN, mapInPandas featurization)
+  are approximate or Python-side by necessity and are instead pinned by
+  pytest unit oracles (tests/test_text_hashes.py, tests/test_multimodal.py).
 """
 
 from __future__ import annotations
