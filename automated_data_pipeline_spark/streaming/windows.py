@@ -67,6 +67,36 @@ def session_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint:
+    rows join only when right_ts ∈ [left_ts - within, left_ts]. Both
+    sides carry watermarks so Spark can bound the join state — without
+    the time constraint + watermarks, stream-stream join state grows
+    forever. Columns are prefixed l_/r_ to avoid collisions."""
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on).alias("_k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != on],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("_k2"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    cond = (
+        (F.col("_k") == F.col("_k2"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return l.join(r, cond, "inner").withColumnRenamed("_k", on).drop("_k2")
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

@@ -229,3 +229,43 @@ def test_watermark_drops_late_data(spark, tmp_path):
     counts = {r["window_start"]: r["n"] for r in out.collect()}
     # the base-hour window closed with ONE event: the late row was dropped
     assert counts[base.replace(minute=0)] == 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds equals the batch
+    range join on the same data."""
+    events = load(spark, SF, "events")
+    src = str(tmp_path / "ss_events")
+    events.write.parquet(src)
+
+    def mk_stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    purchases = mk_stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = mk_stream().filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = _run_stream(
+        spark,
+        SW.stream_stream_join(purchases, clicks, on="user_id", within="1 hour"),
+        "ss_join_out",
+    )
+    got = {(r["l_purchase_id"], r["r_click_id"]) for r in out.collect()}
+
+    bp = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want_df = bp.join(
+        bc,
+        (bp.user_id == bc.cuid)
+        & (bc.cts >= bp.pts - F.expr("INTERVAL 1 HOUR"))
+        & (bc.cts <= bp.pts),
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
