@@ -65,11 +65,23 @@ def shingle_frame(
         F.col(text_col).alias("_text"),
         *[F.col(c) for c in (extra_cols or [])],
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
     if spread:
-        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return base.select(
+        base = base.repartition(par)
+    toks = base.select(
         "id",
-        TX.bigram_shingles(TX.tokens(F.col("_text"))).alias("shingles"),
+        TX.tokens(F.col("_text")).alias("_toks"),
+        *[F.col(c) for c in (extra_cols or [])],
+    )
+    if spread:
+        # second exchange pins the token array as a materialized column:
+        # bigram_shingles references it 4x, and project-collapse would
+        # re-inline the tokenizer into each reference. The shuffled
+        # payload (id + token array) is tiny relative to tokenize cost.
+        toks = toks.repartition(par)
+    return toks.select(
+        "id",
+        TX.bigram_shingles(F.col("_toks")).alias("shingles"),
         *[F.col(c) for c in (extra_cols or [])],
     )
 
