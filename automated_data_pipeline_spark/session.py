@@ -30,6 +30,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd: ~30-40% smaller parquet than snappy at comparable CPU —
+        # at 100 TB the scan is IO-bound, so smaller bytes win twice
+        # (storage + read throughput)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -597,3 +597,21 @@ def snapshot_diff_cdc(spark, sf_dir):
         F.col("old_o_totalprice"),
         F.col("new_o_totalprice"),
     )
+
+
+# --------------------------------------------------------------------
+# Approximate aggregates (HLL++ distinct counts, t-digest-style
+# percentiles): approximate by construction, so rows-only; accuracy vs
+# the exact aggregates is pinned by tests/test_scale_plans.py.
+@spec(
+    "approx_aggregates",
+    None,
+    "approx_count_distinct + approx_percentile per event_type",
+)
+def approx_aggregates(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -130,3 +130,20 @@ def test_small_dim_join_broadcasts(spark):
     q = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
     q.count()  # let AQE finalize
     assert "BroadcastHashJoin" in _formatted_plan(q)
+
+
+def test_approx_aggregates_accuracy(spark):
+    import os
+    from automated_data_pipeline_spark.suite import load
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+    ev = load(spark, sf, "events")
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10000).alias("am"),
+    ).first()
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("eu"),
+        F.expr("percentile(value, 0.5)").alias("em"),
+    ).first()
+    assert abs(approx["au"] - exact["eu"]) <= max(2, 0.05 * exact["eu"])
+    assert abs(approx["am"] - exact["em"]) <= max(1.0, 0.05 * abs(exact["em"]))
