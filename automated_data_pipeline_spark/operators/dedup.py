@@ -115,6 +115,9 @@ def jaccard_pairs(
     string Jaccard absent a 60-bit in-pair hash collision (~1e-15).
     The DuckDB oracle keeps the naive all-pairs string formulation, so
     correctness checks compare against the unblocked ground truth.
+    NOTE: the hashed-shingle intermediate is persist()ed and lives until
+    the session drops it — long-lived callers invoking this repeatedly
+    should spark.catalog.clearCache() between corpora.
     Optional ``block_cols`` (lang, domain, ...) further restrict pairs
     *semantically* (changes the result, use when that's the intent)."""
     sh = shingle_frame(df, id_col, text_col, extra_cols=block_cols)
@@ -302,6 +305,18 @@ def simhash_pairs(
 
     Each rotation r buckets on 15 bits of shift(simhash, 15*r);
     near-identical docs collide in at least one rotation w.h.p."""
+    if 15 * n_rotations > TX.SIMHASH_BITS:
+        raise ValueError(
+            f"n_rotations={n_rotations} shifts past the {TX.SIMHASH_BITS}-bit "
+            "hash (15 bits per rotation) — the overflow rotation would bucket "
+            "every document together"
+        )
+    if max_hamming >= n_rotations:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} rotations: with "
+            f"{n_rotations}, {max_hamming} differing bits can straddle every "
+            "bucket block (pigeonhole) and true near-dups would be missed"
+        )
     base = TX.simhash_frame(df, id_col, text_col)
     # one explode, not a 4-way union: each union branch would re-execute
     # the whole simhash lineage (tokenize+hash+pack) per rotation

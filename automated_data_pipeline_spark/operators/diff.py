@@ -30,7 +30,12 @@ def snapshot_diff(
         cols = [F.col(key)] + [
             F.col(c).alias(f"{side}_{c}") for c in compare_cols
         ]
-        fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+        # hash a JSON array, not concat_ws: concat_ws silently skips
+        # NULLs (NULL vs '' would collide, and values could smuggle the
+        # separator); a JSON array keeps null entries and quotes values
+        fp = F.md5(
+            F.to_json(F.array(*[F.col(c).cast("string") for c in compare_cols]))
+        )
         return df.select(*cols, fp.alias(f"{side}_fp"))
 
     o = tagged(old, "old")

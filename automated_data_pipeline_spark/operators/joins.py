@@ -121,10 +121,15 @@ def interval_overlap_join(
         ).withColumn(f"_{side}_start_bin", F.floor(F.col(s) / bin_width))
 
     lb = binned(left, l_start, l_end, "l").alias("a")
-    rb = binned(right, r_start, r_end, "r").alias("b")
+    # rename the right side's shared key columns so the output carries
+    # each `on` key once (they're equal by the join condition anyway)
+    rb = binned(right, r_start, r_end, "r")
+    for k in on:
+        rb = rb.withColumnRenamed(k, f"_r_on_{k}")
+    rb = rb.alias("b")
     cond = F.col("a._bin") == F.col("b._bin")
     for k in on:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b._r_on_{k}"))
     # exact overlap: [l_start, l_end] ∩ [r_start, r_end] non-empty
     cond = cond & (F.col(f"a.{l_start}") <= F.col(f"b.{r_end}"))
     cond = cond & (F.col(f"b.{r_start}") <= F.col(f"a.{l_end}"))
@@ -133,4 +138,5 @@ def interval_overlap_join(
         F.col("a._bin")
         == F.greatest(F.col("a._l_start_bin"), F.col("b._r_start_bin"))
     )
-    return lb.join(rb, cond).drop("_bin", "_l_start_bin", "_r_start_bin")
+    out = lb.join(rb, cond).drop("_bin", "_l_start_bin", "_r_start_bin")
+    return out.drop(*[f"_r_on_{k}" for k in on])

@@ -34,12 +34,16 @@ def cosine_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
     digits: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Per-query top-k by cosine (ranking on the rounded value with id
-    tie-break, so results are deterministic and engine-portable)."""
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    tie-break, so results are deterministic and engine-portable).
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    correct when queries are drawn from the corpus (the suite's case);
+    pass False when query ids live in an independent id space."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -97,15 +101,16 @@ def rhp_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: only same-bucket (candidate) pairs are scored.
     Recall depends on n_planes; at scale add multiprobe (flip one bit)
-    by unioning neighbor buckets."""
+    by unioning neighbor buckets. ``exclude_self`` as in cosine_topk."""
     c = corpus.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("bucket", rhp_bucket(F.col(query_vec_col), dim, n_planes))
-    pairs = c.join(F.broadcast(q), "bucket").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    pairs = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -118,7 +123,6 @@ def rhp_lsh_topk(
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ):
@@ -131,7 +135,7 @@ def ivf_index(
     — the assignment output is what you'd persist, partitioned/bucketed
     by ``ivf_cluster`` so probes read only nprobe buckets."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="ivf_cluster")
@@ -157,13 +161,14 @@ def ivf_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query scores only the vectors in
     its ``nprobe`` nearest clusters. The probe set is a broadcast join on
     the cluster id — corpus shuffle-free when the index is pre-bucketed
     by cluster. Recall rises with nprobe (nprobe == n_clusters is exact).
     """
-    assigned, cent_df = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+    assigned, cent_df = ivf_index(corpus, n_clusters, vec_col, seed)
     # rank clusters per query by centroid cosine; keep nprobe best
     qc = queries.crossJoin(F.broadcast(cent_df))
     qw = Window.partitionBy(query_id_col).orderBy(
@@ -182,9 +187,9 @@ def ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .drop("_pr", "c_cos")
     )
-    pairs = assigned.join(F.broadcast(probes), "ivf_cluster").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    pairs = assigned.join(F.broadcast(probes), "ivf_cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -61,7 +61,16 @@ def salted_join(
     ways, the fact salts uniformly, and the join key becomes
     (key, salt) — a hot fact key spreads across n_salts reducers.
     Use when the dim is too large to broadcast but small enough to
-    replicate n_salts times."""
+    replicate n_salts times. Only fact-preserving join types are
+    allowed: a dim-preserving join (right/full) would emit each
+    unmatched dim row once per salt replica."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got {how!r} — unmatched dim rows would duplicate n_salts times"
+        )
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

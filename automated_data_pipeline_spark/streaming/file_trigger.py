@@ -14,8 +14,9 @@ Checkpointing makes the trigger exactly-once per file across restarts
 from __future__ import annotations
 
 import os
+import uuid
 
-from pyspark.sql import SparkSession, types as T
+from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..runner import PipelineRunner
 
@@ -27,6 +28,41 @@ UPLOAD_SCHEMA = T.StructType(
         T.StructField("OrderDate", T.StringType()),
     ]
 )
+
+
+def batch_run_id(checkpoint_key: str, batch_id: int) -> str:
+    """Deterministic run id per (checkpoint, batch): foreachBatch is
+    at-least-once, so a replayed micro-batch must map to the SAME run."""
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"adp://{checkpoint_key}#{batch_id}"))
+
+
+def run_batch_idempotent(
+    runner: PipelineRunner,
+    batch_df,
+    batch_id: int,
+    checkpoint_key: str,
+    source_type: str,
+    pipeline_name: str,
+) -> str | None:
+    """Run one micro-batch through the pipeline exactly once per
+    batch_id: a replay after a crash-between-run-and-checkpoint finds
+    the deterministic run_id already Succeeded and skips, instead of
+    appending a duplicate run (and duplicate stage rows)."""
+    rid = batch_run_id(checkpoint_key, batch_id)
+    existing = (
+        runner.control.runs(runner.spark)
+        .filter((F.col("run_id") == rid) & (F.col("status") == "Success"))
+        .take(1)
+    )
+    if existing:
+        return None
+    runner.run(
+        source_df=batch_df,
+        source_type=source_type,
+        pipeline_name=pipeline_name,
+        run_id=rid,
+    )
+    return rid
 
 
 def start_file_trigger(
@@ -58,8 +94,11 @@ def start_file_trigger(
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        runner.run(
-            source_df=batch_df,
+        run_batch_idempotent(
+            runner,
+            batch_df,
+            batch_id,
+            checkpoint_key=checkpoint_dir,
             source_type=f"Stream-{fmt.upper()}",
             pipeline_name=pipeline_name,
         )

@@ -62,7 +62,11 @@ def _sessionize_user(
                 closed.append((start, last, n, total))
                 start, last, n, total = t_us, t_us, 1, v
             else:
-                last, n, total = t_us, n + 1, total + v
+                # cross-batch out-of-order arrivals (late but above the
+                # watermark) may precede `last`; merge them without
+                # moving the session backward or forward incorrectly
+                start = min(start, t_us)
+                last, n, total = max(last, t_us), n + 1, total + v
         if start is not None:
             state.update((start, last, n, total))
             state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)  # ms
@@ -84,10 +88,14 @@ def stateful_sessionize(
 ) -> DataFrame:
     """Gap-based sessions per user with explicit keyed state. ``events``
     must be a streaming frame with (user_id, ts, value)."""
-    n, unit = gap.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
-    gap_us = int(n) * mult * _US
+    parts = gap.split()
+    units = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    if len(parts) != 2 or parts[1] not in units or not parts[0].isdigit():
+        raise ValueError(
+            f"gap must be '<n> <unit>' with unit in {sorted(units)}: got {gap!r}"
+        )
+    gap_us = int(parts[0]) * units[parts[1]] * _US
 
     def fn(key, pdfs, state):
         yield from _sessionize_user(key, pdfs, state, gap_us)

@@ -476,3 +476,75 @@ def pii_redaction_stats(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "stratified_hash_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 ELSE 100 END
+    """,
+    "deterministic per-stratum downsampling (50% en, 80% de, 100% rest)",
+)
+def stratified_hash_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        TX.stable_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 80).otherwise(100)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "repeated_ngram_ratio",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+      len(grams) AS n_bigrams,
+      CASE WHEN len(grams) > 0
+           THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+           ELSE 0.0 END AS dup_bigram_ratio
+    FROM g
+    """,
+    "repetition quality signal: fraction of duplicated word bigrams",
+)
+def repeated_ngram_ratio(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ws = TX.tokens(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        F.when(
+            n > 0, F.round(1.0 - F.size(F.array_distinct("grams")) / n, 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )

@@ -87,3 +87,21 @@ def test_interval_overlap_join(spark):
     assert pairs == [(1, 10), (1, 11), (3, 13)]
     # each overlapping pair appears exactly once despite multi-bin spans
     assert len(pairs) == out.count()
+
+
+def test_interval_overlap_join_with_on_keys_unambiguous(spark):
+    left = spark.createDataFrame([("u1", 1, 0, 10), ("u2", 2, 0, 10)], ["k", "lid", "ls", "le"])
+    right = spark.createDataFrame([("u1", 10, 5, 7), ("u2", 11, 50, 60)], ["k", "rid", "rs", "re"])
+    out = joins.interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=16, on=["k"])
+    # the shared key resolves unambiguously and same-key-only pairs match
+    rows = out.select("k", "lid", "rid").collect()
+    assert [(r["k"], r["lid"], r["rid"]) for r in rows] == [("u1", 1, 10)]
+
+
+def test_snapshot_diff_null_vs_value_not_unchanged(spark):
+    from automated_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x", None), (2, None, "y")], "k int, a string, b string")
+    new = spark.createDataFrame([(1, None, "x"), (2, None, "y")], "k int, a string, b string")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()}
+    assert out == {1: "changed", 2: "unchanged"}  # NULL shifts don't collide
