@@ -269,3 +269,27 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     want = {(r["purchase_id"], r["click_id"]) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_batch_replay_is_idempotent(spark, workdir):
+    """A replayed foreachBatch delivery (same batch_id) maps to the same
+    run_id and is skipped once recorded Success."""
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.streaming.file_trigger import (
+        batch_run_id,
+        run_batch_idempotent,
+    )
+    from automated_data_pipeline_spark.sources.generators import generate_orders
+
+    runner = PipelineRunner(spark, workdir)
+    df = generate_orders(spark, 10)
+    rid1 = run_batch_idempotent(runner, df, 7, "ckpt-A", "Stream-CSV", "P")
+    rid2 = run_batch_idempotent(runner, df, 7, "ckpt-A", "Stream-CSV", "P")  # replay
+    assert rid1 == batch_run_id("ckpt-A", 7)
+    assert rid2 is None  # skipped
+    assert runner.control.runs(spark).count() == 1
+    assert runner.target.read(spark).count() == 10
+    # a different batch id is a new run
+    rid3 = run_batch_idempotent(runner, df, 8, "ckpt-A", "Stream-CSV", "P")
+    assert rid3 and rid3 != rid1
+    assert runner.control.runs(spark).count() == 2
