@@ -102,12 +102,25 @@ def rhp_lsh_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
     exclude_self: bool = True,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only same-bucket (candidate) pairs are scored.
-    Recall depends on n_planes; at scale add multiprobe (flip one bit)
-    by unioning neighbor buckets. ``exclude_self`` as in cosine_topk."""
+    Recall depends on n_planes; ``multiprobe`` additionally probes the
+    buckets at hamming distance 1 on the first ``multiprobe`` planes
+    (each probe multiplies the query side only — the corpus is hashed
+    once), trading candidate volume for recall without rehashing.
+    ``exclude_self`` as in cosine_topk."""
     c = corpus.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("bucket", rhp_bucket(F.col(query_vec_col), dim, n_planes))
+    if multiprobe:
+        masks = F.array(
+            F.lit(0).cast("bigint"),
+            *[F.lit(1 << p).cast("bigint") for p in range(min(multiprobe, n_planes))],
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))),
+        )
     pairs = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
@@ -116,6 +129,8 @@ def rhp_lsh_topk(
         F.col(id_col),
         V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
+    if multiprobe:
+        scored = scored.distinct()  # a pair can match via several probes
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -76,3 +76,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf4 = similarity.ivf_topk(e, q, k=5, n_clusters=8, nprobe=4)
     i4 = {(r["qid"], r["vec_id"]) for r in ivf4.collect()}
     assert len(i4 & b) / len(b) >= 0.5
+
+
+def test_rhp_multiprobe_improves_recall(spark):
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    brute = {(r["qid"], r["vec_id"]) for r in similarity.cosine_topk(e, q, k=5).collect()}
+
+    def recall(multiprobe):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.rhp_lsh_topk(
+                e, q, dim=64, k=5, n_planes=4, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    # deterministic (hash-derived hyperplanes): 0.16 -> 0.56 on this corpus
+    r0, r4 = recall(0), recall(4)
+    assert r4 > r0  # probing neighbor buckets recovers missed neighbors
+    assert r4 >= 0.4
