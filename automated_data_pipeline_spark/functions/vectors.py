@@ -10,6 +10,8 @@ expression path avoids the Python worker hop entirely.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,3 +37,24 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     accumulation: last-bit divergence is possible engine-to-engine;
     6 digits is far above the noise floor)."""
     return F.round(cosine(a, b), digits)
+
+
+def cosine_pandas_udf(dim_hint: int | None = None):
+    """Arrow-batched cosine for WIDE vectors: the expression path
+    (zip_with+aggregate) evaluates per element inside codegen, fine at
+    64-dim; at 1024+-dim the vectorized numpy path wins on constant
+    factors. Returns a pandas_udf(cosine(a, b) -> double) computing
+    per-batch with stacked ndarrays."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return _cos

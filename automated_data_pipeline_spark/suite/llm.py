@@ -548,3 +548,18 @@ def repeated_ngram_ratio(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_ratio"),
     )
+
+
+# --------------------------------------------------------------------
+# LSH-bucketed near-dup (the scale path of embedding_near_dup_brute):
+# approximate candidate generation -> rows-only.
+@spec(
+    "embedding_near_dup_lsh",
+    None,
+    "near-dup pairs cosine >= 0.3 via RHP-LSH buckets (scale path)",
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(
+        e, threshold=0.3, dim=64, n_planes=6
+    )

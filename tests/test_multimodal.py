@@ -98,3 +98,21 @@ def test_rhp_multiprobe_improves_recall(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 > r0  # probing neighbor buckets recovers missed neighbors
     assert r4 >= 0.4
+
+
+def test_cosine_pandas_udf_matches_expression(spark):
+    from automated_data_pipeline_spark.functions import vectors as V
+
+    e = load(spark, SF, "embeddings").limit(100)
+    pairs = e.alias("a").crossJoin(
+        e.alias("b").selectExpr("vec_id AS vid2", "embedding AS emb2")
+    ).filter(F.col("vec_id") + 1 == F.col("vid2"))
+    both = pairs.select(
+        "vec_id",
+        F.round(V.cosine(F.col("embedding"), F.col("emb2")), 6).alias("expr_cos"),
+        F.round(V.cosine_pandas_udf()(F.col("embedding"), F.col("emb2")), 6).alias("udf_cos"),
+    )
+    rows = both.collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert abs(r["expr_cos"] - r["udf_cos"]) < 1e-5
