@@ -147,3 +147,20 @@ def test_approx_aggregates_accuracy(spark):
     ).first()
     assert abs(approx["au"] - exact["eu"]) <= max(2, 0.05 * exact["eu"])
     assert abs(approx["am"] - exact["em"]) <= max(1.0, 0.05 * abs(exact["em"]))
+
+
+def test_stage_read_prunes_run_partitions(spark, tmp_path):
+    """Per-run stage reads hit only that run's partition directory
+    (the Spark analogue of the reference's indexed WHERE RunId=?)."""
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.sources.generators import generate_orders
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    r1 = runner.run(source_df=generate_orders(spark, 50), source_type="G")
+    runner.run(source_df=generate_orders(spark, 50), source_type="G")
+
+    pruned = runner._read_stage(runner.staging_dir, r1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "run_id" in m  # filter reached partition pruning, not a scan-filter
+    assert pruned.count() == 50  # only r1's rows read
