@@ -26,9 +26,11 @@ MAX_LOG_LIMIT = 2000
 
 
 def with_run_number_fallback(runs: DataFrame) -> DataFrame:
-    """A5: synthesize run_number when missing — newest first enumeration
-    (server.js:63-69; backfill db.js:30-34 = row_number by created_at)."""
-    w = Window.orderBy(F.desc("created_at"), F.desc("run_id"))
+    """A5: synthesize run_number when missing — oldest run is #1
+    (server.js:63-69 assigns list.length - i over a DESC list, i.e. the
+    newest run gets the HIGHEST number; backfill db.js:30-34 is
+    row_number over created_at ASC — both mean oldest=1)."""
+    w = Window.orderBy(F.asc("created_at"), F.asc("run_id"))
     return runs.withColumn(
         "run_number",
         F.coalesce(F.col("run_number"), F.row_number().over(w).cast("long")),

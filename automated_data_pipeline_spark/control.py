@@ -100,20 +100,42 @@ class ControlStore:
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(directory, fname))
 
+    def _disk_rows(self, directory: str, columns: list[str] | None = None):
+        """All event rows on disk as a list of dicts (control tables are
+        tiny metadata; this is a footer-level read, no Spark job)."""
+        try:
+            ds = pq.ParquetDataset(directory)
+            tbl = ds.read(columns=columns)
+        except Exception:
+            return []
+        return tbl.to_pylist()
+
+    def _latest_disk_state(self, directory: str, key: dict[str, Any]) -> dict[str, Any] | None:
+        """Latest-wins row for one key from disk — the cross-process
+        fallback when this instance's cache has never seen the key
+        (another process started the run; we must not wipe its state
+        to NULLs on update)."""
+        best = None
+        for row in self._disk_rows(directory):
+            if all(row.get(k) == v for k, v in key.items()):
+                if best is None or (row.get("event_seq") or 0) > (best.get("event_seq") or 0):
+                    best = row
+        if best is not None:
+            best = dict(best)
+            best.pop("event_seq", None)
+        return best
+
     # ---- run lifecycle (reference: index.js:32-51; PipelineRunner.java:59-119)
     def next_run_number(self) -> int:
-        """A1: COALESCE(MAX(RunNumber),0)+1 (index.js:36)."""
+        """A1: COALESCE(MAX(RunNumber),0)+1 (index.js:36) — max over BOTH
+        this instance's cache and disk, so concurrent stores on one
+        workdir don't hand out duplicate numbers from a stale cache."""
         mx = 0
         for r in self._runs.values():
             mx = max(mx, r.get("run_number") or 0)
-        if mx == 0:
-            try:
-                ds = pq.ParquetDataset(self.runs_dir)
-                tbl = ds.read(columns=["run_number"])
-                if tbl.num_rows:
-                    mx = max(x for x in tbl.column(0).to_pylist() if x is not None)
-            except Exception:
-                mx = 0
+        for row in self._disk_rows(self.runs_dir, columns=["run_number"]):
+            if row.get("run_number") is not None:
+                mx = max(mx, row["run_number"])
         return mx + 1
 
     def start_run(
@@ -170,15 +192,20 @@ class ControlStore:
         self._append(self.steps_dir, _STEP_FIELDS, row)
 
     def update_run(self, run_id: str, **fields: Any) -> None:
-        cur = dict(self._runs.get(run_id) or {"run_id": run_id})
+        cur = self._runs.get(run_id)
+        if cur is None:  # started by another process — merge, don't wipe
+            cur = self._latest_disk_state(self.runs_dir, {"run_id": run_id})
+        cur = dict(cur or {"run_id": run_id})
         cur.update(fields)
         self._write_run(cur)
 
     def update_step(self, run_id: str, step_number: int, **fields: Any) -> None:
-        cur = dict(
-            self._steps.get((run_id, step_number))
-            or {"run_id": run_id, "step_number": step_number}
-        )
+        cur = self._steps.get((run_id, step_number))
+        if cur is None:
+            cur = self._latest_disk_state(
+                self.steps_dir, {"run_id": run_id, "step_number": step_number}
+            )
+        cur = dict(cur or {"run_id": run_id, "step_number": step_number})
         cur.update(fields)
         self._write_step(cur)
 
@@ -219,7 +246,11 @@ class ControlStore:
         )
 
     def _read_dir(self, spark: SparkSession, directory: str, fields) -> DataFrame:
-        files = [f for f in os.listdir(directory) if f.endswith(".parquet")]
+        files = [
+            f
+            for f in os.listdir(directory)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
         if not files:
             # empty frame with the right schema
             schema = pa.schema(fields)

@@ -66,13 +66,27 @@ class TargetTable:
         return spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
     def commit(self, df: DataFrame) -> int:
+        """Allocate a version exclusively (O_EXCL claim file), write it,
+        then advance the pointer. Concurrent committers get distinct
+        version directories, so a published version is never rewritten
+        in place; the pointer only moves forward. (Concurrent merges
+        still serialize their *content* only at the level of who commits
+        last — that's a transaction log's job; this guards readers.)"""
         v = (self.latest_version() or 0) + 1
+        while True:
+            claim = os.path.join(self.path, f"_claim_v{v}")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                v += 1
         out = os.path.join(self.path, f"v={v}")
         df.write.mode("overwrite").parquet(out)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)
+        if (self.latest_version() or 0) < v:
+            tmp = self._pointer + f".tmp-{v}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer)
         return v
 
 
@@ -104,6 +118,17 @@ class PipelineRunner:
             cancelled = run_id in self._cancel_flags
         if cancelled:
             raise PipelineCancelledError(f"run {run_id} cancelled")
+
+    def _finish_cancelled(self, run_id: str, step: int, pipeline_name: str) -> None:
+        """Record the cancelled run and clear the flag so the same
+        run_id can be retried (and the flag set doesn't grow forever)."""
+        self.control.update_step(run_id, step, status="Failed",
+                                 finished_at=utcnow(), error_message="Cancelled")
+        self.control.update_run(run_id, status="Cancelled", finished_at=utcnow())
+        self.control.log(run_id, "Warning", "Pipeline cancelled",
+                         pipeline_name=pipeline_name)
+        with self._lock:
+            self._cancel_flags.discard(run_id)
 
     # ---- stage table IO -------------------------------------------------
     def _write_stage(self, df: DataFrame, directory: str) -> int:
@@ -195,18 +220,25 @@ class PipelineRunner:
             ctl.update_run(run_id, status="Success", finished_at=utcnow())
             ctl.log(run_id, "Info", "Pipeline finished", pipeline_name=pipeline_name)
         except PipelineCancelledError:
-            ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
-                            error_message="Cancelled")
-            ctl.update_run(run_id, status="Cancelled", finished_at=utcnow())
-            ctl.log(run_id, "Warning", "Pipeline cancelled", pipeline_name=pipeline_name)
+            self._finish_cancelled(run_id, current, pipeline_name)
         except Exception as exc:  # failure path, index.js:112-124
-            ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
-                            error_message=str(exc)[:4000])
-            ctl.update_run(run_id, status="Failed", finished_at=utcnow())
-            ctl.log(run_id, "Error", f"Pipeline failed at {STEP_NAMES[current-1]}: {exc}",
-                    pipeline_name=pipeline_name, step_number=current,
-                    step_name=STEP_NAMES[current - 1])
-            raise
+            with self._lock:
+                was_cancelled = run_id in self._cancel_flags
+            if was_cancelled:
+                # cancelJobGroup surfaces as a generic Spark job-cancelled
+                # error from the in-flight action, not as our own
+                # PipelineCancelledError — classify by the flag, not the
+                # exception type (PipelineRunner.java:204-210 semantics)
+                self._finish_cancelled(run_id, current, pipeline_name)
+            else:
+                ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
+                                error_message=str(exc)[:4000])
+                ctl.update_run(run_id, status="Failed", finished_at=utcnow())
+                ctl.log(run_id, "Error",
+                        f"Pipeline failed at {STEP_NAMES[current-1]}: {exc}",
+                        pipeline_name=pipeline_name, step_number=current,
+                        step_name=STEP_NAMES[current - 1])
+                raise
         finally:
             sc.setJobGroup("", "")
         return run_id

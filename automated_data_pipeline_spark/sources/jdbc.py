@@ -29,6 +29,11 @@ def read_jdbc(
 ) -> DataFrame:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and upper_bound "
+                "(Spark needs the numeric range to split the scan)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -89,6 +89,9 @@ def rest_json_source_distributed(
 
     import pandas as pd
 
+    if not urls:
+        return spark.createDataFrame([], "url string, body string")
+
     def fetch(batches):
         mod, _, attr = transport_name.rpartition(".")
         fn = getattr(importlib.import_module(mod), attr)

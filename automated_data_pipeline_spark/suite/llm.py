@@ -41,7 +41,7 @@ _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
 )
 def dedup_exact_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return dedup.exact_dedup(d, "doc_id", "text").withColumnRenamed("id", "keep_id")
+    return dedup.exact_dedup(d, "doc_id", "text")
 
 
 # --------------------------------------------------------------------

@@ -108,3 +108,62 @@ def test_scrape_to_df_normalization(spark):
 def test_scrape_playwright_gated(spark):
     with pytest.raises(NotImplementedError):
         scrape_to_df(spark, "https://example.com", {"t": "h1"})
+
+
+def test_cross_instance_update_preserves_state(spark, workdir):
+    """A second ControlStore over the same workdir (another process in
+    production) must not wipe run state to NULLs when updating, and must
+    not reuse run numbers."""
+    from automated_data_pipeline_spark.control import ControlStore
+
+    a = ControlStore(workdir)
+    rid = a.start_run(pipeline_name="CrossProc")
+
+    b = ControlStore(workdir)  # fresh instance, empty cache
+    b.update_run(rid, status="Failed-TimeOut-6Hours", finished_at=utcnow())
+    run = a.runs(spark).filter(F.col("run_id") == rid).first()
+    assert run["status"] == "Failed-TimeOut-6Hours"
+    assert run["pipeline_name"] == "CrossProc"  # preserved, not NULLed
+    assert run["run_number"] == 1 and run["created_at"] is not None
+
+    b.update_step(rid, 2, status="Failed", error_message="swept")
+    st = (
+        a.steps(spark)
+        .filter((F.col("run_id") == rid) & (F.col("step_number") == 2))
+        .first()
+    )
+    assert st["step_name"] == "Extract"  # preserved from the start row
+
+    assert b.next_run_number() == 2  # sees A's run on disk
+    rid2 = b.start_run(pipeline_name="CrossProc2")
+    assert a.next_run_number() == 3  # and vice versa
+
+
+def test_run_number_fallback_oldest_is_one(spark, workdir):
+    runner = _run_once(spark, workdir, name="First")
+    _run_once(spark, workdir, name="Second")
+    runs = runner.control.runs(spark).withColumn(
+        "run_number", F.lit(None).cast("long")
+    )
+    out = {r["pipeline_name"]: r["run_number"] for r in api.with_run_number_fallback(runs).collect()}
+    assert out == {"First": 1, "Second": 2}
+
+
+def test_cancelled_run_id_can_be_retried(spark, workdir):
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.sources.generators import generate_orders
+
+    runner = PipelineRunner(spark, workdir)
+    rid = "retry-me"
+    runner.cancel(rid)
+    runner.run(source_df=generate_orders(spark, 5), source_type="G", run_id=rid)
+    assert (
+        runner.control.runs(spark).filter(F.col("run_id") == rid).first()["status"]
+        == "Cancelled"
+    )
+    # the flag was cleared: the same run_id retries successfully
+    runner.run(source_df=generate_orders(spark, 5), source_type="G", run_id=rid)
+    assert (
+        runner.control.runs(spark).filter(F.col("run_id") == rid).first()["status"]
+        == "Success"
+    )
