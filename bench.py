@@ -55,20 +55,103 @@ def run_query(spark, fn, sf_dir) -> int:
     return df.count()
 
 
-def bench_pipeline_1m(spark) -> float:
-    from automated_data_pipeline_spark.runner import PipelineRunner
+def _gen_csv(spark, n_rows: int, path: str, offset: int = 0) -> None:
+    from pyspark.sql import functions as F
+
     from automated_data_pipeline_spark.sources.generators import generate_orders
 
+    df = generate_orders(spark, n_rows)
+    if offset:
+        df = df.withColumn(
+            "OrderId",
+            F.format_string(
+                "ORD-%06d",
+                (F.regexp_extract("OrderId", r"(\d+)", 1).cast("long") + offset).cast(
+                    "int"
+                ),
+            ),
+        )
+    df.write.option("header", True).csv(path)
+
+
+def bench_pipelines(spark) -> dict[str, float]:
+    """B1/B2/B4: 4-stage pipeline at 100k and 1M rows, then a 1M re-run
+    with 50% overlapping keys merging into the existing 1M-row target
+    (invariant-checked: 1.5M rows after)."""
+    from automated_data_pipeline_spark.runner import PipelineRunner
+
+    out: dict[str, float] = {}
+    # drop the query phase's persisted intermediates (shingle tables):
+    # leftover cached blocks steal executor memory from the pipeline
+    # shuffles and skew the measurement
+    spark.catalog.clearCache()
     work = tempfile.mkdtemp(prefix="adp-bench-")
     try:
-        csv_dir = os.path.join(work, "orders_1m")
-        generate_orders(spark, 1_000_000).write.option("header", True).csv(csv_dir)
-        runner = PipelineRunner(spark, os.path.join(work, "wh"))
+        csv_100k = os.path.join(work, "orders_100k")
+        csv_1m = os.path.join(work, "orders_1m")
+        csv_1m_b = os.path.join(work, "orders_1m_overlap")
+        _gen_csv(spark, 100_000, csv_100k)
+        _gen_csv(spark, 1_000_000, csv_1m)
+        _gen_csv(spark, 1_000_000, csv_1m_b, offset=500_000)
+
+        # warm: one tiny run compiles the whole stage/write codegen path
+        # (queries above are warm-timed too)
+        warm_csv = os.path.join(work, "orders_warm")
+        _gen_csv(spark, 1_000, warm_csv)
+        PipelineRunner(spark, os.path.join(work, "wh_warm")).run(
+            source_path=warm_csv, pipeline_name="Warmup"
+        )
+
+        runner = PipelineRunner(spark, os.path.join(work, "wh_100k"))
         t0 = time.time()
-        runner.run(source_path=csv_dir, pipeline_name="Bench1M")
-        return time.time() - t0
+        runner.run(source_path=csv_100k, pipeline_name="Bench100k")
+        out["pipeline_100k_orders"] = round(time.time() - t0, 3)
+
+        runner = PipelineRunner(spark, os.path.join(work, "wh_1m"))
+        t0 = time.time()
+        runner.run(source_path=csv_1m, pipeline_name="Bench1M")
+        out["pipeline_1m_orders"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        runner.run(source_path=csv_1m_b, pipeline_name="Bench1MRerun")
+        out["upsert_rerun_1m"] = round(time.time() - t0, 3)
+        n = runner.target.read(spark).count()
+        assert n == 1_500_000, f"B4 invariant: expected 1.5M target rows, got {n}"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_stream_tumbling(spark, sf_dir: str) -> float:
+    """B5: Structured Streaming micro-batch throughput — stream the
+    events parquet through the watermarked tumbling-window aggregation
+    (availableNow) into a memory sink."""
+    from automated_data_pipeline_spark.streaming import windows as W
+    from automated_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir, "events")  # sets the nanosAsLong conf the schema read needs
+    # the sf dir holds one parquet per table; scope to events via the
+    # file name (pathGlobFilter applies to data file names)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = W.tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bench_tumbling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return round(time.time() - t0, 3)
 
 
 def main():
@@ -86,7 +169,8 @@ def main():
         run_query(spark, fn, SF_DIR)
         timings[name] = round(time.time() - t0, 3)
 
-    timings["pipeline_1m_orders"] = round(bench_pipeline_1m(spark), 3)
+    timings.update(bench_pipelines(spark))
+    timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
