@@ -23,7 +23,7 @@ production speed — identical structure, ~3x faster hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -86,18 +86,13 @@ def shingle_frame(
     )
 
 
-def _jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Pairwise bigram-shingle Jaccard: emits (id_a, id_b, jaccard) for
     pairs with jaccard >= threshold.
@@ -155,15 +150,15 @@ def jaccard_pairs(
     pref = ordered.select(
         "id",
         "n_sh",
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.transform("oh", lambda x: x["h"]),
                 F.lit(1),
                 F.greatest(plen, F.lit(1)),
             )
-        ).alias("pk"),
+        ).alias("pos0", "pk"),
         *[F.col(c) for c in (block_cols or [])],
-    )
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     a = pref.alias("a")
     b = pref.alias("b")
     cond = (F.col("a.pk") == F.col("b.pk")) & (F.col("a.id") < F.col("b.id"))
@@ -172,20 +167,57 @@ def jaccard_pairs(
     cond = cond & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")) & (
         F.col("a.n_sh") * threshold <= F.col("b.n_sh")
     )
+    # PPJoin positional filter (lossless): both token arrays are sorted
+    # by the SAME global (df, hash) order, so common tokens appear in
+    # the same relative order in both docs. A shared token at 1-based
+    # positions (i, j) therefore bounds total overlap by
+    #   min(i,j)-1  (common tokens possible before it)
+    #   + 1         (itself)
+    #   + min(na-i, nb-j)  (common tokens possible after it),
+    # and jaccard >= t needs overlap >= t*(na+nb)/(1+t). A pair
+    # survives if ANY shared prefix token passes — sound because the
+    # bound is valid for EVERY common token. The 1e-9 slack only
+    # loosens the cut (floats may overshoot the exact rational alpha).
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    alpha = F.ceil((na + nb) * F.lit(threshold / (1.0 + threshold)) - F.lit(1e-9))
+    bound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    )
+    cond = cond & (bound >= alpha)
     cand = (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    vb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    # Verification: candidates outnumber documents by orders of
+    # magnitude (1.4M pairs vs 5k docs at sf0.1), so shuffling the full
+    # hash arrays with the PAIR stream is the wrong side — broadcast the
+    # per-document arrays instead and the pair stream never moves. At a
+    # scale where the doc-side arrays outgrow broadcast, flip
+    # broadcast_verify off and it degrades to the shuffle join.
+    # |A∪B| = na+nb-|A∩B| skips materializing the union array.
+    va = hashed.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("_na"),
+    )
+    vb = hashed.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("_nb"),
+    )
+    if broadcast_verify:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    o = F.size(F.array_intersect("hs_a", "hs_b"))
+    denom = F.col("_na") + F.col("_nb") - o
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"),
+            F.round(
+                F.when(denom > 0, o / denom).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -227,6 +259,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding dedup: returns verified candidate pairs
     (id_a, id_b, jaccard>=threshold).
@@ -278,15 +311,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # same verify-side reasoning as jaccard_pairs: the per-document
+    # shingle arrays are the small side — broadcast them so the pair
+    # stream never shuffles; |A∪B| computed arithmetically
+    sa = shingled.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("_na"),
+    )
+    sb = shingled.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("_nb"),
+    )
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    o = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.col("_na") + F.col("_nb") - o
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(
+                F.when(denom > 0, o / denom).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
