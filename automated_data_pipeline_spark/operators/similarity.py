@@ -140,26 +140,61 @@ def ivf_index(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 6,
+    train_fraction: float = 1.0,
+    train_cap: int = 100_000,
 ):
-    """IVF coarse index: k-means centroids over the corpus + cluster
-    assignment per vector. Returns (assigned_corpus, centroids_df).
+    """IVF coarse index: k-means centroids + cluster assignment per
+    vector. Returns (assigned_corpus, centroids_df).
 
-    Spark-native IVF: training samples the corpus through pyspark.ml
-    KMeans (a few passes over a cached sample); assignment is one narrow
-    pass. At 100 TB you train on a ~1% sample and assign the full corpus
-    — the assignment output is what you'd persist, partitioned/bucketed
-    by ``ivf_cluster`` so probes read only nprobe buckets."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale split (how FAISS-style IVF trains too): the coarse quantizer
+    is fit on a bounded driver-side SAMPLE (``train_fraction`` capped at
+    ``train_cap`` rows — numpy Lloyd iterations, milliseconds, no
+    per-iteration cluster jobs), while ASSIGNMENT of the full corpus
+    stays distributed as one narrow codegen pass (argmin over literal
+    centroids — no shuffle, no Python). At 100 TB you'd sample ~0.1%
+    for training and persist the assignment bucketed by ``ivf_cluster``
+    so probes read only nprobe buckets."""
+    import numpy as np
 
-    vecs = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="ivf_cluster")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).drop("_features")
-    centroids = model.clusterCenters()
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if train_fraction < 1.0:
+        sample = sample.sample(train_fraction, seed=seed)
+    rows = sample.limit(train_cap).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < n_clusters:
+        raise ValueError(f"need >= {n_clusters} training vectors, got {len(X)}")
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), n_clusters, replace=False)]
+    for _ in range(max_iter):
+        # Lloyd step on the sample: ||x-c||^2 = |x|^2 - 2x.c + |c|^2
+        d = (X * X).sum(1)[:, None] - 2 * X @ cent.T + (cent * cent).sum(1)[None, :]
+        lab = d.argmin(1)
+        for j in range(n_clusters):
+            m = X[lab == j]
+            if len(m):
+                cent[j] = m.mean(0)
+
+    # distributed assignment: euclidean argmin over literal centroids,
+    # pure expressions -> whole-stage codegen, one narrow pass
+    def sqdist(c: "np.ndarray"):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[sqdist(c) for c in cent])
+    assigned = corpus.withColumn(
+        "ivf_cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "ivf_cluster int, centroid array<double>",
     )
     return assigned, cent_df
@@ -177,13 +212,18 @@ def ivf_topk(
     query_vec_col: str = "qe",
     seed: int = 42,
     exclude_self: bool = True,
+    max_iter: int = 6,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query scores only the vectors in
     its ``nprobe`` nearest clusters. The probe set is a broadcast join on
     the cluster id — corpus shuffle-free when the index is pre-bucketed
     by cluster. Recall rises with nprobe (nprobe == n_clusters is exact).
     """
-    assigned, cent_df = ivf_index(corpus, n_clusters, vec_col, seed)
+    assigned, cent_df = ivf_index(
+        corpus, n_clusters, vec_col, seed, max_iter=max_iter,
+        train_fraction=train_fraction,
+    )
     # rank clusters per query by centroid cosine; keep nprobe best
     qc = queries.crossJoin(F.broadcast(cent_df))
     qw = Window.partitionBy(query_id_col).orderBy(
