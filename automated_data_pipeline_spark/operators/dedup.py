@@ -367,7 +367,9 @@ def simhash_pairs(
             f"{n_rotations}, {max_hamming} differing bits can straddle every "
             "bucket block (pigeonhole) and true near-dups would be missed"
         )
-    base = TX.simhash_frame(df, id_col, text_col)
+    # persist: the bucket self-join references the simhash lineage
+    # (tokenize+hash+pack, the expensive part) on BOTH sides
+    base = TX.simhash_frame(df, id_col, text_col).persist()
     # one explode, not a 4-way union: each union branch would re-execute
     # the whole simhash lineage (tokenize+hash+pack) per rotation
     rot_structs = [
