@@ -223,6 +223,107 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: returns
+    (id, rep_id) where rep_id is the minimum id in the component.
+
+    This is the missing last step of every dedup pipeline: pair emitters
+    (jaccard_pairs / minhash_lsh_pairs / simhash_pairs) produce edges;
+    keeping one document per *component* — not per pair — is what
+    actually deduplicates, because near-dup relations chain (A~B, B~C
+    with A!~C must still collapse to one survivor).
+
+    Algorithm: hash-min label propagation. Each iteration every vertex
+    takes the min label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Dedup graphs are near-star-shaped
+    (diameter 2-4), so 3-5 rounds close them; ``max_iterations`` bounds
+    pathological chains. Each round is ONE shuffle (groupBy id over
+    vertices + propagated messages); the edge list is re-joined from a
+    persisted symmetric edge table, so per-round cost is |E| shuffle
+    bytes — no all-pairs closure is ever materialized (the DuckDB
+    oracle computes the closure naively; this plan is the 100 TB form;
+    for graphs whose diameter ~ log n, swap in alternating
+    large-star/small-star [Kiveris et al. 2014] — same join/groupBy
+    primitives, fewer rounds).
+
+    ``edges`` needs columns (id_a, id_b); ``vertices`` (optional) a
+    single id column naming the full vertex set so isolated vertices
+    appear as their own singleton components.
+    """
+    e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("rep_id")
+    )
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        labels = (
+            vertices.select(F.col(vcol).alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("rep_id"))
+        )
+    labels = labels.persist()
+    for _ in range(max_iterations):
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "rep_id")
+        new_labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("rep_id").alias("rep_id"))
+        ).persist()
+        # convergence = no vertex changed its label this round; one
+        # cheap aggregate over the joined old/new label tables
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("rep_id", "_old"), "id"
+            )
+            .filter(F.col("rep_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash/LSH pairs → connected
+    components → (doc_id, rep_id, cluster_size, is_duplicate). Keeping
+    rows with ``NOT is_duplicate`` is the deduplicated corpus."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col,
+        num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+    )
+    comp = connected_components(
+        pairs, vertices=df.select(F.col(id_col).alias("id"))
+    )
+    sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "rep_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "rep_id",
+            "cluster_size",
+            (F.col("id") != F.col("rep_id")).alias("is_duplicate"),
+        )
+    )
+
+
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 8
 ) -> DataFrame:

@@ -128,6 +128,78 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+@spec(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(src) AS rep_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT l.doc_id, l.rep_id, s.cluster_size,
+           l.doc_id != l.rep_id AS is_duplicate
+    FROM labeled l
+    JOIN (SELECT rep_id, count(*) AS cluster_size FROM labeled GROUP BY 1) s
+      ON s.rep_id = l.rep_id
+    """,
+    "near-dup clustering: MinHash/LSH pairs -> connected components -> "
+    "(doc, representative, cluster size); oracle closes the graph with a "
+    "recursive CTE, the engine runs hash-min label propagation",
+)
+def dedup_clusters(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.dedup_components(d, "doc_id", "text", threshold=0.8)
+
+
+# --------------------------------------------------------------------
 # SimHash near-dup: no SQL oracle (64 nested bit-aggregations make the
 # SQL twin unreadable); rows-only driver check + pytest unit oracle.
 @spec(

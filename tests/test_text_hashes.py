@@ -54,3 +54,20 @@ def test_stable_hash64_engine_portable(spark):
     }
     for w in words:
         assert got[w] == TX.stable_hash64_py(w), w
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A~B, B~C, plus D~E, plus isolated F: components must close over
+    the chain (A,B,C share one representative even though A!~C) and
+    isolated vertices stay singletons."""
+    from automated_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e")], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcdef"], ["doc_id"])
+    got = {
+        r["id"]: r["rep_id"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
