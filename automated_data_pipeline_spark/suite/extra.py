@@ -615,3 +615,47 @@ def approx_aggregates(spark, sf_dir):
         F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "small_quantity_parts_revenue",
+    """
+    WITH lim AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_orders,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN lim ON lim.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND l.l_quantity < lim.qty_limit
+    """,
+    "TPC-H Q17 shape: small-quantity orders vs per-part average demand "
+    "(correlated scalar subquery decorrelated into an aggregate self-join)",
+)
+def small_quantity_parts_revenue(spark, sf_dir):
+    """Q17's correlated subquery (l_quantity < 0.2 * per-part AVG) as
+    the decorrelated plan Catalyst would produce anyway: one aggregate
+    over lineitem grouped by partkey, joined back. The part filter is
+    broadcast (tiny dim slice); the lineitem scan appears twice but AQE
+    reuses the exchange. Quantities are integer-valued doubles, so the
+    per-part average is order-independent bit-for-bit; the revenue sum
+    is cast to DECIMAL pre-aggregation so it is exact across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    lim = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+        )
+    )

@@ -635,3 +635,143 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup(
         e, threshold=0.3, dim=64, n_planes=6
     )
+
+
+# --------------------------------------------------------------------
+# The flagship LLM-curation composition: language-ID -> quality filter
+# -> near-dup-cluster survivors, reported as a funnel of cumulative
+# counts. The oracle re-derives every stage (including the
+# recursive-CTE component closure) so the composition is value-checked
+# end to end. The SQL textually mirrors doc_quality_score /
+# lang_id_heuristic / dedup_clusters — identical expression structure
+# keeps the IEEE-double arithmetic bit-reproducible across engines.
+_CURATION_SQL = f"""
+    WITH RECURSIVE w AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(src) AS rep_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    qc AS (
+      SELECT doc_id,
+        len(ws) AS nw,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+          / greatest(length(text), 1) AS pr,
+        len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
+          / greatest(len(ws), 1) AS swr
+      FROM w
+    ),
+    qual AS (
+      SELECT doc_id,
+        round(0.4 * least(nw / 100.0, 1.0)
+            + 0.3 * (1.0 - least(pr * 5, 1.0))
+            + 0.3 * least(swr * 5, 1.0), 4) AS quality
+      FROM qc
+    ),
+    scored AS (
+      SELECT doc_id,
+        {{hits}}
+      FROM w
+    ),
+    best AS (
+      SELECT *, greatest({{bests}}) AS best
+      FROM scored
+    ),
+    pred AS (
+      SELECT doc_id, CASE {{langcase}} ELSE 'und' END AS plang
+      FROM best
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+      CAST(sum(CASE WHEN p.plang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+      CAST(sum(CASE WHEN p.plang = 'en' AND q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(sum(CASE WHEN p.plang = 'en' AND q.quality >= 0.5 AND l.doc_id = l.rep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_curated
+    FROM labeled l
+    JOIN qual q ON q.doc_id = l.doc_id
+    JOIN pred p ON p.doc_id = l.doc_id
+"""
+
+
+@spec(
+    "corpus_curation_funnel",
+    None,  # patched with _CURATION_SQL below (lang helpers defined above)
+    "curation funnel: total -> predicted-English -> quality>=0.5 -> "
+    "dedup-cluster representative; cumulative counts per stage",
+)
+def corpus_curation_funnel(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    comp = dedup.dedup_components(d, "doc_id", "text", threshold=0.8)
+    enr = d.select(
+        "doc_id",
+        TX.lang_id(TX.tokens(F.col("text"))).alias("plang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).join(comp.select("doc_id", "is_duplicate"), "doc_id")
+    en = F.col("plang") == "en"
+    qual = en & (F.col("quality") >= 0.5)
+    curated = qual & ~F.col("is_duplicate")
+    return enr.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(en, 1).otherwise(0)).alias("n_english"),
+        F.sum(F.when(qual, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(curated, 1).otherwise(0)).alias("n_curated"),
+    )
+
+
+SPECS[-1] = QuerySpec(
+    SPECS[-1].name,
+    SPECS[-1].fn,
+    _CURATION_SQL.format(
+        hits=", ".join(
+            f"{_hits_sql(TX.STOPWORDS[lang])} AS h_{lang}" for lang in TX.LANG_PRECEDENCE
+        ),
+        bests=", ".join(f"h_{lang}" for lang in TX.LANG_PRECEDENCE),
+        langcase=_LANG_SQL_CASE,
+    ),
+    SPECS[-1].doc,
+)
