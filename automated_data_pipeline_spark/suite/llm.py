@@ -775,3 +775,30 @@ SPECS[-1] = QuerySpec(
     ),
     SPECS[-1].doc,
 )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "capped_sample_per_lang",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                   doc_id ASC
+        ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 25
+    """,
+    "hard cap per group: at most 25 docs per language, drawn in "
+    "deterministic stable-hash order (corpus rebalancing op)",
+)
+def capped_sample_per_lang(spark, sf_dir):
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.capped_sample_per_group(
+        d, "lang", "doc_id", cap=25
+    ).select("doc_id", "lang")
