@@ -164,3 +164,41 @@ def test_stage_read_prunes_run_partitions(spark, tmp_path):
     m = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "run_id" in m  # filter reached partition pruning, not a scan-filter
     assert pruned.count() == 50  # only r1's rows read
+
+
+def test_cluster_write_rowgroup_pruning(spark, tmp_path):
+    """cluster_write must produce files whose key ranges are near-
+    disjoint (each file owns a contiguous slice), so footer min/max
+    stats prune scans; a hash-shuffled write of the same data spans the
+    full domain in every file and prunes nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+    from automated_data_pipeline_spark.plans.maintenance import cluster_write
+
+    df = spark.range(200_000).selectExpr(
+        "id AS k", "id % 97 AS noise"
+    ).repartition(8)  # start hash-scattered
+    out = str(tmp_path / "clustered")
+    cluster_write(df, out, ["k"], n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # each file's span must be a narrow slice, and consecutive files
+    # must not overlap (range partitioner boundaries are exclusive)
+    domain = 200_000
+    for lo, hi in ranges:
+        assert hi - lo < domain / len(ranges) * 1.5
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next > hi_prev
