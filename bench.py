@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
+    "corpus_curation_funnel",
+    "capped_sample_per_lang",
+    "small_quantity_parts_revenue",
     "knn_cosine_bruteforce",
     "ann_rhp_lsh",
     "ann_ivf_topk",
