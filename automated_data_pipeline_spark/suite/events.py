@@ -119,3 +119,102 @@ def sessionize_users(spark, sf_dir):
             F.unix_millis(F.max("ts")).alias("session_end_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase
+    """,
+    "sequential conversion funnel view -> click -> purchase (strict "
+    "event-time ordering per user)",
+)
+def conversion_funnel(spark, sf_dir):
+    """Funnel in ONE shuffle: aggregate each user's event times into
+    per-type sorted arrays, then walk the stages with array
+    higher-order functions (filter + array_min) — no re-scan or
+    re-join of the events table per stage, unlike the SQL twin's
+    3-join formulation. Per-user arrays are bounded by that user's
+    event count; for hyperactive-user corpora cap collection with a
+    time range or pre-aggregate per (user, type, hour) first."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    t_click = F.array_min(
+        F.filter("clicks", lambda c: c > F.col("t_view"))
+    )
+    staged = per_user.withColumn("t_click", t_click).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("purchases", lambda p: p > F.col("t_click"))),
+    )
+    return staged.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+        CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
+      FROM events e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+    "weekly retention cohorts: users grouped by first-activity week, "
+    "counted per week-offset of subsequent activity",
+)
+def retention_cohorts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

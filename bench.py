@@ -47,6 +47,8 @@ HEADLINE = [
     "lang_id_heuristic",
     "token_count_bpeish",
     "asof_click_before_purchase",
+    "conversion_funnel",
+    "retention_cohorts",
     "revenue_rollup_region_nation",
     "chargram_min_fingerprint",
     "json_props_extract",
