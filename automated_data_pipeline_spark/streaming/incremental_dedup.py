@@ -1,0 +1,138 @@
+"""Incremental corpus dedup: a streaming document feed is exact-
+fingerprinted and anti-joined against a persistent fingerprint store,
+so only never-seen-before documents are appended to the curated
+corpus.
+
+This is the streaming counterpart of ``operators/dedup.exact_dedup``:
+batch dedup reprocesses the whole corpus every run; at a 100 TB corpus
+with a trickle of new documents that's the wrong cost model. Here each
+micro-batch pays O(batch + matching-store-partitions):
+
+1. fingerprint the incoming batch (md5 of the normalized text),
+2. dedup within the batch (two docs in one batch may collide),
+3. ``left_anti`` join the batch against the store on fingerprint —
+   the store side is parquet range-read by the join, not scanned into
+   the driver,
+4. append survivors to both the corpus and the store.
+
+``dropDuplicatesWithinWatermark`` can't express this: its state lives
+inside one query's checkpoint and ages out with the watermark, while a
+corpus fingerprint store is forever and shared across queries/engines.
+
+Exactly-once: foreachBatch is at-least-once, so a replayed batch must
+not re-append. Appends are tagged with a deterministic batch key and
+replay is detected by probing the store for that key (same pattern as
+``file_trigger.run_batch_idempotent``).
+
+At cluster scale the store becomes a bucketed table on ``fingerprint``
+(bucket-pruned anti join, no shuffle of the store side); plain parquet
+here keeps the container dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+class FingerprintStore:
+    """Append-only parquet fingerprint set keyed for idempotent
+    micro-batch appends."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [], "fingerprint string, doc_id bigint, batch_key string"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return self._empty(spark)
+
+    def has_batch(self, spark: SparkSession, batch_key: str) -> bool:
+        df = self.read(spark)
+        return bool(df.filter(F.col("batch_key") == batch_key).take(1))
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+
+def dedup_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store: FingerprintStore,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_key: str = "batch-0",
+) -> DataFrame:
+    """One micro-batch of documents -> the novel subset (rows whose
+    normalized fingerprint is in neither the store nor earlier in the
+    batch), with the store updated. Returns the surviving rows with a
+    ``fingerprint`` column. Replays of an already-applied batch_key
+    return an empty frame and leave the store untouched."""
+    if store.has_batch(spark, batch_key):
+        return batch.limit(0).withColumn("fingerprint", F.lit(None).cast("string"))
+    fp = batch.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+    # within-batch dedup: keep the smallest id per fingerprint
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    in_batch = fp.join(w_min, ["fingerprint", id_col], "left_semi")
+    novel = in_batch.join(
+        store.read(spark).select("fingerprint"), "fingerprint", "left_anti"
+    )
+    # localCheckpoint (eager), NOT persist: appending to the store path
+    # below invalidates any cached plan that READS that path
+    # (CacheManager.recacheByPath), so a persisted `novel` would
+    # recompute after the append, see its own fingerprints in the
+    # store, and anti-join itself to empty. Checkpointing truncates the
+    # lineage to a materialized RDD with no file-source dependency.
+    novel = novel.localCheckpoint(eager=True)
+    store.append(
+        novel.select(
+            "fingerprint",
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.lit(batch_key).alias("batch_key"),
+        )
+    )
+    return novel
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    store: FingerprintStore,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id bigint, text string",
+    available_now: bool = True,
+):
+    """Wire the incremental dedup as a file-source stream: every file
+    dropped in ``source_dir`` is a micro-batch; novel docs land in
+    ``out_dir``. Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int):
+        key = f"{checkpoint_dir}#{batch_id}"
+        novel = dedup_batch_against_store(
+            spark, batch_df, store, batch_key=key
+        )
+        novel.drop("fingerprint").write.mode("append").parquet(out_dir)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

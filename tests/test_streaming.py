@@ -293,3 +293,64 @@ def test_batch_replay_is_idempotent(spark, workdir):
     rid3 = run_batch_idempotent(runner, df, 8, "ckpt-A", "Stream-CSV", "P")
     assert rid3 and rid3 != rid1
     assert runner.control.runs(spark).count() == 2
+
+
+def test_incremental_dedup_batches_and_replay(spark, tmp_path):
+    """Three micro-batches through the fingerprint store: within-batch
+    dups collapse, cross-batch dups are anti-joined away, and a
+    replayed batch_key is a no-op (exactly-once append)."""
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore,
+        dedup_batch_against_store,
+    )
+
+    store = FingerprintStore(str(tmp_path / "fp_store"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  BETA!")],
+        "doc_id bigint, text string",
+    )
+    n1 = dedup_batch_against_store(spark, b1, store, batch_key="k1")
+    # doc 3 normalizes to doc 1's fingerprint -> within-batch dup
+    assert sorted(r["doc_id"] for r in n1.collect()) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "epsilon zeta")], "doc_id bigint, text string"
+    )
+    n2 = dedup_batch_against_store(spark, b2, store, batch_key="k2")
+    # doc 4 duplicates the stored corpus -> only 5 is novel
+    assert [r["doc_id"] for r in n2.collect()] == [5]
+
+    replay = dedup_batch_against_store(spark, b2, store, batch_key="k2")
+    assert replay.count() == 0
+    assert store.read(spark).count() == 3  # 1, 2, 5 — replay appended nothing
+
+
+def test_incremental_dedup_stream_end_to_end(spark, tmp_path):
+    """File-source stream -> fingerprint anti-join -> curated output:
+    only first-seen texts reach out_dir, across separate files."""
+    import json
+    import os
+
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore,
+        start_incremental_dedup,
+    )
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    rows1 = [{"doc_id": 1, "text": "one fish"}, {"doc_id": 2, "text": "two fish"}]
+    rows2 = [{"doc_id": 3, "text": "one fish"}, {"doc_id": 4, "text": "red fish"}]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows1))
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows2))
+
+    store = FingerprintStore(str(tmp_path / "fp"))
+    out = str(tmp_path / "curated")
+    q = start_incremental_dedup(
+        spark, src, store, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 4]  # doc 3 is a cross-file duplicate
