@@ -237,18 +237,21 @@ def connected_components(
     actually deduplicates, because near-dup relations chain (A~B, B~C
     with A!~C must still collapse to one survivor).
 
-    Algorithm: hash-min label propagation. Each iteration every vertex
-    takes the min label among itself and its neighbors; converges in
-    O(graph diameter) rounds. Dedup graphs are near-star-shaped
-    (diameter 2-4), so 3-5 rounds close them; ``max_iterations`` bounds
-    pathological chains. Each round is ONE shuffle (groupBy id over
-    vertices + propagated messages); the edge list is re-joined from a
-    persisted symmetric edge table, so per-round cost is |E| shuffle
-    bytes — no all-pairs closure is ever materialized (the DuckDB
-    oracle computes the closure naively; this plan is the 100 TB form;
-    for graphs whose diameter ~ log n, swap in alternating
-    large-star/small-star [Kiveris et al. 2014] — same join/groupBy
-    primitives, fewer rounds).
+    Algorithm: hash-min label propagation with pointer doubling. Each
+    round every vertex (1) takes the min label among itself and its
+    neighbors, then (2) jumps to its label's label (rep(v) <-
+    rep(rep(v))). Step 1 alone converges in O(diameter) rounds — fine
+    for the near-star dedup graphs (diameter 2-4) but a length-k chain
+    of transitive near-dups needs k rounds; the pointer jump squares
+    the propagation distance per round, so convergence is O(log
+    diameter) and ``max_iterations=25`` covers diameters past 10^6
+    (cf. Rastogi et al. 2013 hash-to-min / Kiveris et al. 2014
+    star-contraction — same join/groupBy primitives). Each round is
+    two shuffles (neighbor groupBy + label-table self-join), each
+    |V|+|E|-proportional — no all-pairs closure is ever materialized
+    (the DuckDB oracle computes that closure naively; this plan is the
+    100 TB form). Raises if the graph hasn't converged after
+    ``max_iterations`` rather than returning partial labels.
 
     ``edges`` needs columns (id_a, id_b); ``vertices`` (optional) a
     single id column naming the full vertex set so isolated vertices
@@ -268,14 +271,37 @@ def connected_components(
             .distinct()
             .select("id", F.col("id").alias("rep_id"))
         )
-    labels = labels.persist()
+    # localCheckpoint, not persist: each round's plan references the
+    # previous round's frame ~4x (messages, union, jump, convergence
+    # check), so without lineage TRUNCATION the logical plan grows
+    # 4^rounds and the JVM dies rendering it long before the data is
+    # big. Checkpointing pins each round to a materialized RDD with a
+    # constant-size plan. (On a production cluster prefer reliable
+    # checkpoints — sparkContext.setCheckpointDir + .checkpoint() —
+    # so executor loss doesn't force a full restart.)
+    labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         msgs = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "rep_id")
+        mins = labels.union(msgs).groupBy("id").agg(
+            F.min("rep_id").alias("rep_id")
+        )
+        # pointer doubling: follow the label chain one hop — rep_id is
+        # itself a vertex id (labels always hold every vertex), so its
+        # current label is looked up in the same table
+        jump = mins.select(
+            F.col("id").alias("rep_id"), F.col("rep_id").alias("_rep2")
+        )
         new_labels = (
-            labels.union(msgs).groupBy("id").agg(F.min("rep_id").alias("rep_id"))
-        ).persist()
+            mins.join(jump, "rep_id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_rep2"), F.col("rep_id")).alias("rep_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
         # convergence = no vertex changed its label this round; one
         # cheap aggregate over the joined old/new label tables
         changed = (
@@ -286,11 +312,16 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — pathological graph or max_iterations set too low"
+        )
     return labels
 
 

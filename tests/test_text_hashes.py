@@ -71,3 +71,18 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(edges, vertices=verts).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-vertex path graph: plain min-propagation needs 59 rounds;
+    pointer doubling must close it within the default max_iterations
+    (O(log n) rounds) and label every vertex with the chain head."""
+    from automated_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == n
+    assert all(r["rep_id"] == "v00" for r in got)
