@@ -48,3 +48,47 @@ def capped_sample_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step of a pretraining/RAG pipeline.
+    Returns (id, chunk_id, n_tokens, chunk_text): chunk k covers
+    tokens [1 + k*step, 1 + k*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the final chunk may be short; empty
+    documents yield no chunks.
+
+    Entirely JVM-side array expressions (split -> sequence -> explode
+    -> slice -> join): one narrow pass, no UDF, no shuffle — chunking
+    100 TB is embarrassingly parallel and this plan keeps it that way.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(step)
+    )
+    chunked = (
+        toks.filter(F.col("_n") > 0)
+        .select("id", "_toks", F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            "id",
+            "chunk_id",
+            F.slice("_toks", F.col("_start"), F.lit(chunk_tokens)).alias("_chunk"),
+        )
+    )
+    return chunked.select(
+        "id",
+        "chunk_id",
+        F.size("_chunk").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

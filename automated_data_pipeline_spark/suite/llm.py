@@ -802,3 +802,30 @@ def capped_sample_per_lang(spark, sf_dir):
     return sampling.capped_sample_per_group(
         d, "lang", "doc_id", cap=25
     ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "chunk_documents_64",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    s AS (
+      SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1, 48)) AS start,
+             CAST((unnest(range(1, greatest(len(ws), 1) + 1, 48)) - 1) / 48 AS INT) AS chunk_id
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(ws[start:start+63]) AS n_tokens,
+           array_to_string(ws[start:start+63], ' ') AS chunk_text
+    FROM s
+    """,
+    "context-window chunking: 64-token windows, 16-token overlap "
+    "(step 48), final chunk short, empty docs dropped",
+)
+def chunk_documents_64(spark, sf_dir):
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=64, overlap=16
+    ).withColumnRenamed("id", "doc_id")
