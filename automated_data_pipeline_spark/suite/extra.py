@@ -659,3 +659,68 @@ def small_quantity_parts_revenue(spark, sf_dir):
             ).alias("avg_yearly"),
         )
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "priority_status_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+    "explicit GROUPING SETS with grouping() disambiguation — the "
+    "general form of rollup/cube, via the SQL surface",
+)
+def priority_status_grouping_sets(spark, sf_dir):
+    """Runs through spark.sql: GROUPING SETS has no DataFrame-API
+    equivalent, and the engine exposes the full SQL surface anyway
+    (one partial-agg pass, Expand feeds all three sets from a single
+    scan — no per-set rescan)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "suppliers_high_volume_semi",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 2250
+    )
+    """,
+    "TPC-H Q20 shape: semi-join against an aggregated+filtered "
+    "subquery (suppliers shipping >2250 units in 1997)",
+)
+def suppliers_high_volume_semi(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 2250)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(heavy, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
