@@ -46,6 +46,7 @@ HEADLINE = [
     "text_stats",
     "lang_id_heuristic",
     "token_count_bpeish",
+    "chunk_documents_64",
     "asof_click_before_purchase",
     "conversion_funnel",
     "retention_cohorts",
