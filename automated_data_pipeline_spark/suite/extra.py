@@ -724,3 +724,48 @@ def suppliers_high_volume_semi(spark, sf_dir):
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     return s.join(heavy, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "top_spenders_per_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_name,
+             round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey ASC
+      ) AS rnk
+      FROM rev
+    )
+    SELECT c_nationkey, c_custkey, c_name, revenue, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    "top-k per group: 3 highest-revenue customers per nation "
+    "(deterministic tiebreak on custkey)",
+)
+def top_spenders_per_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
