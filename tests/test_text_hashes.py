@@ -86,3 +86,29 @@ def test_connected_components_long_chain(spark):
     got = connected_components(edges).collect()
     assert len(got) == n
     assert all(r["rep_id"] == "v00" for r in got)
+
+
+def test_chunk_documents_edges(spark):
+    """Short docs yield one short chunk; empty docs vanish; overlap
+    must be smaller than the window."""
+    import pytest
+
+    from automated_data_pipeline_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: 7 tokens, windows at 1,3,5,7 -> 4,4,3,1 tokens
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "c d e f")
+    assert got[(1, 2)] == (3, "e f g")
+    assert got[(1, 3)] == (1, "g")
+    assert got[(2, 0)] == (1, "x")
+    assert not any(k[0] == 3 for k in got)  # whitespace-only doc dropped
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
