@@ -218,3 +218,40 @@ def retention_cohorts(spark, sf_dir):
     return active.groupBy(
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------
+@spec(
+    "value_outliers_by_type",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             percent_rank() OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC
+             ) AS pr
+      FROM events
+    )
+    SELECT event_id, event_type, value, round(pr, 6) AS pr
+    FROM r WHERE pr >= 0.99
+    """,
+    "distribution-free outlier flags: top 1% of value per event type "
+    "via percent_rank (rank arithmetic — exact across engines, unlike "
+    "mean/stddev z-scores whose float sums are order-dependent)",
+)
+def value_outliers_by_type(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return (
+        e.select(
+            "event_id", "event_type", "value",
+            F.percent_rank().over(w).alias("_pr"),
+        )
+        .filter(F.col("_pr") >= 0.99)
+        .select(
+            "event_id", "event_type", "value", F.round("_pr", 6).alias("pr")
+        )
+    )
