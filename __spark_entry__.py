@@ -2,12 +2,12 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: 71 named queries — every implemented operator from
+- ``queries()``: 72 named queries — every implemented operator from
   SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
   coverage matrix in README.md.
-- ``oracle_sql()``: DuckDB twins for 65 of them; the 6 rows-only
+- ``oracle_sql()``: DuckDB twins for 66 of them; the 6 rows-only
   entries (SimHash pairs, RHP-LSH / IVF ANN, mapInPandas featurization)
   are approximate or Python-side by necessity and are instead pinned by
   pytest unit oracles (tests/test_text_hashes.py, tests/test_multimodal.py).
