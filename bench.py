@@ -161,6 +161,55 @@ def bench_stream_tumbling(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
+    """Incremental-dedup throughput: split the documents table into 4
+    json micro-batch files (the 4th repeats the 1st — a full-batch
+    duplicate), stream them through the fingerprint store, assert the
+    curated output holds exactly the distinct-fingerprint corpus."""
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore,
+        start_incremental_dedup,
+    )
+    from automated_data_pipeline_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="adp-bench-incdedup-")
+    src = os.path.join(work, "in")
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        # the file-stream source doesn't recurse into part-file dirs;
+        # write then hoist the single part file to a flat name
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    _write_flat(parts[0], "b3.json")
+    store = FingerprintStore(os.path.join(work, "fp"))
+    out = os.path.join(work, "curated")
+    t0 = time.time()
+    q = start_incremental_dedup(
+        spark, src, store, out, os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    n_out = spark.read.parquet(out).count()
+    n_distinct = (
+        docs.select(TX.fingerprint(F.col("text")).alias("f")).distinct().count()
+    )
+    assert n_out == n_distinct, f"incremental dedup: {n_out} != {n_distinct}"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def main():
     from automated_data_pipeline_spark.session import get_spark
     from automated_data_pipeline_spark.suite import all_specs
@@ -178,6 +227,7 @@ def main():
 
     timings.update(bench_pipelines(spark))
     timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
+    timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
