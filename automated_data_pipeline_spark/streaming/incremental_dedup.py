@@ -20,9 +20,18 @@ inside one query's checkpoint and ages out with the watermark, while a
 corpus fingerprint store is forever and shared across queries/engines.
 
 Exactly-once: foreachBatch is at-least-once, so a replayed batch must
-not re-append. Appends are tagged with a deterministic batch key and
-replay is detected by probing the store for that key (same pattern as
-``file_trigger.run_batch_idempotent``).
+not re-append — and must not *lose* rows either. Appends are tagged
+with a deterministic batch key; on replay the batch's survivors are
+re-derived from the store (not recomputed via the anti join, which
+would now see the batch's own fingerprints and return empty), and the
+corpus append is independently idempotent on the same key. A crash at
+any point therefore converges on replay:
+
+* before the store append — everything recomputes from scratch;
+* between store append and corpus append — survivors are re-derived
+  from the store rows tagged with this key and the corpus append runs;
+* between corpus append and the checkpoint commit — both probes hit
+  and the replay is a no-op.
 
 At cluster scale the store becomes a bucketed table on ``fingerprint``
 (bucket-pruned anti join, no shuffle of the store side); plain parquet
@@ -39,6 +48,20 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def _has_parquet(path: str) -> bool:
+    """True iff ``path`` contains at least one parquet part file.
+    Cheap driver-side probe so empty/missing dirs don't go through
+    spark.read (which logs a JVM AnalysisException even when the
+    Python caller catches it)."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
 class FingerprintStore:
     """Append-only parquet fingerprint set keyed for idempotent
     micro-batch appends."""
@@ -53,10 +76,9 @@ class FingerprintStore:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        try:
-            return spark.read.parquet(self.path)
-        except Exception:
+        if not _has_parquet(self.path):
             return self._empty(spark)
+        return spark.read.parquet(self.path)
 
     def has_batch(self, spark: SparkSession, batch_key: str) -> bool:
         df = self.read(spark)
@@ -78,10 +100,20 @@ def dedup_batch_against_store(
     normalized fingerprint is in neither the store nor earlier in the
     batch), with the store updated. Returns the surviving rows with a
     ``fingerprint`` column. Replays of an already-applied batch_key
-    return an empty frame and leave the store untouched."""
-    if store.has_batch(spark, batch_key):
-        return batch.limit(0).withColumn("fingerprint", F.lit(None).cast("string"))
+    leave the store untouched and RE-DERIVE the same survivor rows from
+    the store (so a caller whose downstream write crashed can retry
+    it — returning empty here would permanently drop the batch's novel
+    documents from the corpus)."""
     fp = batch.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+    if store.has_batch(spark, batch_key):
+        mine = (
+            store.read(spark)
+            .filter(F.col("batch_key") == batch_key)
+            .select("fingerprint", F.col("doc_id").alias(id_col))
+        )
+        return fp.join(mine, ["fingerprint", id_col], "left_semi").localCheckpoint(
+            eager=True
+        )
     # within-batch dedup: keep the smallest id per fingerprint
     w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     in_batch = fp.join(w_min, ["fingerprint", id_col], "left_semi")
@@ -123,7 +155,22 @@ def start_incremental_dedup(
         novel = dedup_batch_against_store(
             spark, batch_df, store, batch_key=key
         )
-        novel.drop("fingerprint").write.mode("append").parquet(out_dir)
+        # Idempotent corpus append: rows carry the batch key, and a
+        # replay whose corpus write already landed is detected the same
+        # way store replays are. parquet min/max stats on batch_key make
+        # the probe a footer-only read at scale.
+        done = _has_parquet(out_dir) and bool(
+            spark.read.parquet(out_dir)
+            .filter(F.col("batch_key") == key)
+            .take(1)
+        )
+        if not done:
+            (
+                novel.drop("fingerprint")
+                .withColumn("batch_key", F.lit(key))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
 
     reader = (
         spark.readStream.schema(schema)

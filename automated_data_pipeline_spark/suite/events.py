@@ -89,8 +89,8 @@ def sliding_window_counts(spark, sf_dir):
       FROM events
     ), s AS (
       SELECT user_id, ts, event_id,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events,

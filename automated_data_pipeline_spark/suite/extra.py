@@ -102,7 +102,7 @@ _BANDS_SQL = " UNION ALL ".join(
     WITH bands AS ({_BANDS_SQL})
     SELECT b.band,
            count(*) AS n_items,
-           round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS total_price
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM lineitem l JOIN bands b
       ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
     GROUP BY b.band
@@ -116,7 +116,7 @@ def range_join_price_bands(spark, sf_dir):
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
     )
 
@@ -128,7 +128,7 @@ def range_join_price_bands(spark, sf_dir):
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
            count(*) AS n_orders,
-           round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -157,7 +157,7 @@ def revenue_rollup_region_nation(spark, sf_dir):
         F.grouping("nation_name").cast("long").alias("g_nation"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -170,7 +170,7 @@ def revenue_rollup_region_nation(spark, sf_dir):
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_orderpriority) AS g_priority,
            count(*) AS n_orders,
-           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -183,7 +183,7 @@ def cube_status_priority(spark, sf_dir):
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -307,7 +307,7 @@ def segments_except(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
@@ -330,7 +330,7 @@ def json_props_extract(spark, sf_dir):
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     "distinct aggregation per group",
@@ -341,7 +341,7 @@ def distinct_users_per_type(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_value"),
     )
 
@@ -386,7 +386,7 @@ _CYCLE_SQL = "[" + ", ".join(str(a) for a in AMOUNT_CYCLE) + "]"
                 WHEN amount < 200 THEN 'Medium'
                 ELSE 'High' END AS amount_category,
            count(*) AS n,
-           round(sum(CAST(amount AS DECIMAL(18,2))), 2) AS total
+           CAST(round(sum(CAST(amount AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM gen GROUP BY 1
     """,
     "S11 synthetic generator parity: deterministic cycle -> F6 bucketing",
@@ -402,7 +402,7 @@ def synthetic_orders_category_agg(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("a").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
     )
@@ -413,7 +413,7 @@ def synthetic_orders_category_agg(spark, sf_dir):
     "shipping_priority_top10",
     """
     SELECT l.l_orderkey,
-           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -443,7 +443,7 @@ def shipping_priority_top10(spark, sf_dir):
                 ),
                 2,
             )
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue")
         )
         .select(
@@ -461,7 +461,7 @@ def shipping_priority_top10(spark, sf_dir):
     "returned_revenue_by_customer",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -494,7 +494,7 @@ def returned_revenue_by_customer(spark, sf_dir):
                 ),
                 2,
             )
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -669,7 +669,7 @@ def small_quantity_parts_revenue(spark, sf_dir):
            CAST(grouping(o_orderpriority) AS INT) AS g_priority,
            CAST(grouping(o_orderstatus) AS INT) AS g_status,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus))
@@ -689,7 +689,7 @@ def priority_status_grouping_sets(spark, sf_dir):
                CAST(grouping(o_orderpriority) AS INT) AS g_priority,
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                count(*) AS n,
-               round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
         FROM orders_gsets
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus))
@@ -732,7 +732,7 @@ def suppliers_high_volume_semi(spark, sf_dir):
     """
     WITH rev AS (
       SELECT c.c_nationkey, c.c_custkey, c.c_name,
-             round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2, 3
     ),
@@ -757,9 +757,9 @@ def top_spenders_per_nation(spark, sf_dir):
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue")
         )
     )
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -776,7 +776,7 @@ def top_spenders_per_nation(spark, sf_dir):
     "local_supplier_revenue_by_nation",
     """
     SELECT n.n_name,
-           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -822,6 +822,8 @@ def local_supplier_revenue_by_nation(spark, sf_dir):
                     )
                 ),
                 2,
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )

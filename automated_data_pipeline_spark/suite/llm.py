@@ -465,7 +465,17 @@ def multimodal_feature_extract(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     media = multimodal.attach_fake_payload(d, "doc_id", "text")
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    # Gate output must be scalar-only: the driver's comparator sorts/hashes
+    # column values and cannot handle array cells — serialize the vector.
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "payload_sha",
+        F.to_json(F.col("feature")).alias("feature_json"),
+        "decode_ok",
+    )
 
 
 # --------------------------------------------------------------------

@@ -320,8 +320,11 @@ def test_incremental_dedup_batches_and_replay(spark, tmp_path):
     # doc 4 duplicates the stored corpus -> only 5 is novel
     assert [r["doc_id"] for r in n2.collect()] == [5]
 
+    # Replay re-derives the SAME survivors from the store (so a caller
+    # whose downstream corpus write crashed can retry it) but appends
+    # nothing new to the store.
     replay = dedup_batch_against_store(spark, b2, store, batch_key="k2")
-    assert replay.count() == 0
+    assert [r["doc_id"] for r in replay.collect()] == [5]
     assert store.read(spark).count() == 3  # 1, 2, 5 — replay appended nothing
 
 

@@ -2,7 +2,13 @@
 on Spark and its DuckDB oracle side-by-side, compare row count, column
 names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--strict] [sf_dir] [query ...]
+
+``--strict`` mimics the driver's comparator instead of the default
+float-tolerant one: every cell is canonicalized with str() — so a
+Spark DECIMAL '363566.20' vs a DuckDB DOUBLE 363566.2 FAILS, as do
+int64-vs-float64 (bigint vs HUGEINT) drifts that float coercion hides.
+Run strict before claiming a query done; the driver gate is strict.
 """
 
 from __future__ import annotations
@@ -49,7 +55,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def _dtype_kind(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    return "object"
+
+
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    strict: bool = False,
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -58,6 +82,37 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
     if problems:
+        return problems
+    if strict:
+        # Driver-equivalent: canonicalize every cell to str and compare
+        # exactly. Dtype drift (Decimal vs float, int64 vs HUGEINT→
+        # float64) surfaces as value diffs like '1.20' vs '1.2'.
+        for c in sc:
+            sk = _dtype_kind(spark_pdf[c].dtype)
+            dk = _dtype_kind(duck_pdf[c].dtype)
+            # object-vs-datetime is fine (Spark dates arrive as
+            # datetime.date objects; _canon strings them identically);
+            # numeric-kind drift is the real gate killer.
+            if sk != dk and not {sk, dk} <= {"object", "datetime"}:
+                problems.append(f"col {c}: dtype kind spark={sk}({spark_pdf[c].dtype}) duck={dk}({duck_pdf[c].dtype})")
+        s = spark_pdf.copy().reindex(sc, axis=1)
+        d = duck_pdf.copy().reindex(sc, axis=1)
+        for frame in (s, d):
+            for c in frame.columns:
+                if str(frame[c].dtype).startswith("datetime64") and getattr(frame[c].dt, "tz", None) is not None:
+                    frame[c] = frame[c].dt.tz_localize(None)
+                frame[c] = frame[c].map(_canon)
+        s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
+        d = d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
+        for c in s.columns:
+            sv2 = s[c].to_numpy()
+            dv2 = d[c].to_numpy()
+            if not (sv2 == dv2).all():
+                bad = int((sv2 != dv2).sum())
+                ex_i = int(np.argmax(sv2 != dv2))
+                problems.append(
+                    f"col {c}: {bad} strict diffs e.g. row{ex_i} spark={sv2[ex_i]!r} duck={dv2[ex_i]!r}"
+                )
         return problems
     s, d = normalize(spark_pdf.copy()), normalize(duck_pdf.copy())
     for c in s.columns:
@@ -84,8 +139,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from automated_data_pipeline_spark.session import get_spark
     from automated_data_pipeline_spark.suite import all_specs
@@ -120,7 +179,7 @@ def main():
             print(f"FAIL  {s.name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
-        problems = compare(s.name, spdf, dpdf)
+        problems = compare(s.name, spdf, dpdf, strict=strict)
         if problems:
             print(f"FAIL  {s.name}: " + "; ".join(problems))
             n_fail += 1
