@@ -7,10 +7,14 @@
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
   coverage matrix in README.md.
-- ``oracle_sql()``: DuckDB twins for 66 of them; the 6 rows-only
-  entries (SimHash pairs, RHP-LSH / IVF ANN, mapInPandas featurization)
-  are approximate or Python-side by necessity and are instead pinned by
-  pytest unit oracles (tests/test_text_hashes.py, tests/test_multimodal.py).
+- ``oracle_sql()``: DuckDB twins for 69 of them — including the SimHash
+  band join (pigeonhole-exact vs the quadratic spec) and the RHP-LSH
+  queries (deterministic md5-derived hyperplanes re-derived in SQL).
+  The 3 rows-only entries (IVF ANN: k-means quantizer; mapInPandas
+  featurization: Python-side byte math; approx aggregates: HLL++/
+  t-digest) are non-SQL-expressible by construction and are pinned by
+  pytest unit oracles instead (tests/test_text_hashes.py,
+  tests/test_multimodal.py, tests/test_scale_plans.py).
 """
 
 from __future__ import annotations

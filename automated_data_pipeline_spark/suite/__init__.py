@@ -62,7 +62,7 @@ GATE_PRIORITY = [
     "token_count_bpeish",
     "knn_cosine_bruteforce",
     "embedding_near_dup_brute",
-    "ann_ivf_topk",
+    "ann_rhp_lsh",
     "multimodal_feature_extract",
     "multimodal_binary_meta",
     "train_val_test_split",

@@ -200,12 +200,39 @@ def dedup_clusters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# SimHash near-dup: no SQL oracle (64 nested bit-aggregations make the
-# SQL twin unreadable); rows-only driver check + pytest unit oracle.
+# SimHash oracle: the rotation-bucket join is pigeonhole-EXACT for
+# max_hamming=3 (<=3 differing bits cannot straddle all four disjoint
+# 15-bit blocks), so the quadratic all-pairs spec is a true oracle —
+# same pattern as dedup_jaccard_pairs' naive-spec oracle.
 @spec(
     "dedup_simhash",
-    None,
-    "SimHash-64 rotations bucket join, hamming <= 3",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    bitsum AS (
+      SELECT t.doc_id, b.j,
+             sum(CASE WHEN (CAST(('0x' || substr(md5('sim:' || t.tok), 1, 15)) AS BIGINT) >> b.j) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks t, (SELECT unnest(range(60)) AS j) b
+      GROUP BY t.doc_id, b.j
+    ),
+    packed AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    ),
+    sig AS (  -- zero-token docs still carry signature 0
+      SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "SimHash-60 rotations bucket join, hamming <= 3 (oracle = the "
+    "quadratic specification; the banded plan is provably equivalent)",
 )
 def dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -353,6 +380,23 @@ def token_count_bpeish(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+def _rhp_planes_sql(dim: int = 64, n_planes: int = 6, seed: str = "rhp") -> str:
+    """The RHP hyperplanes as a SQL literal table: exactly the values
+    similarity._hyperplane folds into the Spark plan, so bucket bits
+    reproduce bit-for-bit across engines."""
+    from ..functions.text import stable_hash64_py
+
+    rows = []
+    for p in range(n_planes):
+        vals = [
+            (stable_hash64_py(f"{seed}:{p}:{i}") % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+        rows.append(f"SELECT {p} AS p, CAST({lit} AS DOUBLE[]) AS plane")
+    return " UNION ALL ".join(rows)
+
+
 _COSINE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
     pairs AS (
@@ -419,12 +463,42 @@ def embedding_near_dup_brute(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# ANN via random-hyperplane LSH: approximate by construction, so no SQL
-# oracle — rows-only check; recall is unit-tested against brute force.
+# ANN via random-hyperplane LSH: approximate vs brute force, but fully
+# deterministic given the md5-derived hyperplanes — so the oracle
+# re-derives the buckets (same literals, same left-to-right double
+# accumulation) and ranks the same same-bucket candidates.
 @spec(
     "ann_rhp_lsh",
-    None,
-    "approximate top-5 via random-hyperplane LSH buckets",
+    f"""
+    WITH planes AS ({_rhp_planes_sql()}),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+        CAST(sum(CASE WHEN list_reduce(
+               list_transform(range(1, 65),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i]),
+               (a, b) -> a + b) > 0
+             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+        round(
+          (SELECT sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))
+          / (sqrt((SELECT sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+           * sqrt((SELECT sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 3
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "approximate top-5 via random-hyperplane LSH buckets; oracle "
+    "re-derives the deterministic buckets in SQL",
 )
 def ann_rhp_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
@@ -633,12 +707,39 @@ def repeated_ngram_ratio(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# LSH-bucketed near-dup (the scale path of embedding_near_dup_brute):
-# approximate candidate generation -> rows-only.
+# LSH-bucketed near-dup (the scale path of embedding_near_dup_brute).
+# The hyperplanes are deterministic md5-derived literals, so the
+# bucketing is fully reproducible in SQL: the oracle re-derives the
+# same 6 sign bits (list_reduce = Spark aggregate's left-to-right
+# double accumulation) and the same candidate join — an exact twin,
+# not just a spec.
 @spec(
     "embedding_near_dup_lsh",
-    None,
-    "near-dup pairs cosine >= 0.3 via RHP-LSH buckets (scale path)",
+    f"""
+    WITH planes AS ({_rhp_planes_sql()}),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+        CAST(sum(CASE WHEN list_reduce(
+               list_transform(range(1, 65),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i]),
+               (a, b) -> a + b) > 0
+             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(
+        (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))
+        / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+         * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) AS cosine
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(
+        (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))
+        / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+         * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) >= 0.3
+    """,
+    "near-dup pairs cosine >= 0.3 via RHP-LSH buckets (scale path); "
+    "oracle re-derives the deterministic hyperplane buckets in SQL",
 )
 def embedding_near_dup_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
