@@ -280,6 +280,18 @@ def connected_components(
     # checkpoints — sparkContext.setCheckpointDir + .checkpoint() —
     # so executor loss doesn't force a full restart.)
     labels = labels.localCheckpoint(eager=True)
+    # Cheap convergence probe: an order-independent hash sum of the
+    # (id, rep_id) table — one narrow scan of the already-checkpointed
+    # frame per round, instead of an old-vs-new shuffle join per round.
+    # The probe only *triggers* the exact join check (run once, when
+    # the signature stops moving), so a hash collision can never cause
+    # an early stop with unconverged labels. Works for any id type.
+    def _sig(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.xxhash64("id", "rep_id").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sig = _sig(labels)
     converged = False
     for _ in range(max_iterations):
         msgs = sym.join(
@@ -302,20 +314,22 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # convergence = no vertex changed its label this round; one
-        # cheap aggregate over the joined old/new label tables
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("rep_id", "_old"), "id"
+        sig = _sig(new_labels)
+        if sig == prev_sig:
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("rep_id", "_old"), "id"
+                )
+                .filter(F.col("rep_id") != F.col("_old"))
+                .limit(1)
+                .count()
             )
-            .filter(F.col("rep_id") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
+        prev_sig = sig
         labels = new_labels
-        if changed == 0:
-            converged = True
-            break
     sym.unpersist()
     if not converged:
         raise RuntimeError(

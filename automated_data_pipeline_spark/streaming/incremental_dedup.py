@@ -95,6 +95,7 @@ def dedup_batch_against_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_key: str = "batch-0",
+    assume_fresh: bool = False,
 ) -> DataFrame:
     """One micro-batch of documents -> the novel subset (rows whose
     normalized fingerprint is in neither the store nor earlier in the
@@ -103,9 +104,14 @@ def dedup_batch_against_store(
     leave the store untouched and RE-DERIVE the same survivor rows from
     the store (so a caller whose downstream write crashed can retry
     it — returning empty here would permanently drop the batch's novel
-    documents from the corpus)."""
+    documents from the corpus).
+
+    ``assume_fresh=True`` skips the replay probe: foreachBatch can only
+    replay the FIRST batch after a (re)start — later batches in the
+    same run were never attempted before — so steady-state batches
+    need not pay the probe job."""
     fp = batch.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
-    if store.has_batch(spark, batch_key):
+    if not assume_fresh and store.has_batch(spark, batch_key):
         mine = (
             store.read(spark)
             .filter(F.col("batch_key") == batch_key)
@@ -150,16 +156,21 @@ def start_incremental_dedup(
     dropped in ``source_dir`` is a micro-batch; novel docs land in
     ``out_dir``. Returns the started StreamingQuery."""
 
+    # Only the first batch after a (re)start can be a replay of a
+    # crashed attempt; steady-state batches skip both probe jobs.
+    maybe_replay = [True]
+
     def process(batch_df: DataFrame, batch_id: int):
         key = f"{checkpoint_dir}#{batch_id}"
         novel = dedup_batch_against_store(
-            spark, batch_df, store, batch_key=key
+            spark, batch_df, store, batch_key=key,
+            assume_fresh=not maybe_replay[0],
         )
         # Idempotent corpus append: rows carry the batch key, and a
         # replay whose corpus write already landed is detected the same
         # way store replays are. parquet min/max stats on batch_key make
         # the probe a footer-only read at scale.
-        done = _has_parquet(out_dir) and bool(
+        done = maybe_replay[0] and _has_parquet(out_dir) and bool(
             spark.read.parquet(out_dir)
             .filter(F.col("batch_key") == key)
             .take(1)
@@ -171,6 +182,7 @@ def start_incremental_dedup(
                 .write.mode("append")
                 .parquet(out_dir)
             )
+        maybe_replay[0] = False
 
     reader = (
         spark.readStream.schema(schema)
