@@ -45,6 +45,68 @@ def exact_dedup(
     )
 
 
+def ngram_hashes(text_col, n: int, seed: str = "ngram"):
+    """Distinct hashed word n-grams of a text column, as array<bigint>.
+    Empty array when the document has fewer than n tokens."""
+    toks = TX.tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: TX.stable_hash64(
+                    F.array_join(F.slice(toks, i, n), " "), seed
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with an eval/benchmark set, so test data cannot
+    leak into the training corpus. Returns every input doc with
+    ``n_hits`` (distinct overlapping n-grams) and ``contaminated``.
+
+    Plan: benchmark n-grams are distinct-hashed and BROADCAST (eval
+    sets are tiny next to a training corpus); each doc's n-gram array
+    is exploded and semi-aggregated against them — the corpus side
+    never shuffles on text, only the per-doc hit counts do. At 100 TB
+    the corpus scan stays embarrassingly parallel; the broadcast is
+    bounded by the benchmark size, not the corpus.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "gram", "inner")
+        .groupBy("id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def shingle_frame(
     df: DataFrame,
     id_col: str,

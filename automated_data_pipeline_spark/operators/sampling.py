@@ -50,6 +50,95 @@ def capped_sample_per_group(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling — the "data mixing" step that trains
+    on domain d for ``weights[d]`` epochs: every row of a domain
+    appears floor(w) times, plus one more with probability frac(w),
+    drawn from the stable hash of its id. Deterministic (no RNG state),
+    so the mixture is reproducible run-to-run and auditable row-by-row.
+
+    Returns the input rows with a ``copy`` column (1..n_copies); rows
+    whose draw lands on 0 copies are dropped. The weight lookup is a
+    literal CASE folded into codegen; the replication is an
+    explode(sequence) — a narrow pass, no shuffle, no driver loop.
+    """
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == k, F.lit(float(v))).otherwise(w)
+    unit = (
+        TX.stable_hash64(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+        % 1_000_000
+    ) / 1_000_000.0
+    copies = (
+        F.floor(w).cast("int")
+        + F.when(unit < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 128,
+    n_shards: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic hash order and split the token stream into
+    fixed-``budget`` windows, reporting for each document the token
+    span it occupies and the first/last pack it lands in (a document
+    straddles a boundary when pack_first != pack_last).
+
+    Scale shape: one shuffle on ``shard`` (hash-assigned), then a
+    per-shard cumulative-sum window. Each shard packs independently —
+    a single global ordering would serialize 100 TB through one
+    reducer, so the shard count is the parallelism knob (packing
+    quality is unaffected: windows never span shards).
+    """
+    toks = TX.tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    h = TX.stable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+    )
+    base = base.withColumn("shard", (h % n_shards).cast("int")).withColumn(
+        "_h", h
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.withColumn("tok_end", F.sum("n_tokens").over(w)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    return out.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.floor(F.col("tok_start") / budget).cast("bigint").alias("pack_first"),
+        F.floor((F.col("tok_end") - 1) / budget).cast("bigint").alias("pack_last"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

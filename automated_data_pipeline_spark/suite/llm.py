@@ -940,3 +940,98 @@ def chunk_documents_64(spark, sf_dir):
     return sampling.chunk_documents(
         d, "doc_id", "text", chunk_tokens=64, overlap=16
     ).withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "mixture_sample_by_lang",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+        CASE WHEN lang = 'en' THEN 2.5 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END AS wt,
+        (CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) / 1000000.0 AS unit
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+        CAST(floor(wt) AS INT)
+          + CASE WHEN unit < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+      FROM w
+    )
+    SELECT c.doc_id, c.lang, CAST(t.copy AS INT) AS copy
+    FROM c, UNNEST(range(1, copies + 1)) AS t(copy)
+    WHERE copies >= 1
+    """,
+    "domain-mixture resampling: en x2.5 epochs, de x0.5, rest x1 — "
+    "floor(w) copies plus a frac(w)-probability extra, hash-drawn",
+)
+def mixture_sample_by_lang(spark, sf_dir):
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d, "lang", "doc_id", weights={"en": 2.5, "de": 0.5}
+    )
+    return out.select("doc_id", "lang", "copy")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "pack_sequences_128",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, {{words}} AS ws FROM documents)
+      WHERE len(ws) > 0
+    )
+    SELECT CAST(h % 8 AS INT) AS shard, doc_id, n_tokens,
+      CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_start,
+      CAST(sum(n_tokens) OVER w AS BIGINT) AS tok_end,
+      CAST(floor((sum(n_tokens) OVER w - n_tokens) / 128) AS BIGINT) AS pack_first,
+      CAST(floor((sum(n_tokens) OVER w - 1) / 128) AS BIGINT) AS pack_last
+    FROM t
+    WINDOW w AS (PARTITION BY h % 8 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.format(words=_WORDS_SQL),
+    "GPT-style sequence packing: 8 hash shards, per-shard token "
+    "cumsum split into 128-token packs; straddles visible as "
+    "pack_first != pack_last",
+)
+def pack_sequences_128(spark, sf_dir):
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        d, "doc_id", "text", budget=128, n_shards=8
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "decontaminate_vs_holdout",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> CAST(('0x' || substr(md5('ngram:' || array_to_string(ws[i:i+2], ' ')), 1, 15)) AS BIGINT)))) AS gram
+      FROM w WHERE len(ws) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+      FROM g JOIN bench USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits > 0, FALSE) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "benchmark decontamination: flag docs sharing any word trigram "
+    "with the holdout set (doc_id % 20 = 0), broadcast semi-aggregate",
+)
+def decontaminate_vs_holdout(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(d, bench, "doc_id", "text", n=3)
