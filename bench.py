@@ -47,6 +47,9 @@ HEADLINE = [
     "lang_id_heuristic",
     "token_count_bpeish",
     "chunk_documents_64",
+    "mixture_sample_by_lang",
+    "pack_sequences_128",
+    "decontaminate_vs_holdout",
     "asof_click_before_purchase",
     "conversion_funnel",
     "retention_cohorts",
