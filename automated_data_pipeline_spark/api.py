@@ -24,6 +24,35 @@ MAX_RUNS = 100  # server.js:57
 DEFAULT_LOG_LIMIT = 500  # server.js:158
 MAX_LOG_LIMIT = 2000
 
+# S9 upload validation limits: .csv/.json whitelist and the Node-side
+# 10 MB multer cap (python_code/api/server.js:23-31); the Java servlet
+# allows 100 MB (ApiServlet.java:605) — callers pass max_bytes for that.
+UPLOAD_ALLOWED_EXTENSIONS = (".csv", ".json")
+UPLOAD_MAX_BYTES = 10 * 1024 * 1024
+
+
+def validate_upload(
+    filename: str,
+    size_bytes: int,
+    max_bytes: int = UPLOAD_MAX_BYTES,
+) -> None:
+    """Reject an upload the way the reference's trigger endpoint does:
+    non-CSV/JSON extensions and oversize files raise ValueError before
+    any pipeline run is created (server.js fileFilter + limits;
+    ApiServlet sizeMax). Driver-side by design — validation happens at
+    the API boundary, not in the dataflow."""
+    import os as _os
+
+    ext = _os.path.splitext(filename)[1].lower()
+    if ext not in UPLOAD_ALLOWED_EXTENSIONS:
+        raise ValueError(
+            f"only CSV and JSON files are allowed (got {ext or 'no extension'!r})"
+        )
+    if size_bytes > max_bytes:
+        raise ValueError(
+            f"file too large: {size_bytes} bytes > {max_bytes} byte cap"
+        )
+
 
 def with_run_number_fallback(runs: DataFrame) -> DataFrame:
     """A5: synthesize run_number when missing — oldest run is #1

@@ -167,3 +167,20 @@ def test_cancelled_run_id_can_be_retried(spark, workdir):
         runner.control.runs(spark).filter(F.col("run_id") == rid).first()["status"]
         == "Success"
     )
+
+
+def test_validate_upload_whitelist_and_cap():
+    import pytest
+
+    from automated_data_pipeline_spark import api
+
+    api.validate_upload("orders.csv", 1024)
+    api.validate_upload("orders.JSON", 1024)  # case-insensitive like the reference
+    with pytest.raises(ValueError, match="only CSV and JSON"):
+        api.validate_upload("orders.xlsx", 10)
+    with pytest.raises(ValueError, match="only CSV and JSON"):
+        api.validate_upload("orders", 10)
+    with pytest.raises(ValueError, match="too large"):
+        api.validate_upload("orders.csv", api.UPLOAD_MAX_BYTES + 1)
+    # Java servlet's larger cap is a parameter, not a fork
+    api.validate_upload("orders.csv", 50 * 1024 * 1024, max_bytes=100 * 1024 * 1024)
