@@ -202,3 +202,33 @@ def test_cluster_write_rowgroup_pruning(spark, tmp_path):
         assert hi - lo < domain / len(ranges) * 1.5
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next > hi_prev
+
+
+def test_training_ops_plan_shapes(spark):
+    """The round-2 training-data ops keep their scale contracts:
+    mixture resampling is a narrow pass (zero exchanges), sequence
+    packing shuffles exactly once (on the shard key), decontamination
+    broadcasts the benchmark side and never shuffles raw corpus text."""
+    import os
+
+    from automated_data_pipeline_spark.operators import dedup, sampling
+    from automated_data_pipeline_spark.plans.bucketing import plan_has_shuffle
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    mix = sampling.mixture_sample(docs, "lang", "doc_id", {"en": 2.0})
+    assert not plan_has_shuffle(mix)
+
+    packed = sampling.pack_sequences(docs, "doc_id", "text", budget=64)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    deconta = dedup.decontaminate(docs, bench, n=3)
+    deconta.count()  # AQE-finalize
+    plan = deconta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges carry (id, gram) hit counts, never text
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
