@@ -89,8 +89,13 @@ def all_specs() -> list[QuerySpec]:
     tail = [s for s in specs if s.name not in prio]
     # parity + events stay at the very front (they are the reference's
     # own operator inventory), then the prioritized extensions, then
-    # everything else in declaration order.
-    front_names = {s.name for s in parity.SPECS + events.SPECS}
+    # everything else in declaration order. Extension queries that
+    # happen to live in events.py but aren't part of the curated gate
+    # window are demoted explicitly.
+    demoted = {"gap_fill_hourly_locf"}
+    front_names = {
+        s.name for s in parity.SPECS + events.SPECS if s.name not in demoted
+    }
     front = [s for s in tail if s.name in front_names]
     rest = [s for s in tail if s.name not in front_names]
     return front + head + rest

@@ -255,3 +255,85 @@ def value_outliers_by_type(spark, sf_dir):
             "event_id", "event_type", "value", F.round("_pr", 6).alias("pr")
         )
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "gap_fill_hourly_locf",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    slots AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      FROM types t CROSS JOIN bounds b
+    ),
+    j AS (
+      SELECT s.event_type, s.h, coalesce(hh.n, 0) AS n,
+             CASE WHEN hh.n IS NOT NULL THEN round(hh.sv / hh.n, 4) END AS avg_v
+      FROM slots s LEFT JOIN hourly hh
+        ON hh.h = s.h AND hh.event_type = s.event_type
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(n AS BIGINT) AS n,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM j
+    """,
+    "time-series densification: complete hourly grid per event type "
+    "(explode a sequence over the global bounds), zero-filled counts, "
+    "last-observation-carried-forward hourly average",
+)
+def gap_fill_hourly_locf(spark, sf_dir):
+    """Gap filling is the op dashboards/forecasters need before any
+    rolling computation: missing hours must exist as rows. The grid is
+    tiny relative to the fact table (|types| x |hours|), so it is
+    generated with sequence+explode and the fact side joins to it —
+    the events scan stays a single aggregation pass; no Python, no
+    driver loop. LOCF = last(ignorenulls) over an ordered window."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    slots = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = slots.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(
+            F.col("n").isNotNull(), F.round(F.col("sv") / F.col("n"), 4)
+        ).alias("avg_v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
+    )
