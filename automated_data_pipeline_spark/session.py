@@ -29,6 +29,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet TIMESTAMP(MICROS) (driver fixtures) should read
+        # as regular TIMESTAMP, not TIMESTAMP_NTZ — value-identical under
+        # UTC and keeps one timestamp type across the engine
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # zstd: ~30-40% smaller parquet than snappy at comparable CPU —
         # at 100 TB the scan is IO-bound, so smaller bytes win twice
@@ -50,4 +54,5 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     engines (used by ``__spark_entry__`` queries, which receive the
     driver's session rather than ours)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -34,11 +34,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # timestamp (integer div — double division would lose precision on
     # ns-epoch magnitudes).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are tz-less parquet TIMESTAMP(MICROS); Spark 4
+    # infers those as TIMESTAMP_NTZ, which rejects unix_millis/double
+    # casts. With the session tz pinned to UTC, reading them as regular
+    # (LTZ) TIMESTAMP is value-identical and keeps the whole suite on
+    # one timestamp type.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive: if the conf was ignored (older cached reader), cast any
+    # NTZ columns back to TIMESTAMP explicitly.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
