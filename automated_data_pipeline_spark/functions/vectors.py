@@ -39,6 +39,33 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
+def int8_scale(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization scale: max(|v_i|) / 127.
+    Zero vectors get scale 0 (quantize maps them to all-zeros)."""
+    absmax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return absmax / F.lit(127.0)
+
+
+def int8_quantize(a: Column) -> Column:
+    """Quantize array<float> -> array<int>: round(v / scale) clamped to
+    [-127, 127]. Round-half-away-from-zero on the double ratio — the
+    same rule DuckDB's round() uses, so the oracle reproduces the exact
+    integer codes. Dequantization error is bounded by scale/2 per dim.
+    This is the storage/IO form for ANN at scale: 4x smaller embedding
+    bytes (and SIMD-friendly int dot products) at <1% recall loss for
+    typical corpora."""
+    s = int8_scale(a)
+    return F.when(s == 0, F.transform(a, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            a,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x.cast("double") / s, 0).cast("int")),
+            ),
+        )
+    )
+
+
 def cosine_pandas_udf(dim_hint: int | None = None):
     """Arrow-batched cosine for WIDE vectors: the expression path
     (zip_with+aggregate) evaluates per element inside codegen, fine at

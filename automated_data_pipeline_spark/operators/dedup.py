@@ -550,6 +550,90 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Asymmetric containment dedup: emits (id_small, id_big,
+    containment) where containment = |A∩B| / min(|A|,|B|) >= threshold —
+    the smaller document's shingles are (nearly) a subset of the
+    larger's. Catches quote-inclusion / boilerplate-wrapping near-dups
+    that symmetric Jaccard misses: a 50-shingle doc embedded verbatim
+    in a 500-shingle doc has jaccard ~0.1 but containment 1.0.
+
+    Candidates come from the same MinHash/LSH banding as
+    ``minhash_lsh_pairs`` — note MinHash collision probability tracks
+    *Jaccard*, so a tiny doc inside a huge one (high containment, low
+    jaccard) may not collide; the operator contract is therefore
+    "containment >= t AMONG LSH candidates", and the oracle reproduces
+    the identical banding so both engines agree exactly. Exact
+    verification computes |A∩B| on the shingle arrays only for
+    candidates. Same 100 TB shape: no all-pairs product, one bucket
+    shuffle + broadcast verify.
+    """
+    assert num_hashes % band_size == 0
+    shingled = (
+        shingle_frame(df, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    sigs = minhash_signatures(shingled, num_hashes)
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[m.cast("string") for m in members])
+                ).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("_na"),
+    )
+    sb = shingled.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("_nb"),
+    )
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    o = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(o / F.least("_na", "_nb"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -827,3 +827,133 @@ def local_supplier_revenue_by_nation(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "scd2_status_history",
+    f"""
+    WITH ordered AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS ts, o_orderkey AS tb,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ),
+    chg AS (
+      SELECT custkey, status, ts, tb
+      FROM ordered WHERE prev IS NULL OR prev != status
+    ),
+    iv AS (
+      SELECT custkey, status, ts AS vf,
+             lead(ts) OVER (PARTITION BY custkey ORDER BY ts, tb) AS vt,
+             row_number() OVER (PARTITION BY custkey ORDER BY ts, tb) AS version
+      FROM chg
+    )
+    SELECT custkey, status,
+           strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(vt, '{_TS_FMT_DUCK}') AS valid_to,
+           CAST(version AS BIGINT) AS version,
+           vt IS NULL AS is_current
+    FROM iv
+    """,
+    "SCD Type-2 history build: each customer's order-status change "
+    "stream collapsed into effective-dated (valid_from, valid_to) "
+    "intervals — the Type-2 companion to the reference's Type-1 "
+    "upsert sink (005_sp_migrate.sql:14-24 overwrites; this preserves "
+    "every version). Two window passes on the business key, no "
+    "self-join, no driver loop",
+)
+def scd2_status_history(spark, sf_dir):
+    from ..operators import scd
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    h = scd.scd2_history(o, "custkey", "status", "ts", tiebreak_col="tb")
+    return h.select(
+        "custkey",
+        "status",
+        F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+        F.col("version").cast("long").alias("version"),
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    "skew-safe two-phase aggregation: events grouped by event_type "
+    "(5 hot keys — the worst-case reducer skew) via salted partial "
+    "aggregation on (key, salt) then merge on key; the oracle is the "
+    "plain GROUP BY, proving salting changes the plan, not the result. "
+    "Decimal partial sums keep the two-phase sum exact",
+)
+def salted_hot_key_agg(spark, sf_dir):
+    from ..operators import skew
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = skew.salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("*", "count"),
+            "_sum_dec": ("value_dec", "sum"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_sum_dec"), 2).cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "salted_join_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "skew-safe fact-dim equi-join: lineitem salted uniformly, the "
+    "orders dim replicated 8 ways, joined on (key, salt) so a hot "
+    "order key spreads across 8 reducers; oracle is the plain join — "
+    "identical result, skew-proof plan. (AQE skew-join is the runtime "
+    "fallback; explicit salting covers pre-AQE engines and extreme "
+    "single-key skew)",
+)
+def salted_join_priority_revenue(spark, sf_dir):
+    from ..operators import skew
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = skew.salted_join(li, od, "okey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )

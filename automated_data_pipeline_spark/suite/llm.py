@@ -1035,3 +1035,175 @@ def decontaminate_vs_holdout(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     return dedup.decontaminate(d, bench, "doc_id", "text", n=3)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "minhash_containment_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / least(len(sa.shingles), len(sb.shingles)), 6) AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / least(len(sa.shingles), len(sb.shingles)) >= 0.9
+    """,
+    "asymmetric containment (|A∩B|/min|A|,|B| >= 0.9) over the same "
+    "MinHash/LSH candidates — catches quote-inclusion near-dups whose "
+    "symmetric jaccard is low; oracle reproduces the identical banding",
+)
+def minhash_containment_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", threshold=0.9, num_hashes=8, band_size=2
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "tfidf_top_terms_per_doc",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n * 1.0 / dfq.df), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    "per-document top-3 TF-IDF terms: raw term frequency x ln(N/df), "
+    "ranked on the rounded score with a term tie-break. The document "
+    "frequency table is a linear explode+groupBy; it joins back "
+    "broadcast (vocabulary << corpus) so the corpus side never "
+    "shuffles on text",
+)
+def tfidf_top_terms_per_doc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency: distinct docs per term == rows of tf per term
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "embedding_int8_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+        CASE WHEN scale = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+                    x -> CAST(greatest(-127.0, least(127.0,
+                           round(CAST(x AS DOUBLE) / scale, 0))) AS INT))
+        END AS qv
+      FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+    "symmetric per-vector int8 quantization (scale = max|v|/127, "
+    "round-half-away): the 4x-smaller storage/IO form for ANN at "
+    "scale. Output is the per-vector scale + integer-code summary "
+    "stats (exact-matched cross-engine); codes themselves are "
+    "pinned by tests/test_training_ops.py",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    from ..functions import vectors as V
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.round(V.int8_scale(F.col("embedding")), 6).alias("scale"),
+        V.int8_quantize(F.col("embedding")).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+    )

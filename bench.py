@@ -50,6 +50,12 @@ HEADLINE = [
     "mixture_sample_by_lang",
     "pack_sequences_128",
     "decontaminate_vs_holdout",
+    "minhash_containment_pairs",
+    "tfidf_top_terms_per_doc",
+    "embedding_int8_quantize",
+    "scd2_status_history",
+    "salted_hot_key_agg",
+    "salted_join_priority_revenue",
     "asof_click_before_purchase",
     "conversion_funnel",
     "retention_cohorts",
@@ -164,6 +170,36 @@ def bench_stream_tumbling(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def bench_stream_session(spark, sf_dir: str) -> float:
+    """B5c: gap-based session windows (session_window + watermark) over
+    the streamed events parquet — the stateful-window path, heavier than
+    tumbling because sessions merge as rows arrive."""
+    from automated_data_pipeline_spark.streaming import windows as W
+    from automated_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = W.session_counts(stream, gap="30 minutes", watermark="10 minutes")
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bench_session")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return round(time.time() - t0, 3)
+
+
 def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     """Incremental-dedup throughput: split the documents table into 4
     json micro-batch files (the 4th repeats the 1st — a full-batch
@@ -230,6 +266,7 @@ def main():
 
     timings.update(bench_pipelines(spark))
     timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
+    timings["stream_session_events"] = bench_stream_session(spark, SF_DIR)
     timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
