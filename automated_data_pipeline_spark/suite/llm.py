@@ -1129,7 +1129,15 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf feeds BOTH the document-frequency aggregate and the
+    # score join — without it the corpus explode+groupBy executes twice
+    # (two full tokenize scans at 100 TB). At cluster scale this is a
+    # checkpointed intermediate table.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     # document frequency: distinct docs per term == rows of tf per term
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = d.agg(F.count(F.lit(1)).alias("n"))
