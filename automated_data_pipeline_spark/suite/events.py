@@ -337,3 +337,105 @@ def gap_fill_hourly_locf(spark, sf_dir):
         "n",
         F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "pit_features_7d",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_ms(ts) AS ms
+      FROM events
+    )
+    SELECT event_id, user_id, ms AS ts_ms,
+           count(*) OVER w AS n_events_7d,
+           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+             AS value_sum_7d,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+             AS n_purchases_7d
+    FROM e
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ms
+      RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    "leakage-free point-in-time features: for every event, the user's "
+    "trailing-7-day event count / value sum / purchase count computed "
+    "with a RANGE frame on event time — each row sees only data at or "
+    "before its own timestamp, the invariant that makes these usable "
+    "as training features. One shuffle on user_id; the range frame is "
+    "a single codegen'd window pass, no self-join",
+)
+def pit_features_7d(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-604800000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.count(F.lit(1)).over(w).alias("n_events_7d"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")).over(w),
+            2,
+        )
+        .cast("double")
+        .alias("value_sum_7d"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w).alias(
+            "n_purchases_7d"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "top_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, from_type, to_type
+    LIMIT 20
+    """,
+    "user-journey transition mining: each user's time-ordered event "
+    "stream decomposed into consecutive (from, to) event-type bigrams, "
+    "counted corpus-wide, top-20 — the first-order Markov transition "
+    "table behind session modeling and next-event prediction features. "
+    "One shuffle on user_id for the lead window, map-side partial agg "
+    "on the tiny (type, type) key space, TakeOrdered for the top-k",
+)
+def top_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+        .limit(20)
+    )

@@ -56,6 +56,8 @@ HEADLINE = [
     "scd2_status_history",
     "salted_hot_key_agg",
     "salted_join_priority_revenue",
+    "pit_features_7d",
+    "top_event_transitions",
     "asof_click_before_purchase",
     "conversion_funnel",
     "retention_cohorts",
