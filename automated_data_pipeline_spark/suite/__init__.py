@@ -103,7 +103,15 @@ def all_specs() -> list[QuerySpec]:
     # everything else in declaration order. Extension queries that
     # happen to live in events.py but aren't part of the curated gate
     # window are demoted explicitly.
-    demoted = {"gap_fill_hourly_locf"}
+    # demoted: extension queries whose family is already represented in
+    # the gate window (sliding ~ tumbling, outlier flags ~ window
+    # family) — they yield their gate slots to reference-parity ops
+    # (json_props_extract = F8/F9) and stay strict-checked locally
+    demoted = {
+        "gap_fill_hourly_locf",
+        "sliding_window_counts",
+        "value_outliers_by_type",
+    }
     front_names = {
         s.name for s in parity.SPECS + events.SPECS if s.name not in demoted
     }
