@@ -202,6 +202,49 @@ def bench_stream_session(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def bench_stream_stream_join(spark, sf_dir: str) -> float:
+    """B5d: watermark-bounded stream-stream join — purchases joined to
+    each user's clicks within the prior hour. State on both sides is
+    bounded by the watermark + time-range constraint."""
+    from automated_data_pipeline_spark.streaming import windows as W
+    from automated_data_pipeline_spark.suite import load
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir, "events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _events_stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    purchases = _events_stream().filter(F.col("event_type") == "purchase")
+    clicks = _events_stream().filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = W.stream_stream_join(
+        purchases, clicks, on="user_id",
+        left_ts="ts", right_ts="click_ts",
+        within="1 hour", watermark="10 minutes",
+    )
+    t0 = time.time()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("bench_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return round(time.time() - t0, 3)
+
+
 def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     """Incremental-dedup throughput: split the documents table into 4
     json micro-batch files (the 4th repeats the 1st — a full-batch
@@ -269,6 +312,7 @@ def main():
     timings.update(bench_pipelines(spark))
     timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
     timings["stream_session_events"] = bench_stream_session(spark, SF_DIR)
+    timings["stream_stream_join_1h"] = bench_stream_stream_join(spark, SF_DIR)
     timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
