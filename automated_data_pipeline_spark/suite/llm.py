@@ -1215,3 +1215,104 @@ def embedding_int8_quantize(spark, sf_dir):
         .cast("bigint")
         .alias("n_sat"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(src) AS rep_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+        round(0.4 * least(len(ws) / 100.0, 1.0)
+            + 0.3 * (1.0 - least(
+                (SELECT length(regexp_replace(d2.text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                   / greatest(length(d2.text), 1)
+                 FROM documents d2 WHERE d2.doc_id = w.doc_id) * 5, 1.0))
+            + 0.3 * least(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
+                / greatest(len(ws), 1) * 5, 1.0), 4) AS quality
+      FROM w
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.rep_id, q.quality,
+             row_number() OVER (
+               PARTITION BY l.rep_id ORDER BY q.quality DESC, l.doc_id ASC
+             ) AS rn
+      FROM labeled l JOIN qual q ON q.doc_id = l.doc_id
+    )
+    SELECT doc_id, rep_id, quality, rn = 1 AS keep FROM ranked
+    """,
+    "quality-aware dedup survivor selection: near-dup clusters (same "
+    "MinHash/LSH + connected components as dedup_clusters) but the "
+    "survivor per cluster is the HIGHEST-QUALITY document (composite "
+    "score, doc_id tie-break), not the smallest id — the policy an "
+    "actual training-corpus curation pipeline wants. One extra window "
+    "pass over the labeled corpus; filter keep=true for the deduped set",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    comp = dedup.dedup_components(d, "doc_id", "text", threshold=0.8)
+    q = d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("rep_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.select("doc_id", "rep_id")
+        .join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rep_id", "quality", (F.col("rn") == 1).alias("keep"))
+    )
