@@ -130,20 +130,23 @@ def shingle_frame(
     par = df.sparkSession.sparkContext.defaultParallelism
     if spread:
         base = base.repartition(par)
-    toks = base.select(
+    # Tokenize exactly once WITHOUT a pinning exchange: bind the token
+    # array as a higher-order-function lambda variable (wrap in a
+    # 1-element array, transform, unwrap). bigram_shingles references
+    # its input 4x, and Catalyst's project-collapse would otherwise
+    # inline the tokenizer regex into each reference; a lambda variable
+    # is a bound value, evaluated once per row, immune to collapse —
+    # same effect as the materializing repartition this replaces, minus
+    # one full shuffle of the corpus.
+    return base.select(
         "id",
-        TX.tokens(F.col("_text")).alias("_toks"),
-        *[F.col(c) for c in (extra_cols or [])],
-    )
-    if spread:
-        # second exchange pins the token array as a materialized column:
-        # bigram_shingles references it 4x, and project-collapse would
-        # re-inline the tokenizer into each reference. The shuffled
-        # payload (id + token array) is tiny relative to tokenize cost.
-        toks = toks.repartition(par)
-    return toks.select(
-        "id",
-        TX.bigram_shingles(F.col("_toks")).alias("shingles"),
+        F.element_at(
+            F.transform(
+                F.array(TX.tokens(F.col("_text"))),
+                lambda t: TX.bigram_shingles(t),
+            ),
+            1,
+        ).alias("shingles"),
         *[F.col(c) for c in (extra_cols or [])],
     )
 
