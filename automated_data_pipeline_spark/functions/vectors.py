@@ -53,16 +53,30 @@ def int8_quantize(a: Column) -> Column:
     integer codes. Dequantization error is bounded by scale/2 per dim.
     This is the storage/IO form for ANN at scale: 4x smaller embedding
     bytes (and SIMD-friendly int dot products) at <1% recall loss for
-    typical corpora."""
-    s = int8_scale(a)
-    return F.when(s == 0, F.transform(a, lambda x: F.lit(0))).otherwise(
+    typical corpora.
+
+    The scale is bound ONCE as a HOF lambda variable (array-wrap +
+    transform) — inlining it into the per-element lambda would re-walk
+    the array_max subtree for every element (O(d^2) per vector, d=768
+    means ~590k element visits per row)."""
+    return F.element_at(
         F.transform(
-            a,
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127), F.round(x.cast("double") / s, 0).cast("int")),
+            F.array(int8_scale(a)),
+            lambda s: F.when(
+                s == 0, F.transform(a, lambda x: F.lit(0))
+            ).otherwise(
+                F.transform(
+                    a,
+                    lambda x: F.greatest(
+                        F.lit(-127),
+                        F.least(
+                            F.lit(127), F.round(x.cast("double") / s, 0).cast("int")
+                        ),
+                    ),
+                )
             ),
-        )
+        ),
+        1,
     )
 
 

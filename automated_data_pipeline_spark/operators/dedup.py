@@ -476,25 +476,32 @@ def minhash_signatures(
     return based.select("id", *sigs)
 
 
-def minhash_lsh_pairs(
+def _lsh_verify_frames(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    threshold: float = 0.8,
-    broadcast_verify: bool = True,
-) -> DataFrame:
-    """MinHash + LSH banding dedup: returns verified candidate pairs
-    (id_a, id_b, jaccard>=threshold).
+    num_hashes: int,
+    band_size: int,
+    broadcast_verify: bool,
+):
+    """Shared MinHash/LSH candidate machinery: returns (candidates,
+    sa, sb) where candidates = DISTINCT (id_a < id_b) pairs colliding
+    in at least one signature band, and sa/sb are the per-document
+    shingle arrays (+ sizes) keyed for joining back to each pair side.
+
+    The band/bucket construction here is bit-reproduced by the DuckDB
+    oracles of every consumer (dedup_minhash_lsh, dedup_clusters,
+    minhash_containment_pairs, dedup_keep_best_quality) — one
+    implementation, so the banding cannot drift between consumers.
 
     Plan shape (the part that matters at 100 TB):
       1. signatures: narrow map, no shuffle
       2. band buckets: unpivot to (id, band, bucket) — still narrow
       3. candidates: self-join on (band, bucket) = one shuffle on the
          bucket key; DISTINCT pairs
-      4. verification: join candidate ids back to shingle sets (two
-         shuffles on id) and compute exact Jaccard on candidates only
+      4. the caller verifies its own similarity measure on candidates
+         only, with the shingle arrays broadcast so the pair stream
+         never shuffles
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
@@ -537,7 +544,7 @@ def minhash_lsh_pairs(
 
     # same verify-side reasoning as jaccard_pairs: the per-document
     # shingle arrays are the small side — broadcast them so the pair
-    # stream never shuffles; |A∪B| computed arithmetically
+    # stream never shuffles
     sa = shingled.select(
         F.col("id").alias("id_a"),
         F.col("shingles").alias("sh_a"),
@@ -550,6 +557,24 @@ def minhash_lsh_pairs(
     )
     if broadcast_verify:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return candidates, sa, sb
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding dedup: returns verified candidate pairs
+    (id_a, id_b, jaccard>=threshold). See ``_lsh_verify_frames`` for
+    the plan shape; |A∪B| = na+nb-|A∩B| skips the union array."""
+    candidates, sa, sb = _lsh_verify_frames(
+        df, id_col, text_col, num_hashes, band_size, broadcast_verify
+    )
     o = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.col("_na") + F.col("_nb") - o
     return (
@@ -575,68 +600,29 @@ def containment_pairs(
     band_size: int = 2,
     broadcast_verify: bool = True,
 ) -> DataFrame:
-    """Asymmetric containment dedup: emits (id_small, id_big,
-    containment) where containment = |A∩B| / min(|A|,|B|) >= threshold —
-    the smaller document's shingles are (nearly) a subset of the
-    larger's. Catches quote-inclusion / boilerplate-wrapping near-dups
-    that symmetric Jaccard misses: a 50-shingle doc embedded verbatim
-    in a 500-shingle doc has jaccard ~0.1 but containment 1.0.
+    """Asymmetric containment dedup: emits (id_a, id_b, containment)
+    with id_a < id_b (id order, NOT size order) and containment =
+    |A∩B| / min(|A|,|B|) >= threshold — the smaller document's shingles
+    are (nearly) a subset of the larger's, whichever side that is.
+    Catches quote-inclusion / boilerplate-wrapping near-dups that
+    symmetric Jaccard misses: a 50-shingle doc embedded verbatim in a
+    500-shingle doc has jaccard ~0.1 but containment 1.0. Callers
+    choosing a survivor should compare _na/_nb (or lengths) — do not
+    assume id_a is the contained side.
 
     Candidates come from the same MinHash/LSH banding as
-    ``minhash_lsh_pairs`` — note MinHash collision probability tracks
-    *Jaccard*, so a tiny doc inside a huge one (high containment, low
-    jaccard) may not collide; the operator contract is therefore
-    "containment >= t AMONG LSH candidates", and the oracle reproduces
-    the identical banding so both engines agree exactly. Exact
-    verification computes |A∩B| on the shingle arrays only for
-    candidates. Same 100 TB shape: no all-pairs product, one bucket
-    shuffle + broadcast verify.
+    ``minhash_lsh_pairs`` (one shared implementation) — note MinHash
+    collision probability tracks *Jaccard*, so a tiny doc inside a huge
+    one (high containment, low jaccard) may not collide; the operator
+    contract is therefore "containment >= t AMONG LSH candidates", and
+    the oracle reproduces the identical banding so both engines agree
+    exactly. The threshold applies to the ROUNDED (6-digit) containment,
+    mirrored in the oracle. Same 100 TB shape: no all-pairs product,
+    one bucket shuffle + broadcast verify.
     """
-    assert num_hashes % band_size == 0
-    shingled = (
-        shingle_frame(df, id_col, text_col)
-        .filter(F.size("shingles") > 0)
-        .persist()
+    candidates, sa, sb = _lsh_verify_frames(
+        df, id_col, text_col, num_hashes, band_size, broadcast_verify
     )
-    sigs = minhash_signatures(shingled, num_hashes)
-    n_bands = num_hashes // band_size
-    band_cols = []
-    for b in range(n_bands):
-        members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[m.cast("string") for m in members])
-                ).alias("bucket"),
-            )
-        )
-    buckets = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    sa = shingled.select(
-        F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.size("shingles").alias("_na"),
-    )
-    sb = shingled.select(
-        F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.size("shingles").alias("_nb"),
-    )
-    if broadcast_verify:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
     o = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         candidates.join(sa, "id_a")

@@ -54,12 +54,12 @@ def scd2_history(
         "_is_change",
         F.col("_is_change") | ~F.col(attr_col).eqNullSafe(prev),
     ).filter(F.col("_is_change"))
-    # re-window over change points only: each one opens an interval
-    # closed by the next change's timestamp
-    w2 = Window.partitionBy(key_col).orderBy(*order)
+    # the same window spec applied to the filtered frame now ranges
+    # over change points only: each one opens an interval closed by the
+    # next change's timestamp
     return (
-        changed.withColumn("_valid_to", F.lead(ts_col).over(w2))
-        .withColumn("version", F.row_number().over(w2))
+        changed.withColumn("_valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
         .select(
             F.col(key_col),
             F.col(attr_col),

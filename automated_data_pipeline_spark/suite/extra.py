@@ -838,12 +838,18 @@ def local_supplier_revenue_by_nation(spark, sf_dir):
              o_orderdate AS ts, o_orderkey AS tb,
              lag(o_orderstatus) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ) AS prev
+             ) AS prev,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
       FROM orders
     ),
     chg AS (
+      -- null-safe change detection, mirroring the engine's eqNullSafe:
+      -- a NULL attr is a legal state distinct from every non-NULL one,
+      -- and the first observation always opens an interval
       SELECT custkey, status, ts, tb
-      FROM ordered WHERE prev IS NULL OR prev != status
+      FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM status
     ),
     iv AS (
       SELECT custkey, status, ts AS vf,

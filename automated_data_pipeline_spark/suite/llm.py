@@ -1072,14 +1072,14 @@ def decontaminate_vs_holdout(spark, sf_dir):
       FROM band a JOIN band b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT c.id_a, c.id_b,
-      round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-            / least(len(sa.shingles), len(sb.shingles)), 6) AS containment
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.id_a
-    JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-          / least(len(sa.shingles), len(sb.shingles)) >= 0.9
+    SELECT id_a, id_b, containment FROM (
+      SELECT c.id_a, c.id_b,
+        round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+              / least(len(sa.shingles), len(sb.shingles)), 6) AS containment
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    ) WHERE containment >= 0.9
     """,
     "asymmetric containment (|A∩B|/min|A|,|B| >= 0.9) over the same "
     "MinHash/LSH candidates — catches quote-inclusion near-dups whose "
