@@ -2,12 +2,12 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: 76 named queries — every implemented operator from
+- ``queries()``: 85 named queries — every implemented operator from
   SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
   coverage matrix in README.md.
-- ``oracle_sql()``: DuckDB twins for 73 of them — including the SimHash
+- ``oracle_sql()``: DuckDB twins for 82 of them — including the SimHash
   band join (pigeonhole-exact vs the quadratic spec) and the RHP-LSH
   queries (deterministic md5-derived hyperplanes re-derived in SQL).
   The 3 rows-only entries (IVF ANN: k-means quantizer; mapInPandas
