@@ -143,14 +143,31 @@ def main():
     strict = "--strict" in args
     if strict:
         args.remove("--strict")
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from automated_data_pipeline_spark.session import get_spark
     from automated_data_pipeline_spark.suite import all_specs
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    if vanilla:
+        # emulate the driver's gate exactly: a bare SparkSession with
+        # default confs (200 shuffle partitions, no UTC pin, NTZ
+        # inference on) — every query must self-provision what it needs
+        # through suite.load()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from automated_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check", shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLES:
