@@ -963,3 +963,89 @@ def salted_join_priority_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("price"), 2).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "customer_order_histogram",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: two-level aggregation — orders per customer "
+    "(left join keeps zero-order customers), then the histogram of "
+    "those counts. The outer groupBy key space is tiny (distinct "
+    "counts), so the second shuffle is negligible; the first is one "
+    "shuffle on custkey with map-side partial counts",
+)
+def customer_order_histogram(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------
+@spec(
+    "nation_pair_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey != n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+    "TPC-H Q7 shape: cross-border trade volume per (supplier nation, "
+    "customer nation) pair. Two big-table shuffles (lineitem->orders on "
+    "orderkey, ->customer on custkey); supplier and both nation copies "
+    "broadcast — the discounted-price product folds into a decimal "
+    "BEFORE summing so the two engines agree exactly",
+)
+def nation_pair_volume(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("n1_key") != F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+        )
+    )

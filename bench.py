@@ -62,6 +62,8 @@ HEADLINE = [
     "conversion_funnel",
     "retention_cohorts",
     "revenue_rollup_region_nation",
+    "customer_order_histogram",
+    "nation_pair_volume",
     "chargram_min_fingerprint",
     "json_props_extract",
 ]
