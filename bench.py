@@ -247,6 +247,47 @@ def bench_stream_stream_join(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def bench_stream_stateful_sessionize(spark, sf_dir: str) -> float:
+    """B5e: custom keyed-state sessionization (applyInPandasWithState,
+    event-time timeouts) — the Arrow-batched Python-state path, for
+    session semantics session_window can't express (per-session value
+    rollups with cross-batch out-of-order merge). Two sentinel batches
+    push the watermark so every session's timeout fires."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+    from automated_data_pipeline_spark.streaming.stateful import stateful_sessionize
+    from automated_data_pipeline_spark.suite import load
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="adp-bench-stateful-")
+    src = os.path.join(work, "events")
+    events.write.parquet(src)
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    for delta_h in (2, 4):
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=max_ts + _dt.timedelta(hours=delta_h), value=0.0)]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 64
+    ).parquet(src)
+    out = stateful_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bench_stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     """Incremental-dedup throughput: split the documents table into 4
     json micro-batch files (the 4th repeats the 1st — a full-batch
@@ -315,6 +356,7 @@ def main():
     timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
     timings["stream_session_events"] = bench_stream_session(spark, SF_DIR)
     timings["stream_stream_join_1h"] = bench_stream_stream_join(spark, SF_DIR)
+    timings["stream_stateful_sessionize"] = bench_stream_stateful_sessionize(spark, SF_DIR)
     timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
