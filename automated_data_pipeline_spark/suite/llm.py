@@ -1316,3 +1316,39 @@ def dedup_keep_best_quality(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "rep_id", "quality", (F.col("rn") == 1).alias("keep"))
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_jaccard_blocked_lang",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(ws) >= 2
+                  THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+                  ELSE [] END AS shingles
+      FROM w
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+          THEN len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(list_distinct(list_concat(a.shingles, b.shingles)))
+          ELSE 0.0 END, 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+    "semantically-blocked Jaccard dedup: pairs are only considered "
+    "WITHIN a language — blocking both changes the result (cross-lang "
+    "near-dups are deliberately out of scope) and multiplies the "
+    "prefix-filter's pruning power, since the equi-join key becomes "
+    "(prefix token, lang). The pattern generalizes to any partition "
+    "column: domain, source, time bucket",
+)
+def dedup_jaccard_blocked_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.8, block_cols=["lang"]
+    )
