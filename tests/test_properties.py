@@ -131,3 +131,87 @@ def test_int8_quantize_bounds_and_scale(spark, vec):
         # dequantization error bounded by half a quantization step
         for orig, code in zip(vec, r["qv"]):
             assert abs(code * r["s"] - orig) <= r["s"] / 2 + 1e-5
+
+
+def _brute_jaccard_pairs(docs, threshold):
+    """Ground truth: all-pairs bigram-shingle Jaccard in pure Python."""
+    def shingles(text):
+        ws = [w for w in text.lower().split() if w]
+        return set(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+
+    sh = {i: shingles(t) for i, t in docs}
+    out = set()
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[ids[i]], sh[ids[j]]
+            u = len(a | b)
+            jac = (len(a & b) / u) if u else 0.0
+            if round(jac, 6) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
+    # tiny 7-word vocabulary forces heavy shingle collisions — the
+    # adversarial regime for the prefix + positional + size filters
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(rows, threshold)
+    spark.catalog.clearCache()
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_rotation_buckets_are_pigeonhole_exact(spark, docs):
+    from automated_data_pipeline_spark.functions import text as TX
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(
+            df, "doc_id", "text", max_hamming=3, n_rotations=4
+        ).collect()
+    }
+    # brute force: compute every signature, compare all pairs
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in TX.simhash_frame(df, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if h <= 3:
+                want.add((ids[i], ids[j], h))
+    assert got == want
+    spark.catalog.clearCache()
