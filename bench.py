@@ -348,9 +348,16 @@ def main():
     for name in HEADLINE:
         fn = specs[name].fn
         run_query(spark, fn, SF_DIR)  # warm (scan caching, codegen)
-        t0 = time.time()
-        run_query(spark, fn, SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
+        # min of two timed runs: the shared host shows 2-4x run-to-run
+        # noise under load (see BASELINE.md); the minimum is the stable
+        # engine-cost estimate
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run_query(spark, fn, SF_DIR)
+            took = time.time() - t0
+            best = took if best is None else min(best, took)
+        timings[name] = round(best, 3)
 
     timings.update(bench_pipelines(spark))
     timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
