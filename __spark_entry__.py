@@ -2,19 +2,22 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: 85 named queries — every implemented operator from
+- ``queries()``: 88 named queries — every implemented operator from
   SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
-  coverage matrix in README.md.
-- ``oracle_sql()``: DuckDB twins for 82 of them — including the SimHash
-  band join (pigeonhole-exact vs the quadratic spec) and the RHP-LSH
-  queries (deterministic md5-derived hyperplanes re-derived in SQL).
-  The 3 rows-only entries (IVF ANN: k-means quantizer; mapInPandas
-  featurization: Python-side byte math; approx aggregates: HLL++/
-  t-digest) are non-SQL-expressible by construction and are pinned by
-  pytest unit oracles instead (tests/test_text_hashes.py,
-  tests/test_multimodal.py, tests/test_scale_plans.py).
+  coverage matrix in README.md. The first 50 (the driver's gate window,
+  suite.GATE_WINDOW) all carry oracles; tests/test_suite_contract.py
+  asserts the counts and the window composition.
+- ``oracle_sql()``: DuckDB twins for 86 of them — including the SimHash
+  band join (pigeonhole-exact vs the quadratic spec), the RHP-LSH
+  queries (deterministic md5-derived hyperplanes re-derived in SQL),
+  and the mapInPandas featurization (integer byte-bucket accumulators
+  re-derived from hex(encode(text)) in SQL). The 2 rows-only entries
+  (IVF ANN: k-means quantizer; approx aggregates: HLL++/t-digest) are
+  non-SQL-expressible by construction and are pinned by pytest unit
+  oracles instead (tests/test_text_hashes.py, tests/test_multimodal.py,
+  tests/test_scale_plans.py).
 """
 
 from __future__ import annotations

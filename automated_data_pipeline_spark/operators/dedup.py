@@ -28,6 +28,36 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 
+# Auto-switch ceiling for broadcasting the verify-side shingle tables:
+# below this estimated size the per-document arrays broadcast (the pair
+# stream never shuffles); above it the verify join degrades to a
+# shuffle join — the safe side at real corpus scale, where broadcasting
+# every document's shingles would OOM the driver. 256 MB is well under
+# executor/driver headroom while covering any corpus small enough for
+# the broadcast to be the right call.
+BROADCAST_VERIFY_MAX_BYTES = 256 << 20
+
+
+def _should_broadcast_verify(n_docs: int, total_shingles: int) -> bool:
+    """Estimate the materialized size of the per-document hashed-shingle
+    tables: 8 bytes per 64-bit shingle hash + ~32 bytes/row overhead."""
+    est = total_shingles * 8 + n_docs * 32
+    return est <= BROADCAST_VERIFY_MAX_BYTES
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint — MEMORY_AND_DISK
+    blocks whose lifetime the ContextCleaner ties to the returned
+    DataFrame), then unpersist the explicitly-cached intermediates so a
+    long-lived session running dedup over many corpora doesn't accrete
+    cached shingle tables. On a production cluster prefer reliable
+    checkpoints (setCheckpointDir + .checkpoint()) for the same shape.
+    """
+    out = result.localCheckpoint(eager=True)
+    for frame in cached:
+        frame.unpersist()
+    return out
+
 
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str
@@ -157,7 +187,7 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Pairwise bigram-shingle Jaccard: emits (id_a, id_b, jaccard) for
     pairs with jaccard >= threshold.
@@ -175,9 +205,12 @@ def jaccard_pairs(
     string Jaccard absent a 60-bit in-pair hash collision (~1e-15).
     The DuckDB oracle keeps the naive all-pairs string formulation, so
     correctness checks compare against the unblocked ground truth.
-    NOTE: the hashed-shingle intermediate is persist()ed and lives until
-    the session drops it — long-lived callers invoking this repeatedly
-    should spark.catalog.clearCache() between corpora.
+    The result is materialized before returning and the hashed-shingle
+    intermediate unpersisted — repeated invocations leave no cached
+    state behind.
+    ``broadcast_verify=None`` (default) auto-switches on the estimated
+    size of the per-document shingle tables (see
+    ``BROADCAST_VERIFY_MAX_BYTES``); pass True/False to force.
     Optional ``block_cols`` (lang, domain, ...) further restrict pairs
     *semantically* (changes the result, use when that's the intent)."""
     sh = shingle_frame(df, id_col, text_col, extra_cols=block_cols)
@@ -198,6 +231,15 @@ def jaccard_pairs(
         .withColumn("n_sh", F.size("hs"))
         .persist()
     )
+    if broadcast_verify is None:
+        # one small agg materializes the persist (needed anyway) and
+        # prices the verify side: docs * overhead + shingles * 8B
+        stats = hashed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_sh").alias("t")
+        ).first()
+        broadcast_verify = _should_broadcast_verify(
+            stats["n"] or 0, stats["t"] or 0
+        )
     plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int")
     # global token order = ascending document frequency (ties by hash):
     # prefixes then hold each document's *rarest* tokens, so prefix-token
@@ -258,9 +300,9 @@ def jaccard_pairs(
     # Verification: candidates outnumber documents by orders of
     # magnitude (1.4M pairs vs 5k docs at sf0.1), so shuffling the full
     # hash arrays with the PAIR stream is the wrong side — broadcast the
-    # per-document arrays instead and the pair stream never moves. At a
-    # scale where the doc-side arrays outgrow broadcast, flip
-    # broadcast_verify off and it degrades to the shuffle join.
+    # per-document arrays instead and the pair stream never moves. When
+    # the doc-side arrays outgrow BROADCAST_VERIFY_MAX_BYTES the
+    # auto-switch above degrades to the shuffle join.
     # |A∪B| = na+nb-|A∩B| skips materializing the union array.
     va = hashed.select(
         F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
@@ -274,7 +316,7 @@ def jaccard_pairs(
         va, vb = F.broadcast(va), F.broadcast(vb)
     o = F.size(F.array_intersect("hs_a", "hs_b"))
     denom = F.col("_na") + F.col("_nb") - o
-    return (
+    result = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -286,12 +328,14 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return _finalize(result, hashed)
 
 
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 25,
+    assume_edges_in_vertices: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: returns
     (id, rep_id) where rep_id is the minimum id in the component.
@@ -320,9 +364,22 @@ def connected_components(
 
     ``edges`` needs columns (id_a, id_b); ``vertices`` (optional) a
     single id column naming the full vertex set so isolated vertices
-    appear as their own singleton components.
+    appear as their own singleton components. When ``vertices`` is a
+    strict SUBSET of the edge endpoints, edges touching unknown ids are
+    dropped first — otherwise the endpoint-only iteration could elect a
+    non-vertex id as a component representative. Callers that know
+    every endpoint is in the vertex set (e.g. ``dedup_components``,
+    whose pairs come from the same frame) pass
+    ``assume_edges_in_vertices=True`` to skip the two semi-joins.
     """
     e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if vertices is not None and not assume_edges_in_vertices:
+        vset = vertices.select(
+            F.col(vertices.columns[0]).alias("src")
+        ).distinct()
+        e = e.join(vset, "src", "left_semi").join(
+            vset.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
@@ -433,7 +490,10 @@ def dedup_components(
         num_hashes=num_hashes, band_size=band_size, threshold=threshold,
     )
     comp = connected_components(
-        pairs, vertices=df.select(F.col(id_col).alias("id"))
+        pairs,
+        vertices=df.select(F.col(id_col).alias("id")),
+        # pairs are drawn from df itself — every endpoint is a vertex
+        assume_edges_in_vertices=True,
     )
     sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -482,12 +542,16 @@ def _lsh_verify_frames(
     text_col: str,
     num_hashes: int,
     band_size: int,
-    broadcast_verify: bool,
+    broadcast_verify: bool | None,
 ):
     """Shared MinHash/LSH candidate machinery: returns (candidates,
-    sa, sb) where candidates = DISTINCT (id_a < id_b) pairs colliding
-    in at least one signature band, and sa/sb are the per-document
-    shingle arrays (+ sizes) keyed for joining back to each pair side.
+    sa, sb, shingled) where candidates = DISTINCT (id_a < id_b) pairs
+    colliding in at least one signature band, sa/sb are the
+    per-document shingle arrays (+ sizes) keyed for joining back to
+    each pair side, and shingled is the persisted intermediate the
+    caller must hand to ``_finalize`` so it is unpersisted after the
+    result materializes. ``broadcast_verify=None`` auto-switches on the
+    estimated verify-side size (see ``BROADCAST_VERIFY_MAX_BYTES``).
 
     The band/bucket construction here is bit-reproduced by the DuckDB
     oracles of every consumer (dedup_minhash_lsh, dedup_clusters,
@@ -512,6 +576,14 @@ def _lsh_verify_frames(
     shingled = (
         shingle_frame(df, id_col, text_col).filter(F.size("shingles") > 0).persist()
     )
+    if broadcast_verify is None:
+        stats = shingled.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("t")
+        ).first()
+        # string shingles are heavier than 8-byte hashes: ~16B/shingle
+        broadcast_verify = _should_broadcast_verify(
+            stats["n"] or 0, 2 * (stats["t"] or 0)
+        )
     sigs = minhash_signatures(shingled, num_hashes)
 
     band_cols = []
@@ -557,7 +629,7 @@ def _lsh_verify_frames(
     )
     if broadcast_verify:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
-    return candidates, sa, sb
+    return candidates, sa, sb, shingled
 
 
 def minhash_lsh_pairs(
@@ -567,17 +639,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding dedup: returns verified candidate pairs
     (id_a, id_b, jaccard>=threshold). See ``_lsh_verify_frames`` for
     the plan shape; |A∪B| = na+nb-|A∩B| skips the union array."""
-    candidates, sa, sb = _lsh_verify_frames(
+    candidates, sa, sb, shingled = _lsh_verify_frames(
         df, id_col, text_col, num_hashes, band_size, broadcast_verify
     )
     o = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.col("_na") + F.col("_nb") - o
-    return (
+    result = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -589,6 +661,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return _finalize(result, shingled)
 
 
 def containment_pairs(
@@ -598,7 +671,7 @@ def containment_pairs(
     threshold: float = 0.9,
     num_hashes: int = 8,
     band_size: int = 2,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Asymmetric containment dedup: emits (id_a, id_b, containment)
     with id_a < id_b (id order, NOT size order) and containment =
@@ -620,11 +693,11 @@ def containment_pairs(
     mirrored in the oracle. Same 100 TB shape: no all-pairs product,
     one bucket shuffle + broadcast verify.
     """
-    candidates, sa, sb = _lsh_verify_frames(
+    candidates, sa, sb, shingled = _lsh_verify_frames(
         df, id_col, text_col, num_hashes, band_size, broadcast_verify
     )
     o = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    result = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -634,6 +707,7 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    return _finalize(result, shingled)
 
 
 def simhash_pairs(
@@ -695,6 +769,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return cand.select(
+    result = cand.select(
         "id_a", "id_b", TX.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    return _finalize(result, base)

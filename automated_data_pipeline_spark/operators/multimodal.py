@@ -32,7 +32,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, payload_sha string, "
-    "feature array<float>, decode_ok boolean"
+    "feature array<float>, byte_acc array<long>, decode_ok boolean"
 )
 
 
@@ -64,14 +64,25 @@ def _decode_image(payload: bytes) -> "object":
         ) from exc
 
 
+def _byte_acc(payload: bytes, dim: int = 8) -> list[int]:
+    """Exact integer bucket accumulators of the byte histogram:
+    acc[k] = sum of payload bytes at positions i with i % dim == k.
+    Pure integer math — bit-identical across engines, so the driver's
+    value-hash gate can verify the featurizer against a SQL oracle
+    (the float ``_fake_feature`` is acc/n rounded, which no two engines
+    format identically)."""
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] += b
+    return acc
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in featurizer: byte-histogram moments.
     Replaceable by a real model featurizer with the same signature."""
     if not payload:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += b
+    acc = _byte_acc(payload, dim)
     n = max(len(payload), 1)
     return [round(a / n, 6) for a in acc]
 
@@ -97,6 +108,7 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
                     "feature": payloads.map(lambda p: _fake_feature(p or b"")),
+                    "byte_acc": payloads.map(lambda p: _byte_acc(p or b"")),
                     "decode_ok": payloads.map(lambda p: p is not None),
                 }
             )

@@ -154,13 +154,30 @@ def ivf_index(
     stays distributed as one narrow codegen pass (argmin over literal
     centroids — no shuffle, no Python). At 100 TB you'd sample ~0.1%
     for training and persist the assignment bucketed by ``ivf_cluster``
-    so probes read only nprobe buckets."""
+    so probes read only nprobe buckets.
+
+    The training sample is UNIFORM by construction: rows are ranked by
+    a per-row hash and the top ``train_cap`` taken — a bare
+    ``limit(train_cap)`` would grab whichever partitions answer first
+    (typically the corpus head), which on a sorted/clustered corpus
+    yields biased centroids (tests/test_similarity_ivf.py pins this).
+    The hash rank costs one narrow pass + a TakeOrdered (no full
+    shuffle); ``train_fraction < 1`` additionally pre-thins before the
+    rank."""
     import numpy as np
 
     sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
-    rows = sample.limit(train_cap).collect()
+    rows = (
+        sample.withColumn(
+            "_r", F.xxhash64(F.to_json(F.struct("v")), F.lit(seed))
+        )
+        .orderBy("_r")
+        .limit(train_cap)
+        .drop("_r")
+        .collect()
+    )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(X) < n_clusters:
         raise ValueError(f"need >= {n_clusters} training vectors, got {len(X)}")

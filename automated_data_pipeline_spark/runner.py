@@ -131,12 +131,23 @@ class PipelineRunner:
             self._cancel_flags.discard(run_id)
 
     # ---- stage table IO -------------------------------------------------
-    def _write_stage(self, df: DataFrame, directory: str) -> int:
+    def _write_stage(self, df: DataFrame, directory: str, run_id: str) -> int:
         """Append a run's rows to a stage table, partitioned by run_id,
-        counting rows via an Observation on the write (no second scan)."""
+        counting rows via an Observation on the write (no second scan).
+
+        The run's rows are written DIRECTLY into its Hive-style
+        partition path (``<dir>/run_id=<id>/``) rather than via
+        ``partitionBy`` on the shared root: concurrent runs (HTTP
+        trigger + streaming trigger + ad-hoc) would otherwise race on
+        the root's shared ``_temporary`` commit scope and delete each
+        other's in-flight task output. The on-disk layout is identical
+        (partition discovery reads ``run_id`` from the directory name),
+        reads stay partition-pruned, and each run commits in its own
+        scope — the same isolation a real cluster gets from a
+        per-job staging committer."""
         obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        df.write.mode("append").partitionBy("run_id").parquet(directory)
+        out = df.drop("run_id").observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.mode("append").parquet(f"{directory}/run_id={run_id}")
         return int(obs.get["n"])
 
     def _read_stage(self, directory: str, run_id: str) -> DataFrame:
@@ -146,20 +157,20 @@ class PipelineRunner:
     def _step_pull(self, run_id: str, source_path: str) -> int:
         resolved, source_type = read_orders_file(self.spark, source_path)
         landing = stages.pull(resolved, run_id, source_type)
-        return self._write_stage(landing, self.landing_dir)
+        return self._write_stage(landing, self.landing_dir, run_id)
 
     def _step_pull_df(self, run_id: str, df: DataFrame, source_type: str) -> int:
         landing = stages.pull(resolve_input_columns(df), run_id, source_type)
-        return self._write_stage(landing, self.landing_dir)
+        return self._write_stage(landing, self.landing_dir, run_id)
 
     def _step_extract(self, run_id: str) -> int:
         landing = self._read_stage(self.landing_dir, run_id)
-        return self._write_stage(stages.extract(landing), self.staging_dir)
+        return self._write_stage(stages.extract(landing), self.staging_dir, run_id)
 
     def _step_transform(self, run_id: str, fail_on_negative: bool) -> int:
         staging = self._read_stage(self.staging_dir, run_id)
         out = stages.transform(staging, fail_on_negative=fail_on_negative)
-        return self._write_stage(out, self.transformed_dir)
+        return self._write_stage(out, self.transformed_dir, run_id)
 
     def _step_migrate(self, run_id: str) -> int:
         transformed = self._read_stage(self.transformed_dir, run_id)

@@ -147,36 +147,51 @@ def sessionize_users(spark, sf_dir):
     "event-time ordering per user)",
 )
 def conversion_funnel(spark, sf_dir):
-    """Funnel in ONE shuffle: aggregate each user's event times into
-    per-type sorted arrays, then walk the stages with array
-    higher-order functions (filter + array_min) — no re-scan or
-    re-join of the events table per stage, unlike the SQL twin's
-    3-join formulation. Per-user arrays are bounded by that user's
-    event count; for hyperactive-user corpora cap collection with a
-    time range or pre-aggregate per (user, type, hour) first."""
+    """Funnel in ONE shuffle and O(1) state per row: running-min window
+    functions walk the stages in event-time order — no re-scan or
+    re-join of the events table per stage (the SQL twin's 3-join
+    formulation), and no per-user arrays (the previous collect_list
+    version: a hyperactive bot user at 100x scale made one unbounded
+    straggler task; tests/test_properties.py pins the skewed-user case).
+
+    Exactness: the oracle qualifies a click iff ts > t_view (GLOBAL min
+    view). The running min of view-ts at a click row equals the global
+    min whenever the global min lies at or before the click — and when
+    it doesn't, the strict > comparison fails either way, so the
+    running-min qualification is identical to the global one. The same
+    argument applies to purchases over qualified-click running mins.
+    Both window passes share one partitioning (user_id) and one sort
+    (ts) — Catalyst plans them in a single exchange + sort. The default
+    RANGE frame includes same-ts peers; strict > makes tie order moot.
+    """
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        ).alias("purchases"),
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = e.withColumn(
+        "_qclick_ts",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > run_view),
+            F.col("ts"),
+        ),
     )
-    t_click = F.array_min(
-        F.filter("clicks", lambda c: c > F.col("t_view"))
+    run_qclick = F.min("_qclick_ts").over(w)
+    staged = staged.withColumn(
+        "_qpurchase",
+        (F.col("event_type") == "purchase") & (F.col("ts") > run_qclick),
     )
-    staged = per_user.withColumn("t_click", t_click).withColumn(
-        "t_purchase",
-        F.array_min(F.filter("purchases", lambda p: p > F.col("t_click"))),
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "view").alias("has_view"),
+        F.max(F.col("_qclick_ts").isNotNull()).alias("has_click"),
+        F.max("_qpurchase").alias("has_purchase"),
     )
-    return staged.agg(
-        F.count("t_view").alias("n_view"),
-        F.count("t_click").alias("n_click"),
-        F.count("t_purchase").alias("n_purchase"),
+    return per_user.agg(
+        F.count(F.when(F.col("has_view"), 1)).alias("n_view"),
+        F.count(F.when(F.col("has_click"), 1)).alias("n_click"),
+        F.count(F.when(F.col("has_purchase"), 1)).alias("n_purchase"),
     )
 
 
@@ -360,12 +375,15 @@ def gap_fill_hourly_locf(spark, sf_dir):
       RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
     )
     """,
-    "leakage-free point-in-time features: for every event, the user's "
-    "trailing-7-day event count / value sum / purchase count computed "
-    "with a RANGE frame on event time — each row sees only data at or "
-    "before its own timestamp, the invariant that makes these usable "
-    "as training features. One shuffle on user_id; the range frame is "
-    "a single codegen'd window pass, no self-join",
+    "no-future-data point-in-time features: for every event, the "
+    "user's trailing-7-day event count / value sum / purchase count "
+    "computed with a RANGE frame on event time — each row sees only "
+    "data at or before its own timestamp. NOTE the frame ends at "
+    "CURRENT ROW, so a row's own value (and same-timestamp peers) is "
+    "included; if `value` feeds the label, subtract the row's own "
+    "contribution (or use RANGE ... 1 PRECEDING) before training on "
+    "these. One shuffle on user_id; the range frame is a single "
+    "codegen'd window pass, no self-join",
 )
 def pit_features_7d(spark, sf_dir):
     from pyspark.sql import Window

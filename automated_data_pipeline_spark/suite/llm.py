@@ -527,12 +527,47 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# mapInPandas featurization: Python-side by necessity (media decode) —
-# rows-only; the batch plumbing and determinism are unit-tested.
+# mapInPandas featurization: Python-side by necessity (media decode).
+# Value-level oracle: the featurizer's integer bucket accumulators
+# (acc[k] = sum of payload bytes at positions i % 8 == k) are exact
+# integer math, reproduced in DuckDB by extracting each UTF-8 byte
+# from hex(encode(text)) with a list comprehension. sha256 pins the
+# exact payload bytes; the acc columns pin the aggregation math; the
+# float feature (= acc/n rounded) stays pytest-pinned because no two
+# engines format floats identically.
+_MM_BYTES = (
+    "[ (position(substring(hex(encode(text)), 2*i+1, 1) in "
+    "'0123456789ABCDEF')-1)*16 "
+    "+ (position(substring(hex(encode(text)), 2*i+2, 1) in "
+    "'0123456789ABCDEF')-1) "
+    "for i in range(octet_length(encode(text))) ]"
+)
+_MM_ACCS = ",\n      ".join(
+    "COALESCE(CAST(list_sum([bytes[i+1] for i in range(n_bytes) "
+    f"if i % 8 = {k}]) AS BIGINT), 0) AS acc{k}"
+    for k in range(8)
+)
+
+
 @spec(
     "multimodal_feature_extract",
-    None,
-    "binary payload -> Arrow-batched mapInPandas featurization (decode stubbed)",
+    f"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        octet_length(encode(text)) AS n_bytes,
+        sha256(text) AS payload_sha,
+        {_MM_BYTES} AS bytes
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes, payload_sha, TRUE AS decode_ok,
+      {_MM_ACCS}
+    FROM b
+    """,
+    "binary payload -> Arrow-batched mapInPandas featurization "
+    "(decode stubbed; byte-exact integer accumulators oracle-checked)",
 )
 def multimodal_feature_extract(spark, sf_dir):
     from ..operators import multimodal
@@ -541,14 +576,18 @@ def multimodal_feature_extract(spark, sf_dir):
     media = multimodal.attach_fake_payload(d, "doc_id", "text")
     feats = multimodal.extract_features(media)
     # Gate output must be scalar-only: the driver's comparator sorts/hashes
-    # column values and cannot handle array cells — serialize the vector.
+    # column values and cannot handle array cells — unpack the integer
+    # accumulators into columns (exact cross-engine).
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
         "payload_sha",
-        F.to_json(F.col("feature")).alias("feature_json"),
         "decode_ok",
+        *[
+            F.element_at(F.col("byte_acc"), k + 1).alias(f"acc{k}")
+            for k in range(8)
+        ],
     )
 
 
@@ -1155,11 +1194,16 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
     )
-    return (
+    result = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rnk").cast("long").alias("rnk"))
     )
+    # materialize, then drop the cached tf table — repeated invocations
+    # (bench warm + min-of-2 = 3x) must not accrete cached partitions
+    out = result.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------

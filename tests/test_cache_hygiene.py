@@ -1,0 +1,63 @@
+"""Cache lifecycle: every dedup/text operator that persist()s an
+intermediate must unpersist it before returning (VERDICT r3 item 4) —
+a long-lived session running dedup over many corpora must not accrete
+cached shingle tables. The contract: after the operator returns, the
+session's CacheManager is empty (results are materialized via
+localCheckpoint, whose blocks the ContextCleaner frees with the frame).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_data_pipeline_spark.operators import dedup
+from automated_data_pipeline_spark.suite import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture()
+def docs(spark):
+    return load(spark, SF, "documents").limit(120)
+
+
+def test_jaccard_pairs_leaves_no_cache(spark, docs):
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert _cache_empty(spark)
+    out.count()  # result stays usable after intermediates dropped
+
+
+def test_minhash_lsh_pairs_leaves_no_cache(spark, docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert _cache_empty(spark)
+    out.count()
+
+
+def test_containment_pairs_leaves_no_cache(spark, docs):
+    out = dedup.containment_pairs(docs, "doc_id", "text", threshold=0.9)
+    assert _cache_empty(spark)
+    out.count()
+
+
+def test_simhash_pairs_leaves_no_cache(spark, docs):
+    out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    assert _cache_empty(spark)
+    out.count()
+
+
+def test_dedup_components_leaves_no_cache(spark, docs):
+    out = dedup.dedup_components(docs, "doc_id", "text")
+    assert _cache_empty(spark)
+    out.count()
+
+
+def test_tfidf_leaves_no_cache(spark):
+    from automated_data_pipeline_spark.suite.llm import tfidf_top_terms_per_doc
+
+    out = tfidf_top_terms_per_doc(spark, SF)
+    assert _cache_empty(spark)
+    out.count()

@@ -25,11 +25,19 @@ def test_extract_features_schema_and_determinism(spark):
         "n_bytes": "bigint",
         "payload_sha": "string",
         "feature": "array<float>",
+        "byte_acc": "array<bigint>",
         "decode_ok": "boolean",
     }
     rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == 50
     assert all(len(r["feature"]) == 8 and r["decode_ok"] for r in rows.values())
+    # byte_acc are the exact integer accumulators behind the feature:
+    # feature[k] == round(byte_acc[k] / n_bytes, 6)
+    for r in rows.values():
+        n = max(r["n_bytes"], 1)
+        assert r["feature"] == [
+            pytest.approx(round(a / n, 6), abs=1e-6) for a in r["byte_acc"]
+        ]
     # deterministic across runs
     again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
     some = next(iter(rows))

@@ -215,3 +215,77 @@ def test_simhash_rotation_buckets_are_pigeonhole_exact(spark, docs):
                 want.add((ids[i], ids[j], h))
     assert got == want
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------
+# conversion_funnel: the running-min window rewrite must match a pure-
+# Python walk of the oracle semantics (t_view = min view; t_click =
+# min click > t_view; t_purchase = min purchase > t_click) — including
+# a hyperactive bot user (the skew case that motivated dropping the
+# collect_list formulation, VERDICT r3 item 3) and same-timestamp ties.
+def _brute_funnel(events):
+    """events: list of (user_id, event_type, ts_int)."""
+    per_user = {}
+    for u, t, ts in events:
+        per_user.setdefault(u, []).append((t, ts))
+    n_view = n_click = n_purchase = 0
+    for evs in per_user.values():
+        views = [ts for t, ts in evs if t == "view"]
+        if not views:
+            continue
+        n_view += 1
+        t_view = min(views)
+        clicks = [ts for t, ts in evs if t == "click" and ts > t_view]
+        if not clicks:
+            continue
+        n_click += 1
+        t_click = min(clicks)
+        purchases = [ts for t, ts in evs if t == "purchase" and ts > t_click]
+        if purchases:
+            n_purchase += 1
+    return n_view, n_click, n_purchase
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 20),
+        ),
+        max_size=40,
+    ),
+    bot_events=st.integers(100, 400),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_conversion_funnel_matches_brute_force_with_bot_user(
+    spark, tmp_path_factory, events, bot_events
+):
+    import itertools
+
+    # user 99 is the bot: an interleaved flood of all three types with
+    # heavy timestamp ties — the case that made one unbounded task in
+    # the collect_list formulation and stresses tie handling here
+    bot = [
+        (99, t, ts % 23)
+        for ts, t in zip(
+            range(bot_events),
+            itertools.cycle(["view", "click", "purchase", "click"]),
+        )
+    ]
+    all_events = events + bot
+    sf_dir = str(tmp_path_factory.mktemp("funnel"))
+    rows = [
+        (i, u, t, __import__("datetime").datetime(2024, 1, 1, 0, 0, ts), 1.0)
+        for i, (u, t, ts) in enumerate(all_events)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    from automated_data_pipeline_spark.suite.events import conversion_funnel
+
+    got = conversion_funnel(spark, sf_dir).first()
+    exp = _brute_funnel([(u, t, ts) for u, t, ts in all_events])
+    assert (got["n_view"], got["n_click"], got["n_purchase"]) == exp

@@ -156,11 +156,18 @@ def main():
         # emulate the driver's gate exactly: a bare SparkSession with
         # default confs (200 shuffle partitions, no UTC pin, NTZ
         # inference on) — every query must self-provision what it needs
-        # through suite.load()
+        # through suite.load(). Master mirrors the driver's
+        # local[$SPARK_GRAFT_CPUS]; any already-running session is
+        # stopped first so getOrCreate() cannot hand back a session
+        # carrying non-default confs (which would defeat the emulation).
         from pyspark.sql import SparkSession
 
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        cpus = os.environ["SPARK_GRAFT_CPUS"]
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("oracle-check-vanilla")
             .getOrCreate()
         )
