@@ -377,8 +377,12 @@ def connected_components(
         vset = vertices.select(
             F.col(vertices.columns[0]).alias("src")
         ).distinct()
-        e = e.join(vset, "src", "left_semi").join(
-            vset.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        e = (
+            e.join(vset, "src", "left_semi")
+            .join(vset.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            # semi-joins move the join key to the front; re-pin the
+            # order — the union below pairs columns POSITIONALLY
+            .select("src", "dst")
         )
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

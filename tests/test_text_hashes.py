@@ -112,3 +112,21 @@ def test_chunk_documents_edges(spark):
     assert not any(k[0] == 3 for k in got)  # whitespace-only doc dropped
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_connected_components_vertices_subset_drops_foreign_edges(spark):
+    """ADVICE r3: when vertices is a strict subset of edge endpoints,
+    rep ids must never name a non-vertex — edges touching unknown ids
+    are dropped before iteration."""
+    from automated_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "c"), ("x", "b")], ["id_a", "id_b"]
+    )  # 'x' is not a vertex
+    verts = spark.createDataFrame([(v,) for v in "abc"], ["doc_id"])
+    got = {
+        r["id"]: r["rep_id"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "b"}
+    assert "x" not in got and "x" not in got.values()
