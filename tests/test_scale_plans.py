@@ -232,3 +232,22 @@ def test_training_ops_plan_shapes(spark):
     # the only hash exchanges carry (id, gram) hit counts, never text
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in frag[:120]
+
+
+def test_conversion_funnel_single_shuffle(spark):
+    """The running-min funnel rewrite keeps its scale contract: one
+    hash exchange on user_id feeds BOTH window passes and the per-user
+    aggregate (Catalyst reuses the partitioning), one sort, and only a
+    3-counter SinglePartition exchange at the end — no per-user arrays
+    anywhere in the plan."""
+    import os
+
+    from automated_data_pipeline_spark.suite.events import conversion_funnel
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    df = conversion_funnel(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+    assert plan.count("Window") == 2
+    assert "collect_list" not in plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import textwrap
+import time
 
 from pyspark.sql import functions as F
 
@@ -357,3 +358,55 @@ def test_incremental_dedup_stream_end_to_end(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 4]  # doc 3 is a cross-file duplicate
+
+
+def test_stream_progress_tracker_cumulative_and_logged(spark, tmp_path, workdir):
+    """Per-micro-batch progress (StepProgress.java parity at Spark's
+    native granularity): cumulative row totals per query + control-log
+    rows visible through the normal monitoring surface."""
+    from automated_data_pipeline_spark.control import ControlStore
+    from automated_data_pipeline_spark.streaming.progress import (
+        StreamProgressTracker,
+    )
+
+    control = ControlStore(workdir)
+    tracker = StreamProgressTracker(control, pipeline_name="ProgressTest")
+    spark.streams.addListener(tracker)
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.csv"), "w") as f:
+            f.write("\n".join(str(i) for i in range(30)) + "\n")
+        stream = (
+            spark.readStream.schema("v int")
+            .option("maxFilesPerTrigger", 1)
+            .csv(src)
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("prog_test")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async — poll briefly
+        deadline = time.time() + 30
+        totals = {}
+        while time.time() < deadline:
+            totals = tracker.snapshot()
+            if any(v["rows"] >= 30 for v in totals.values()):
+                break
+            time.sleep(0.5)
+        mine = [v for v in totals.values() if v["name"] == "prog_test"]
+        assert mine and mine[0]["rows"] == 30 and mine[0]["batches"] >= 1
+        logs = (
+            control.logs(spark)
+            .filter("step_name = 'StreamProgress'")
+            .collect()
+        )
+        assert logs and any("30 total" in r["message"] for r in logs)
+    finally:
+        spark.streams.removeListener(tracker)
