@@ -1396,3 +1396,83 @@ def dedup_jaccard_blocked_lang(spark, sf_dir):
     return dedup.jaccard_pairs(
         d, "doc_id", "text", threshold=0.8, block_cols=["lang"]
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "source_mix_report",
+    """
+    WITH s AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_docs) AS total FROM s)
+    SELECT source, lang, n_docs, total_chars,
+           CAST(round(n_docs * 1.0 / t.total, 6) AS DOUBLE) AS doc_share,
+           CAST(round(total_chars * 1.0 / n_docs, 2) AS DOUBLE) AS mean_chars
+    FROM s CROSS JOIN t
+    """,
+    "training-data mixture report: per (source, lang) document counts, "
+    "char volume, corpus share, and mean length — the table every "
+    "data-mixing decision starts from. One shuffle (map-side partial "
+    "agg) + a broadcast scalar total; integer sums are exact so the "
+    "shares are engine-identical",
+)
+def source_mix_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("doc_share"),
+        F.round(F.col("total_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "label_centroids",
+    """
+    WITH u AS (
+      SELECT label,
+             unnest(list_transform(range(len(embedding)),
+                    i -> struct_pack(dim := i, v := embedding[i+1]))) AS s
+      FROM embeddings
+    )
+    SELECT label, CAST(s.dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(s.v AS DECIMAL(18,9))) / count(*), 6)
+                AS DOUBLE) AS centroid
+    FROM u GROUP BY 1, 2
+    """,
+    "embedding-space class centroids: per (label, dimension) the mean "
+    "component over all vectors of that label — the standard "
+    "diagnostic/nearest-class-mean primitive. posexplode -> one "
+    "groupBy(label, dim) with map-side partial sums; the float "
+    "components are cast to DECIMAL before summing so the distributed "
+    "sum is exact and order-independent (a double sum would drift "
+    "between engines), divided once at the end",
+)
+def label_centroids(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    u = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("decimal(18,9)").alias("v"),
+    )
+    return u.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("centroid"),
+    )
