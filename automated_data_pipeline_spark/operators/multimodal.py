@@ -182,11 +182,13 @@ def _byte_acc(payload: bytes, dim: int = 8) -> list[int]:
     Pure integer math — bit-identical across engines, so the driver's
     value-hash gate can verify the featurizer against a SQL oracle
     (the float ``_fake_feature`` is acc/n rounded, which no two engines
-    format identically)."""
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += b
-    return acc
+    format identically). Vectorized: numpy strided sums are ~100x the
+    Python byte loop, which matters because this runs inside the
+    Arrow-batched hot path."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return [int(arr[k::dim].sum(dtype=np.int64)) for k in range(dim)]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -248,10 +250,15 @@ def decode_image_features(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
+                    import numpy as np
+
                     w, h, ch, px = _decode_image(bytes(payload or b""))
+                    arr = np.frombuffer(px, dtype=np.uint8)
                     means = [
                         round(
-                            sum(px[c::ch]) / max(len(px) // ch, 1), 6
+                            float(arr[c::ch].sum(dtype=np.int64))
+                            / max(len(px) // ch, 1),
+                            6,
                         )
                         for c in range(ch)
                     ]

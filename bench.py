@@ -66,6 +66,9 @@ HEADLINE = [
     "nation_pair_volume",
     "chargram_min_fingerprint",
     "json_props_extract",
+    "source_mix_report",
+    "label_centroids",
+    "multimodal_feature_extract",
 ]
 
 
