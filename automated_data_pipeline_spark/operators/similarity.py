@@ -294,3 +294,84 @@ def embedding_near_dup(
         F.col(f"b.{id_col}").alias("id_b"),
         V.cosine_rounded(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index so probes become partition-pruned scans:
+    the assigned corpus lands partitioned by ``ivf_cluster`` (one
+    directory per cluster), centroids as a single small table. At
+    100 TB this is the difference between 'ANN query scans the corpus'
+    and 'ANN query reads nprobe directories' — the scan for a probe
+    set touches only the matching partitions (asserted by
+    tests/test_scale_plans.py::test_ivf_index_probe_prunes_partitions).
+    """
+    assigned.write.mode(mode).partitionBy("ivf_cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def read_ivf_probes(
+    spark, path: str, clusters: list[int], vec_col: str = "embedding"
+) -> DataFrame:
+    """Read only the probe clusters from a persisted IVF index — the
+    cluster filter prunes to the matching ``ivf_cluster=N`` directories
+    at planning time (PartitionFilters in the scan node)."""
+    return spark.read.parquet(f"{path}/corpus").filter(
+        F.col("ivf_cluster").isin([int(c) for c in clusters])
+    )
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ivf_topk against a persisted index: rank clusters per query by
+    centroid cosine, then score ONLY the union of probed clusters —
+    the corpus scan reads just those partitions."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    qc = queries.crossJoin(F.broadcast(cent_df))
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("c_cos"), F.asc("ivf_cluster")
+    )
+    probes = (
+        qc.select(
+            query_id_col,
+            query_vec_col,
+            "ivf_cluster",
+            V.cosine_rounded(
+                F.col(query_vec_col).cast("array<double>"), F.col("centroid")
+            ).alias("c_cos"),
+        )
+        .withColumn("_pr", F.row_number().over(qw))
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_pr", "c_cos")
+    )
+    probe_rows = probes.select(query_id_col, "ivf_cluster").collect()
+    clusters = sorted({r["ivf_cluster"] for r in probe_rows})
+    corpus = read_ivf_probes(spark, path, clusters, vec_col)
+    pairs = corpus.join(F.broadcast(probes), "ivf_cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

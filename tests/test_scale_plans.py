@@ -251,3 +251,41 @@ def test_conversion_funnel_single_shuffle(spark):
     assert plan.count("Sort [") == 1
     assert plan.count("Window") == 2
     assert "collect_list" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index delivers the scale promise: reading a
+    probe set scans ONLY the matching ivf_cluster= partitions
+    (PartitionFilters in the scan node), and the persisted-index top-k
+    matches the in-memory ivf_topk exactly."""
+    import os
+
+    from automated_data_pipeline_spark.operators import similarity
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assigned, cent = similarity.ivf_index(e, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(assigned, cent, path)
+
+    probes = similarity.read_ivf_probes(spark, path, [1, 3])
+    plan = probes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+    # only the probed partitions' rows arrive
+    want = assigned.filter(F.col("ivf_cluster").isin([1, 3])).count()
+    assert probes.count() == want > 0
+
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    mem = {
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_topk(e, q, k=5, n_clusters=8, nprobe=3).collect()
+    }
+    per = {
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_topk_persisted(
+            spark, path, q, k=5, nprobe=3
+        ).collect()
+    }
+    assert mem == per
