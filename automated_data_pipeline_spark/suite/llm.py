@@ -1476,3 +1476,84 @@ def label_centroids(spark, sf_dir):
         .cast("double")
         .alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "lm_bigram_fluency",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(ws) AS tok FROM w)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(round((c12.c + 1) * 1.0 / (c1.c + v.vocab), 9)
+             AS DECIMAL(12,9)) AS p
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(p) / count(*), 6) AS DOUBLE) AS mean_bigram_prob
+    FROM scored GROUP BY 1
+    """,
+    "bigram-LM fluency proxy: train add-one-smoothed bigram "
+    "probabilities ON the corpus itself, score each document by its "
+    "mean bigram probability — high = built from corpus-typical word "
+    "transitions (fluent/templated), low = unusual transitions "
+    "(noisy OR novel); a standard cheap quality signal next to "
+    "perplexity. Portability: each P is ONE IEEE division of integers "
+    "(bit-identical across engines), rounded and cast to DECIMAL "
+    "before the per-doc sum, so the aggregation is exact and "
+    "order-independent — no float-sum drift, no ln() library "
+    "differences. Plan: one tokenize pass -> bigram explode, two "
+    "linear count aggs, counts join back BROADCAST (vocabulary << "
+    "corpus), one final groupBy(doc_id) — raw text never shuffles",
+)
+def lm_bigram_fluency(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
+    bg = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("ws").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("vocab")), 9
+            )
+            .cast("decimal(12,9)")
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("mean_bigram_prob"),
+    )
