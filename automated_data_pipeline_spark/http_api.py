@@ -28,7 +28,6 @@ Design notes:
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import re

@@ -4,7 +4,6 @@ uploads and drive a real pipeline run (server.js:42-169 parity)."""
 
 from __future__ import annotations
 
-import io
 import json
 import time
 import urllib.request
