@@ -540,6 +540,34 @@ def minhash_signatures(
     return based.select("id", *sigs)
 
 
+def band_bucket_frame(
+    shingled: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band, bucket) LSH band buckets from a shingle frame — the
+    ONE banding implementation shared by the batch operators
+    (``_lsh_verify_frames``), the streaming near-dup ingest
+    (``streaming/incremental_lsh.py``), and bit-reproduced by every
+    consumer's DuckDB oracle. bucket = md5 over the band's signature
+    members, so bucket ids are stable across engines and sessions."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sigs = minhash_signatures(shingled, num_hashes)
+    band_cols = []
+    for b in range(n_bands):
+        members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[m.cast("string") for m in members])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def _lsh_verify_frames(
     df: DataFrame,
     id_col: str,
@@ -572,7 +600,6 @@ def _lsh_verify_frames(
          never shuffles
     """
     assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
     # persist: the shingle arrays feed signature generation AND both
     # sides of candidate verification — recomputing the md5 pass 3x
     # dominates runtime otherwise. At cluster scale this is a
@@ -588,22 +615,7 @@ def _lsh_verify_frames(
         broadcast_verify = _should_broadcast_verify(
             stats["n"] or 0, 2 * (stats["t"] or 0)
         )
-    sigs = minhash_signatures(shingled, num_hashes)
-
-    band_cols = []
-    for b in range(n_bands):
-        members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[m.cast("string") for m in members])).alias(
-                    "bucket"
-                ),
-            )
-        )
-    buckets = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_bucket_frame(shingled, num_hashes, band_size)
 
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -1,0 +1,241 @@
+"""Incremental NEAR-dup dedup: a streaming document feed is MinHash/LSH
+deduplicated against a persistent bucket index — the near-dup companion
+of ``incremental_dedup`` (exact fingerprints). This is the production
+ingest shape for a training corpus: new crawl shards arrive
+continuously, and each must be checked against EVERYTHING already
+accepted without reprocessing the corpus.
+
+Per micro-batch:
+1. shingle + MinHash-sign the batch, band into (band, bucket) keys —
+   the exact banding the batch operators use (``dedup.band_bucket_frame``,
+   one shared implementation)
+2. within-batch near-dups: LSH candidates inside the batch, verified
+   by shingle Jaccard; survivor = smallest id of each verified pair
+   chain's endpoints (pair-minimum, the streaming-friendly contraction
+   of the batch path's connected components)
+3. cross-store near-dups: batch buckets equi-join the store's bucket
+   index (shuffle proportional to bucket collisions, never
+   batch x store), candidates verified against the store's shingle
+   payloads by the same rounded Jaccard >= threshold
+4. novel docs are checkpointed, their bucket keys and shingle payloads
+   appended to the store
+
+Store layout mirrors a real ANN/LSH serving split: ``buckets/``
+(band, bucket, doc_id — the small index rows the candidate join scans)
+separate from ``docs/`` (doc_id, shingles — the fat payloads read only
+to verify candidates). At cluster scale both become tables bucketed by
+their join keys; the payload side is the one worth co-locating.
+
+Idempotency contract = same as ``incremental_dedup``: replaying an
+already-applied batch_key leaves the store untouched and re-derives the
+same survivors from the store, so a crashed downstream write can retry.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .incremental_dedup import _has_parquet
+
+
+class LshStore:
+    """Persistent LSH index: bucket keys + shingle payloads."""
+
+    def __init__(self, path: str, num_hashes: int = 8, band_size: int = 2):
+        assert num_hashes % band_size == 0
+        self.path = path
+        self.buckets_dir = os.path.join(path, "buckets")
+        self.docs_dir = os.path.join(path, "docs")
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        os.makedirs(self.buckets_dir, exist_ok=True)
+        os.makedirs(self.docs_dir, exist_ok=True)
+
+    def buckets(self, spark: SparkSession) -> DataFrame:
+        if not _has_parquet(self.buckets_dir):
+            return spark.createDataFrame(
+                [], "band int, bucket string, doc_id bigint"
+            )
+        return spark.read.parquet(self.buckets_dir)
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        if not _has_parquet(self.docs_dir):
+            return spark.createDataFrame(
+                [],
+                "doc_id bigint, shingles array<string>, batch_key string",
+            )
+        return spark.read.parquet(self.docs_dir)
+
+    def has_batch(self, spark: SparkSession, batch_key: str) -> bool:
+        return bool(
+            self.docs(spark).filter(F.col("batch_key") == batch_key).take(1)
+        )
+
+    def append(
+        self, buckets: DataFrame, docs: DataFrame
+    ) -> None:
+        buckets.write.mode("append").parquet(self.buckets_dir)
+        docs.write.mode("append").parquet(self.docs_dir)
+
+
+def _verified_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
+    """Rounded shingle Jaccard over candidate pairs carrying sh_a/sh_b
+    arrays — identical math to the batch verifiers."""
+    o = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - o
+    return cand.withColumn(
+        "jaccard",
+        F.round(F.when(denom > 0, o / denom).otherwise(F.lit(0.0)), 6),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def near_dedup_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store: LshStore,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_key: str = "batch-0",
+    assume_fresh: bool = False,
+) -> DataFrame:
+    """One micro-batch -> its novel subset (docs near-duplicating
+    neither an earlier-id batch doc nor any stored doc), store updated.
+    Returns surviving rows (original columns). See module docstring."""
+    if not assume_fresh and store.has_batch(spark, batch_key):
+        mine = (
+            store.docs(spark)
+            .filter(F.col("batch_key") == batch_key)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return batch.join(mine, id_col, "left_semi").localCheckpoint(eager=True)
+
+    shingled = (
+        dedup.shingle_frame(batch, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    buckets = dedup.band_bucket_frame(
+        shingled, store.num_hashes, store.band_size
+    )
+
+    # (2) within-batch: candidates from shared buckets, verify, drop the
+    # larger id of every verified pair (min-id survivor per pair edge)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    in_batch_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    in_batch_dups = (
+        _verified_jaccard(
+            in_batch_cand.join(F.broadcast(sh_a), "id_a").join(
+                F.broadcast(sh_b), "id_b"
+            ),
+            threshold,
+        )
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+
+    # (3) cross-store: batch buckets vs the store's bucket index; fat
+    # shingle payloads join in ONLY for candidate doc_ids
+    store_cand = (
+        buckets.join(
+            store.buckets(spark).withColumnRenamed("doc_id", "store_id"),
+            ["band", "bucket"],
+        )
+        .select("id", "store_id")
+        .distinct()
+    )
+    store_sh = store.docs(spark).select(
+        F.col("doc_id").alias("store_id"), F.col("shingles").alias("sh_b")
+    )
+    cross_dups = (
+        _verified_jaccard(
+            store_cand.join(
+                F.broadcast(shingled.select(F.col("id"), F.col("shingles").alias("sh_a"))),
+                "id",
+            ).join(store_sh, "store_id"),
+            threshold,
+        )
+        .select(F.col("id").alias("dup_id"))
+        .distinct()
+    )
+
+    dups = in_batch_dups.union(cross_dups).distinct()
+    novel_ids = (
+        shingled.select("id")
+        .join(dups, F.col("id") == F.col("dup_id"), "left_anti")
+        .select("id")
+    )
+    novel = batch.join(
+        novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    # checkpoint BEFORE appending: the store append invalidates cached
+    # plans reading the store path (same trap incremental_dedup.py
+    # documents), and novel's lineage reads it via the anti-join
+    novel = novel.localCheckpoint(eager=True)
+    novel_shingled = shingled.join(
+        F.broadcast(novel.select(F.col(id_col).alias("id"))), "id", "left_semi"
+    )
+    store.append(
+        dedup.band_bucket_frame(novel_shingled, store.num_hashes, store.band_size)
+        .select("band", "bucket", F.col("id").cast("bigint").alias("doc_id")),
+        novel_shingled.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            "shingles",
+            F.lit(batch_key).alias("batch_key"),
+        ),
+    )
+    shingled.unpersist()
+    return novel
+
+
+def start_incremental_lsh_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    store: LshStore,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    schema: str = "doc_id bigint, text string",
+    available_now: bool = True,
+):
+    """File-source stream wiring: every file dropped in ``source_dir``
+    is a micro-batch near-deduplicated against the store; novel docs
+    land in ``out_dir``. Returns the started StreamingQuery."""
+    first = {"fresh": False}
+
+    def handle(batch_df, batch_id: int):
+        key = f"{checkpoint_dir}#{batch_id}"
+        novel = near_dedup_batch_against_store(
+            spark,
+            batch_df,
+            store,
+            threshold=threshold,
+            batch_key=key,
+            assume_fresh=first["fresh"],
+        )
+        first["fresh"] = True  # only batch 1 after a restart can replay
+        novel.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

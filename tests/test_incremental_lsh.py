@@ -1,0 +1,90 @@
+"""Streaming near-dup dedup vs the persistent LSH store: batch-level
+semantics, cross-batch near-dup rejection, replay idempotency, and the
+file-source stream wiring end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.streaming.incremental_lsh import (
+    LshStore,
+    near_dedup_batch_against_store,
+    start_incremental_lsh_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a sunny windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("sunny", "warm")  # one-token edit -> near-dup
+FAR = (
+    "completely different content about distributed query engines and "
+    "shuffle partitioning strategies for large scale analytics systems"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LshStore(str(tmp_path / "lsh_store"))
+
+
+def test_within_batch_and_cross_batch_near_dups(spark, store):
+    # batch 1: BASE survives; its near-dup (higher id) is dropped
+    b1 = _df(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    out1 = near_dedup_batch_against_store(
+        spark, b1, store, batch_key="b1"
+    )
+    assert {r["doc_id"] for r in out1.collect()} == {1, 3}
+
+    # batch 2: another near-dup of BASE must be rejected by the STORE
+    # (cross-batch), a fresh doc accepted
+    b2 = _df(spark, [(10, BASE.replace("garden", "meadow")), (11, FAR + " with extra novel words appended here")])
+    out2 = near_dedup_batch_against_store(
+        spark, b2, store, batch_key="b2", assume_fresh=True
+    )
+    got = {r["doc_id"] for r in out2.collect()}
+    assert 10 not in got and 11 in got
+
+    # store now holds exactly the survivors
+    stored = {r["doc_id"] for r in store.docs(spark).collect()}
+    assert stored == {1, 3, 11}
+
+
+def test_replay_rederives_survivors_without_double_append(spark, store):
+    b1 = _df(spark, [(1, BASE), (2, NEAR)])
+    first = near_dedup_batch_against_store(spark, b1, store, batch_key="k")
+    n_docs = store.docs(spark).count()
+    replay = near_dedup_batch_against_store(spark, b1, store, batch_key="k")
+    assert {r["doc_id"] for r in replay.collect()} == {
+        r["doc_id"] for r in first.collect()
+    }
+    assert store.docs(spark).count() == n_docs  # no duplicate append
+
+
+def test_stream_end_to_end(spark, store, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "shard1.json"), "w") as f:
+        for i, t in [(1, BASE), (2, FAR)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    with open(os.path.join(src, "shard2.json"), "w") as f:
+        for i, t in [(20, NEAR), (21, "yet another entirely unrelated document about cooking pasta at home tonight")]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    q = start_incremental_lsh_dedup(spark, src, store, out, ckpt)
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 20 near-duplicates 1 (one-token edit) and must be dropped,
+    # whichever shard order the stream picked
+    assert 20 not in kept or 1 not in kept
+    assert {2, 21} <= kept
+    assert len(kept) == 3
