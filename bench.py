@@ -340,6 +340,47 @@ def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
+    """Incremental NEAR-dup throughput: 3 json micro-batch shards of the
+    documents table, the 3rd repeating the 1st (a full shard of
+    near/exact dups), streamed against the persistent LSH bucket index.
+    Asserts the replayed shard contributed nothing novel."""
+    from automated_data_pipeline_spark.streaming.incremental_lsh import (
+        LshStore,
+        start_incremental_lsh_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="adp-bench-inclsh-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    half = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    _write_flat(half[0], "b0.json")
+    _write_flat(half[1], "b1.json")
+    _write_flat(half[0].withColumn("doc_id", F.col("doc_id") + 1_000_000), "b2.json")
+    store = LshStore(os.path.join(work, "lsh"))
+    out = os.path.join(work, "curated")
+    t0 = time.time()
+    q = start_incremental_lsh_dedup(
+        spark, src, store, out, os.path.join(work, "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    kept = spark.read.parquet(out)
+    n_replayed_kept = kept.filter(F.col("doc_id") >= 1_000_000).count()
+    assert n_replayed_kept == 0, f"replayed shard leaked {n_replayed_kept} docs"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def main():
     from automated_data_pipeline_spark.session import get_spark
     from automated_data_pipeline_spark.suite import all_specs
@@ -368,6 +409,7 @@ def main():
     timings["stream_stream_join_1h"] = bench_stream_stream_join(spark, SF_DIR)
     timings["stream_stateful_sessionize"] = bench_stream_stateful_sessionize(spark, SF_DIR)
     timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
+    timings["stream_incremental_lsh"] = bench_stream_incremental_lsh(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
