@@ -1491,8 +1491,13 @@ def label_centroids(spark, sf_dir):
     c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
     c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
     v AS (
+      -- vocabulary of the bigram TRAINING STREAM: distinct tokens of
+      -- docs that contribute bigrams (>= 2 tokens). In such a doc every
+      -- token is some bigram's w1 or w2, so this equals the Spark
+      -- side's w1-union-w2 lexicon; tokens appearing only in 1-token
+      -- docs are outside the LM by construction.
       SELECT count(DISTINCT tok) AS vocab
-      FROM (SELECT unnest(ws) AS tok FROM w)
+      FROM (SELECT unnest(ws) AS tok FROM w WHERE len(ws) >= 2)
     ),
     scored AS (
       SELECT bg.doc_id,
@@ -1521,22 +1526,37 @@ def label_centroids(spark, sf_dir):
 def lm_bigram_fluency(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
-    bg = toks.filter(F.size("ws") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
-                lambda i: F.struct(
-                    F.element_at("ws", i).alias("w1"),
-                    F.element_at("ws", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # persist: the bigram stream feeds the c12 count table, the c1
+    # count table, AND the scoring join — 3 references that would each
+    # re-run the tokenize+explode pass otherwise (the same single-scan
+    # discipline as tfidf); unpersisted after the eager materialization
+    bg = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist()
+    )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select(F.explode("ws").alias("tok")).agg(
-        F.countDistinct("tok").alias("vocab")
+    # vocab from the bigram lexicon: every token of a >=2-token doc
+    # appears as some bigram's w1 or w2, and 1-token docs score no
+    # bigrams — matches the oracle's count(DISTINCT tok) over the same
+    # tokenizer. Computed from cached bg, not a fresh tokenize pass.
+    vocab = (
+        bg.select(F.col("w1").alias("tok"))
+        .union(bg.select(F.col("w2").alias("tok")))
+        .agg(F.countDistinct("tok").alias("vocab"))
     )
     scored = (
         bg.join(F.broadcast(c12), ["w1", "w2"])
@@ -1551,9 +1571,12 @@ def lm_bigram_fluency(spark, sf_dir):
             .alias("p"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    result = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("p") / F.count(F.lit(1)), 6)
         .cast("double")
         .alias("mean_bigram_prob"),
     )
+    out = result.localCheckpoint(eager=True)
+    bg.unpersist()
+    return out
