@@ -10,9 +10,16 @@ Per micro-batch:
    the exact banding the batch operators use (``dedup.band_bucket_frame``,
    one shared implementation)
 2. within-batch near-dups: LSH candidates inside the batch, verified
-   by shingle Jaccard; survivor = smallest id of each verified pair
-   chain's endpoints (pair-minimum, the streaming-friendly contraction
-   of the batch path's connected components)
+   by shingle Jaccard; a doc is dropped iff it verifies against a
+   SMALLER-id batch doc. NOTE this greedy pairwise rule differs from
+   the batch path's connected-components collapse on transitive
+   chains: pairs (1,3) and (2,3) with 1!~2 keep {1,2} here (each kept
+   doc is pairwise-novel vs everything kept before it) while
+   ``dedup_components`` keeps only {1} (one survivor per component).
+   Pairwise is the standard ingest semantics — every RETAINED doc is
+   guaranteed not-a-near-dup of any other retained doc that arrived
+   earlier; CC additionally collapses docs that are only similar
+   through an intermediary.
 3. cross-store near-dups: batch buckets equi-join the store's bucket
    index (shuffle proportional to bucket collisions, never
    batch x store), candidates verified against the store's shingle
