@@ -97,3 +97,65 @@ def test_soap_empty_response(spark):
         spark, "u", "<e/>", transport=lambda u, e: "<soap:Envelope xmlns:soap='s'><soap:Body/></soap:Envelope>"
     )
     assert df.count() == 0
+
+
+def test_urllib_fetcher_scrapes_live_local_server(spark):
+    """REAL in-container scrape: a live local HTTP server, stdlib
+    fetch, CSS-subset selection, innerText normalization — the full S8
+    path minus JS rendering (which stays Playwright-gated)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from automated_data_pipeline_spark.sources.scrape import (
+        scrape_to_df,
+        urllib_fetcher,
+    )
+
+    HTML = b"""<html><body>
+      <h1 id="title">Quarterly Report</h1>
+      <div class="row"><span class="name">Widget A</span><td>10</td></div>
+      <div class="row"><span class="name">Widget B</span><td>20</td></div>
+      <table><tr><td class="amount">1,50</td></tr>
+             <tr><td class="amount">2,75</td></tr></table>
+      <p>footer <b>bold</b> text</p>
+    </body></html>"""
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(HTML)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/report"
+        df = scrape_to_df(
+            spark,
+            url,
+            {
+                "title": "#title",
+                "names": "div.row .name",
+                "amounts": "table td.amount",
+                "footer": "p",
+                "missing": ".nope",
+            },
+            fetcher=urllib_fetcher,
+        )
+        got = {r["selector"]: r["values"] for r in df.collect()}
+        assert got["title"] == ["Quarterly Report"]
+        assert got["names"] == ["Widget A", "Widget B"]
+        assert got["amounts"] == ["1,50", "2,75"]
+        assert got["footer"] == ["footer bold text"]
+        assert got["missing"] is None
+
+        # click paths require a JS-capable fetcher
+        with pytest.raises(NotImplementedError, match="click_selector"):
+            urllib_fetcher(url, {"x": "p"}, click_selector="#btn")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
