@@ -182,14 +182,14 @@ def near_dedup_batch_against_store(
     )
 
     dups = in_batch_dups.union(cross_dups).distinct()
-    novel_ids = (
-        shingled.select("id")
-        .join(dups, F.col("id") == F.col("dup_id"), "left_anti")
-        .select("id")
-    )
-    novel = batch.join(
-        novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
-    )
+    # Docs too short to shingle (< 2 tokens) are NOT duplicates — the
+    # near-dup measure is undefined for them, so they pass through as
+    # novel (pair them with the exact-fingerprint stream for identical-
+    # short-doc collapse). They land in the docs store with an empty
+    # shingle array (and no bucket rows) so a batch_key replay
+    # re-derives them; only shingled survivors get bucket index rows.
+    dup_as_id = dups.withColumnRenamed("dup_id", id_col)
+    novel = batch.join(dup_as_id, id_col, "left_anti")
     # checkpoint BEFORE appending: the store append invalidates cached
     # plans reading the store path (same trap incremental_dedup.py
     # documents), and novel's lineage reads it via the anti-join
@@ -197,10 +197,17 @@ def near_dedup_batch_against_store(
     novel_shingled = shingled.join(
         F.broadcast(novel.select(F.col(id_col).alias("id"))), "id", "left_semi"
     )
+    novel_short = (
+        novel.select(F.col(id_col).alias("id"))
+        .join(shingled.select("id"), "id", "left_anti")
+        .select("id", F.array().cast("array<string>").alias("shingles"))
+    )
     store.append(
         dedup.band_bucket_frame(novel_shingled, store.num_hashes, store.band_size)
         .select("band", "bucket", F.col("id").cast("bigint").alias("doc_id")),
-        novel_shingled.select(
+        novel_shingled.select("id", "shingles")
+        .union(novel_short)
+        .select(
             F.col("id").cast("bigint").alias("doc_id"),
             "shingles",
             F.lit(batch_key).alias("batch_key"),

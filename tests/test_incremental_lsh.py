@@ -88,3 +88,16 @@ def test_stream_end_to_end(spark, store, tmp_path):
     assert 20 not in kept or 1 not in kept
     assert {2, 21} <= kept
     assert len(kept) == 3
+
+
+def test_short_docs_pass_through_and_survive_replay(spark, store):
+    """Docs with < 2 tokens can't shingle — they are NOT near-dups and
+    must pass through as novel, and a replay must re-derive them."""
+    b = _df(spark, [(1, BASE), (2, "hi"), (3, "")])
+    out = near_dedup_batch_against_store(spark, b, store, batch_key="s1")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    replay = near_dedup_batch_against_store(spark, b, store, batch_key="s1")
+    assert {r["doc_id"] for r in replay.collect()} == {1, 2, 3}
+    # only the shingleable doc got bucket index rows
+    assert {r["doc_id"] for r in store.buckets(spark).collect()} == {1}
+    assert {r["doc_id"] for r in store.docs(spark).collect()} == {1, 2, 3}
