@@ -88,6 +88,27 @@ class LshStore:
         buckets.write.mode("append").parquet(self.buckets_dir)
         docs.write.mode("append").parquet(self.docs_dir)
 
+    def compact(self, spark: SparkSession, files_per_store: int = 8) -> None:
+        """Rewrite both stores into few large files. An append-only
+        ingest accretes one small parquet file per micro-batch per
+        partition; after N batches every candidate join pays N file
+        opens. Run between ingest sessions (NOT concurrently with one —
+        the rewrite is not transactional against in-flight appends).
+        Writes to a sibling temp dir and atomically swaps, so a crash
+        mid-compact leaves the original store intact."""
+        import shutil
+
+        for dir_ in (self.buckets_dir, self.docs_dir):
+            if not _has_parquet(dir_):
+                continue
+            df = spark.read.parquet(dir_).coalesce(files_per_store)
+            tmp = dir_ + ".compact"
+            df.write.mode("overwrite").parquet(tmp)
+            old = dir_ + ".old"
+            os.rename(dir_, old)
+            os.rename(tmp, dir_)
+            shutil.rmtree(old, ignore_errors=True)
+
 
 def _verified_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
     """Rounded shingle Jaccard over candidate pairs carrying sh_a/sh_b

@@ -101,3 +101,33 @@ def test_short_docs_pass_through_and_survive_replay(spark, store):
     # only the shingleable doc got bucket index rows
     assert {r["doc_id"] for r in store.buckets(spark).collect()} == {1}
     assert {r["doc_id"] for r in store.docs(spark).collect()} == {1, 2, 3}
+
+
+def test_store_compaction_preserves_content_and_dedup(spark, store, tmp_path):
+    """Compaction rewrites many small batch files into few large ones
+    without changing store content or subsequent dedup decisions."""
+    import glob
+
+    for i, (did, txt) in enumerate([(1, BASE), (2, FAR), (3, FAR + " more words here now")]):
+        near_dedup_batch_against_store(
+            spark, _df(spark, [(did, txt)]), store,
+            batch_key=f"c{i}", assume_fresh=True,
+        )
+    before_docs = {r["doc_id"] for r in store.docs(spark).collect()}
+    before_buckets = {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in store.buckets(spark).collect()
+    }
+    n_files_before = len(glob.glob(f"{store.docs_dir}/*.parquet"))
+    store.compact(spark, files_per_store=1)
+    assert len(glob.glob(f"{store.docs_dir}/*.parquet")) == 1 < n_files_before
+    assert {r["doc_id"] for r in store.docs(spark).collect()} == before_docs
+    assert {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in store.buckets(spark).collect()
+    } == before_buckets
+    # dedup decisions unchanged post-compaction
+    out = near_dedup_batch_against_store(
+        spark, _df(spark, [(9, NEAR)]), store, batch_key="c9", assume_fresh=True
+    )
+    assert out.count() == 0  # NEAR still rejected against compacted store
