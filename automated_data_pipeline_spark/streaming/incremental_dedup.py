@@ -87,6 +87,24 @@ class FingerprintStore:
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    def compact(self, spark: SparkSession, n_files: int = 8) -> None:
+        """Rewrite the append-only store into few large files (one
+        small parquet lands per micro-batch otherwise). Atomic swap via
+        a sibling temp dir; not safe concurrently with an ingest —
+        run between sessions. Same pathology/remedy as
+        ``incremental_lsh.LshStore.compact``."""
+        import shutil
+
+        if not _has_parquet(self.path):
+            return
+        df = spark.read.parquet(self.path).coalesce(n_files)
+        tmp = self.path.rstrip("/") + ".compact"
+        df.write.mode("overwrite").parquet(tmp)
+        old = self.path.rstrip("/") + ".old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
 
 def dedup_batch_against_store(
     spark: SparkSession,

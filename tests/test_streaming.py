@@ -410,3 +410,40 @@ def test_stream_progress_tracker_cumulative_and_logged(spark, tmp_path, workdir)
         assert logs and any("30 total" in r["message"] for r in logs)
     finally:
         spark.streams.removeListener(tracker)
+
+
+def test_fingerprint_store_compaction(spark, tmp_path):
+    import glob
+
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore,
+        dedup_batch_against_store,
+    )
+
+    store = FingerprintStore(str(tmp_path / "fpc"))
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"doc number {i} {j} content") for j in range(3)],
+            "doc_id bigint, text string",
+        )
+        dedup_batch_against_store(
+            spark, batch, store, batch_key=f"b{i}", assume_fresh=True
+        )
+    before = {
+        (r["fingerprint"], r["doc_id"]) for r in store.read(spark).collect()
+    }
+    n_before = len(glob.glob(f"{store.path}/*.parquet"))
+    store.compact(spark, n_files=1)
+    assert len(glob.glob(f"{store.path}/*.parquet")) == 1 < n_before
+    after = {
+        (r["fingerprint"], r["doc_id"]) for r in store.read(spark).collect()
+    }
+    assert after == before
+    # exact dup of a stored doc still rejected post-compaction
+    dup = spark.createDataFrame(
+        [(99, "doc number 0 0 content")], "doc_id bigint, text string"
+    )
+    out = dedup_batch_against_store(
+        spark, dup, store, batch_key="b9", assume_fresh=True
+    )
+    assert out.count() == 0
