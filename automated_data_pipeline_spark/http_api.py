@@ -261,6 +261,26 @@ def _make_handler(srv: PipelineApiServer):
                         500, {"error": "trigger not configured"}
                     )
                 length = int(self.headers.get("Content-Length", 0))
+                # multer parity (server.js:25 limits.fileSize): refuse
+                # oversize uploads from the header, BEFORE buffering the
+                # body — a 10 GB POST must not reach driver memory.
+                # Multipart framing overhead is ~1 KB; exact payload
+                # size is re-checked post-parse by validate_upload.
+                if length > api.UPLOAD_MAX_BYTES + 4096:
+                    # drain and DISCARD in small chunks (memory stays
+                    # bounded) so the client can finish sending and
+                    # receive the 400 instead of a broken pipe
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    return self._send(
+                        400,
+                        {"error": f"file too large: request body {length} "
+                                  f"bytes > {api.UPLOAD_MAX_BYTES} byte cap"},
+                    )
                 body = self.rfile.read(length) if length else b""
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("multipart/form-data"):

@@ -61,3 +61,19 @@ def test_tfidf_leaves_no_cache(spark):
     out = tfidf_top_terms_per_doc(spark, SF)
     assert _cache_empty(spark)
     out.count()
+
+
+def test_broadcast_verify_autoswitch_thresholds():
+    """The size heuristic flips to the shuffle join past the ceiling."""
+    from automated_data_pipeline_spark.operators.dedup import (
+        BROADCAST_VERIFY_MAX_BYTES,
+        _should_broadcast_verify,
+    )
+
+    assert _should_broadcast_verify(5_000, 2_000_000)  # sf0.1-scale: ~16MB
+    # a 100 TB-ish corpus: billions of shingles -> shuffle join
+    assert not _should_broadcast_verify(5_000_000_000, 400_000_000_000)
+    # boundary: est = shingles*8 + docs*32
+    limit_shingles = (BROADCAST_VERIFY_MAX_BYTES - 32 * 10) // 8
+    assert _should_broadcast_verify(10, limit_shingles)
+    assert not _should_broadcast_verify(10, limit_shingles + 1)

@@ -144,3 +144,16 @@ def test_trigger_upload_runs_pipeline(spark, served):
     status, err = _post(srv.port, "/pipeline/trigger", b"", "text/csv")
     assert status == 400
     assert len(_get(srv.port, "/runs")[1]) == n_before
+
+
+def test_oversize_upload_rejected_from_header(served):
+    """The body must be refused via Content-Length before buffering
+    (multer fileSize-limit parity) — and no run is created."""
+    srv, _ = served
+    n_before = len(_get(srv.port, "/runs")[1])
+    big = b"x" * (api.UPLOAD_MAX_BYTES + 8192)
+    status, err = _post(
+        srv.port, "/pipeline/trigger?filename=big.csv", big, "text/csv"
+    )
+    assert status == 400 and "too large" in err["error"]
+    assert len(_get(srv.port, "/runs")[1]) == n_before
