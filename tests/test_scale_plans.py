@@ -289,3 +289,51 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
         ).collect()
     }
     assert mem == per
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering must tighten footer min/max stats on BOTH
+    dimensions: for a selective filter on either column, most files are
+    prunable by stats — while single-column cluster_write leaves the
+    trailing dimension unprunable (every file spans its full domain)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from automated_data_pipeline_spark.plans.maintenance import (
+        cluster_write,
+        zorder_write,
+    )
+
+    # two independent uniform dims
+    df = spark.range(200_000).selectExpr(
+        "id % 512 AS x",
+        "CAST(hash(id) & 511 AS BIGINT) AS y",
+    ).repartition(8)
+    zdir = str(tmp_path / "zordered")
+    cdir = str(tmp_path / "xclustered")
+    zorder_write(df, zdir, ["x", "y"], n_files=16)
+    cluster_write(df, cdir, ["x"], n_files=16)
+
+    def prunable_fraction(d, col_idx, lo, hi):
+        total = kept = 0
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                total += 1
+                if st.max < lo or st.min > hi:
+                    continue  # prunable
+                kept += 1
+        return 1 - kept / total
+
+    # filter on y (the trailing dim): z-order prunes most row groups,
+    # x-only clustering prunes none
+    z_y = prunable_fraction(zdir, 1, 0, 31)     # y in [0, 32) = 1/16 of domain
+    c_y = prunable_fraction(cdir, 1, 0, 31)
+    assert z_y >= 0.5, f"z-order pruned only {z_y:.0%} on y"
+    assert c_y <= 0.1, f"x-clustering unexpectedly prunes y ({c_y:.0%})"
+    # filter on x still prunes under z-order (both dims share the key)
+    z_x = prunable_fraction(zdir, 0, 0, 31)
+    assert z_x >= 0.5, f"z-order pruned only {z_x:.0%} on x"
