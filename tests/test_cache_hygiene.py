@@ -77,3 +77,26 @@ def test_broadcast_verify_autoswitch_thresholds():
     limit_shingles = (BROADCAST_VERIFY_MAX_BYTES - 32 * 10) // 8
     assert _should_broadcast_verify(10, limit_shingles)
     assert not _should_broadcast_verify(10, limit_shingles + 1)
+
+
+def test_lm_bigram_fluency_leaves_no_cache(spark):
+    from automated_data_pipeline_spark.suite.llm import lm_bigram_fluency
+
+    out = lm_bigram_fluency(spark, SF)
+    assert _cache_empty(spark)
+    out.count()
+
+
+def test_incremental_lsh_batch_leaves_no_cache(spark, tmp_path):
+    from automated_data_pipeline_spark.streaming.incremental_lsh import (
+        LshStore,
+        near_dedup_batch_against_store,
+    )
+
+    docs = load(spark, SF, "documents").limit(50).select("doc_id", "text")
+    store = LshStore(str(tmp_path / "hyg_store"))
+    out = near_dedup_batch_against_store(
+        spark, docs, store, batch_key="h1", assume_fresh=True
+    )
+    assert _cache_empty(spark)
+    out.count()
