@@ -296,6 +296,54 @@ def embedding_near_dup(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each cluster, prune every
+    vector that has a lower-id cluster-mate with cosine >= threshold
+    (the lowest-id member of each near-dup group survives).
+
+    Returns (id, cluster, survives) for every input row.
+
+    ``cluster_col`` is the coarse partitioning that makes this scale:
+    at 100 TB the clusters come from the IVF k-means quantizer
+    (``ivf_index``), so the pairwise self-join is confined to one
+    cluster's rows — an equi-join shuffle on the cluster key, never an
+    all-pairs product. Cluster-size skew is AQE's skew-join case;
+    pathological giant clusters should be re-quantized (the SemDeDup
+    paper re-runs k-means with more centroids for the same reason).
+    """
+    a = df.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+    )
+    pruned = (
+        a.join(b, "c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine_rounded(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("pruned_id"))
+        .distinct()
+    )
+    return (
+        df.join(pruned, df[id_col] == pruned["pruned_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col("pruned_id").isNull().alias("survives"),
+        )
+    )
+
+
 def write_ivf_index(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -1,6 +1,6 @@
-"""The declared query suite: 91 named queries — every operator from
+"""The declared query suite: 95 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (89 with oracles, 2 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (93 with oracles, 2 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -135,9 +135,9 @@ GATE_WINDOW = [
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import events, extra, llm, parity
+    from . import curation, events, extra, llm, parity
 
-    specs = parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
+    specs = parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS + curation.SPECS
     prio = {n: i for i, n in enumerate(GATE_WINDOW)}
     head = [s for s in specs if s.name in prio]
     head.sort(key=lambda s: prio[s.name])
