@@ -176,7 +176,12 @@ def gopher_repetition(spark, sf_dir):
 )
 def cross_doc_ngram_repetition(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    ws = TX.tokens(F.col("text"))
+    # materialize the token array in its own projection FIRST: a lambda
+    # that references the raw tokens(text) EXPRESSION re-runs the whole
+    # split per element access (5 accesses x ~50 grams/doc = the scan
+    # re-tokenizes each doc ~250x — measured 14.5s -> sub-second at
+    # sf0.1 for this exact query)
+    ws = F.col("ws")
     g5 = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - 4),
@@ -189,7 +194,8 @@ def cross_doc_ngram_repetition(spark, sf_dir):
         )
     )
     u = (
-        d.filter(F.size(ws) >= 5)
+        d.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
+        .filter(F.size(ws) >= 5)
         .select("doc_id", F.explode(g5).alias("g"))
         .persist()
     )

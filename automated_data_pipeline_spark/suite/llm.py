@@ -722,7 +722,11 @@ def stratified_hash_sample(spark, sf_dir):
 )
 def repeated_ngram_ratio(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    ws = TX.tokens(F.col("text"))
+    # tokens materialized in their own projection: a lambda that binds
+    # the raw tokens(text) expression re-runs the split on every
+    # element_at access (see cross_doc_ngram_repetition)
+    d = d.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     grams = F.when(
         F.size(ws) >= 2,
         F.transform(

@@ -69,6 +69,10 @@ HEADLINE = [
     "source_mix_report",
     "label_centroids",
     "multimodal_feature_extract",
+    "semdedup_prune",
+    "gopher_repetition",
+    "cross_doc_ngram_repetition",
+    "nearest_centroid_assign",
 ]
 
 

@@ -337,3 +337,39 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # filter on x still prunes under z-order (both dims share the key)
     z_x = prunable_fraction(zdir, 0, 0, 31)
     assert z_x >= 0.5, f"z-order pruned only {z_x:.0%} on x"
+
+
+def test_curation_ops_plan_shapes(spark):
+    """Round-4 curation ops keep their scale contracts: SemDeDup's
+    pairwise join is an equi-join on the cluster key (never a cartesian
+    product), and nearest-centroid broadcasts the tiny centroid table
+    to the vector scan (no shuffle of the embedding side)."""
+    import os
+
+    from automated_data_pipeline_spark.suite import curation
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+    sem = curation.semdedup_prune(spark, sf)
+    sem.count()  # AQE-finalize
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    nca = curation.nearest_centroid_assign(spark, sf)
+    nca.count()
+    plan = nca._jdf.queryExecution().executedPlan().toString()
+    # the vec x centroid pairing must be the broadcast nested-loop of a
+    # 10-row build side, never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+    # gopher: raw text never enters an exchange (cross_doc_ngram's
+    # result is checkpoint-materialized so its visible plan is the
+    # checkpoint scan — its shuffle discipline is documented in
+    # PLANS.md instead, same as the dedup family)
+    df = curation.gopher_repetition(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
