@@ -85,11 +85,69 @@ def read_orders_json(spark: SparkSession, path: str) -> DataFrame:
     return resolve_input_columns(with_payload)
 
 
+def read_orders_columnar(
+    spark: SparkSession, path: str, fmt: str
+) -> DataFrame:
+    """Columnar scan (parquet/orc) onto the same stringly landing
+    contract as S1/S2: case-insensitive resolution, unknown columns
+    dropped, values cast to string (typing happens in Extract, keeping
+    the single coercion point). Beyond-reference source: the reference
+    whitelist is .csv/.json (api/server.js:23-31), but a Spark-native
+    pipeline's upstream is routinely parquet/orc — both readers are
+    built-in, splittable, and pushdown/pruning-capable."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt}")
+    raw = spark.read.format(fmt).load(path)
+    return resolve_input_columns(raw)
+
+
+def read_binary_assets(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Multimodal asset ingest via the binaryFile source: one row per
+    file with (path, modification_time, length, content) where content
+    is the opaque binary payload (feeds operators/multimodal). The
+    reader never decodes — decode happens in Arrow-batched mapInPandas
+    downstream. ``pattern`` is a glob over file names (e.g. '*.png').
+
+    Scale: binaryFile is splittable across files (not within a file);
+    millions of small assets parallelize naturally, single giant files
+    do not — pack those upstream (tar/parquet BLOB) instead."""
+    r = spark.read.format("binaryFile")
+    if pattern:
+        r = r.option("pathGlobFilter", pattern)
+    df = r.load(path)
+    return df.select(
+        F.col("path"),
+        F.col("modificationTime").alias("modification_time"),
+        F.col("length"),
+        F.col("content"),
+    )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus scan: line-per-row (default) or file-per-row
+    (``whole_files`` — one document per file, path retained as doc
+    identity). The ingest shape for the documents-table operators."""
+    df = spark.read.text(path, wholetext=whole_files).withColumn(
+        "path", F.input_file_name()
+    )
+    return df.select("path", F.col("value").alias("text"))
+
+
+_COLUMNAR_EXTS = {".parquet": "PARQUET", ".orc": "ORC"}
+
+
 def read_orders_file(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
     """Dispatch on extension like the reference trigger endpoint
-    (python_code/api/server.js:23-31 whitelist .csv/.json). A directory
-    (e.g. a Spark-written dataset of part files) dispatches on the
-    extension of the data files inside. Returns (frame, source_type)."""
+    (python_code/api/server.js:23-31 whitelist .csv/.json, which the
+    HTTP upload path keeps verbatim; parquet/orc are the beyond-
+    reference columnar additions for Spark-native upstreams). A
+    directory (e.g. a Spark-written dataset of part files) dispatches
+    on the extension of the data files inside. Returns
+    (frame, source_type)."""
     lower = path.lower()
     if os.path.isdir(path):
         exts = {
@@ -97,16 +155,25 @@ def read_orders_file(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
             for f in os.listdir(path)
             if not f.startswith((".", "_"))
         }
-        data_exts = exts & {".csv", ".json"}
+        data_exts = exts & ({".csv", ".json"} | set(_COLUMNAR_EXTS))
         if len(data_exts) == 1:
             lower = data_exts.pop()
         else:
             raise ValueError(
                 f"cannot infer source type for directory {path}: "
-                f"found extensions {sorted(exts)} (need exactly one of .csv/.json)"
+                f"found extensions {sorted(exts)} (need exactly one of "
+                f".csv/.json/.parquet/.orc)"
             )
     if lower.endswith(".json"):
         return read_orders_json(spark, path), "JSON"
     if lower.endswith(".csv"):
         return read_orders_csv(spark, path), "CSV"
-    raise ValueError(f"unsupported source file type: {path} (.csv/.json only)")
+    for ext, source_type in _COLUMNAR_EXTS.items():
+        if lower.endswith(ext):
+            return (
+                read_orders_columnar(spark, path, ext.lstrip(".")),
+                source_type,
+            )
+    raise ValueError(
+        f"unsupported source file type: {path} (.csv/.json/.parquet/.orc only)"
+    )

@@ -408,12 +408,19 @@ def main():
         timings[name] = round(best, 3)
 
     timings.update(bench_pipelines(spark))
-    timings["stream_tumbling_events"] = bench_stream_tumbling(spark, SF_DIR)
-    timings["stream_session_events"] = bench_stream_session(spark, SF_DIR)
-    timings["stream_stream_join_1h"] = bench_stream_stream_join(spark, SF_DIR)
-    timings["stream_stateful_sessionize"] = bench_stream_stateful_sessionize(spark, SF_DIR)
-    timings["stream_incremental_dedup"] = bench_stream_incremental_dedup(spark, SF_DIR)
-    timings["stream_incremental_lsh"] = bench_stream_incremental_lsh(spark, SF_DIR)
+
+    # streaming paths are one-shot (fresh checkpoint/store dirs per
+    # call), so a single sample eats the full shared-host noise band
+    # (measured 2x swings within an hour); min-of-2 like the queries
+    def min2(fn):
+        return round(min(fn(spark, SF_DIR), fn(spark, SF_DIR)), 3)
+
+    timings["stream_tumbling_events"] = min2(bench_stream_tumbling)
+    timings["stream_session_events"] = min2(bench_stream_session)
+    timings["stream_stream_join_1h"] = min2(bench_stream_stream_join)
+    timings["stream_stateful_sessionize"] = min2(bench_stream_stateful_sessionize)
+    timings["stream_incremental_dedup"] = min2(bench_stream_incremental_dedup)
+    timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

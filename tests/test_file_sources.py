@@ -1,0 +1,99 @@
+"""Beyond-reference file sources: columnar (parquet/orc) orders ingest
+onto the stringly landing contract, binaryFile multimodal asset ingest,
+and raw-text corpus scan. The reference whitelist (.csv/.json,
+python_code/api/server.js:23-31) stays pinned by the HTTP upload tests;
+these cover the Spark-native upstream formats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from automated_data_pipeline_spark.sources import files
+
+
+def _orders_rows():
+    return [
+        Row(OrderId="ORD-1", CustomerId="C-1", Amount=25.0, OrderDate="2024-01-02"),
+        Row(OrderId="ORD-2", CustomerId="C-2", Amount=350.0, OrderDate="2024-01-03"),
+    ]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_columnar_orders_resolve_to_landing_contract(spark, tmp_path, fmt):
+    src = str(tmp_path / f"orders_{fmt}")
+    spark.createDataFrame(_orders_rows()).write.format(fmt).save(src)
+    df = files.read_orders_columnar(spark, src, fmt)
+    assert df.columns == ["OrderId", "CustomerId", "Amount", "OrderDate", "raw_payload"]
+    # landing is stringly-typed even from a typed columnar source
+    assert dict(df.dtypes)["Amount"] == "string"
+    got = {r["OrderId"]: r["Amount"] for r in df.collect()}
+    assert got == {"ORD-1": "25.0", "ORD-2": "350.0"}
+
+
+def test_columnar_case_insensitive_and_unknown_columns(spark, tmp_path):
+    src = str(tmp_path / "orders_ci")
+    spark.createDataFrame(
+        [Row(orderid="ORD-9", CUSTOMERID="C-9", amount=10.0, extra_col="drop-me")]
+    ).write.parquet(src)
+    df = files.read_orders_columnar(spark, src, "parquet")
+    row = df.collect()[0]
+    assert row["OrderId"] == "ORD-9"
+    assert row["CustomerId"] == "C-9"
+    assert row["OrderDate"] is None
+    assert "extra_col" not in df.columns
+
+
+def test_read_orders_file_dispatches_columnar_dir(spark, tmp_path):
+    src = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(_orders_rows()).write.parquet(src)
+    df, source_type = files.read_orders_file(spark, src)
+    assert source_type == "PARQUET"
+    assert df.count() == 2
+
+
+def test_columnar_source_runs_full_pipeline(spark, tmp_path):
+    from automated_data_pipeline_spark.runner import PipelineRunner
+
+    src = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(_orders_rows()).write.parquet(src)
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    rid = runner.run(source_path=src)
+    target = runner.target.read(spark)
+    got = {r["order_id"]: r["amount_category"] for r in target.collect()}
+    assert got == {"ORD-1": "Low", "ORD-2": "High"}
+    runs = runner.control.runs(spark).filter(f"run_id = '{rid}'").collect()
+    assert runs[0]["status"] == "Success"
+
+
+def test_binary_assets_reader(spark, tmp_path):
+    from automated_data_pipeline_spark.operators import multimodal
+
+    adir = tmp_path / "assets"
+    adir.mkdir()
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    blob = multimodal.encode_png(2, 2, 3, px)
+    (adir / "a.png").write_bytes(blob)
+    (adir / "b.png").write_bytes(blob)
+    (adir / "ignore.txt").write_bytes(b"not an image")
+
+    df = files.read_binary_assets(spark, str(adir), pattern="*.png")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r["length"] for r in rows} == {len(blob)}
+    assert rows[0]["content"] == blob
+    assert df.columns == ["path", "modification_time", "length", "content"]
+
+
+def test_text_corpus_line_and_whole_modes(spark, tmp_path):
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    (cdir / "d1.txt").write_text("line one\nline two\n")
+    (cdir / "d2.txt").write_text("single doc body\n")
+
+    lines = files.read_text_corpus(spark, str(cdir))
+    assert lines.count() == 3
+    whole = files.read_text_corpus(spark, str(cdir), whole_files=True)
+    docs = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in whole.collect()}
+    assert docs["d1.txt"] == "line one\nline two\n"
+    assert docs["d2.txt"] == "single doc body\n"
