@@ -1,6 +1,6 @@
-"""The declared query suite: 95 named queries — every operator from
+"""The declared query suite: 96 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (93 with oracles, 2 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (94 with oracles, 2 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -69,13 +69,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #
 # Round-4 rotation (VERDICT r3 item 2): rounds 1-3 accumulated driver-
 # green rows for 57 names; the 28 oracle-checked queries that have
-# NEVER had a driver row all rotate in, plus 19 representatives of
-# already-proven families (one per family — parity CRUD/join/agg,
-# windows, sessionization, funnel, PPJoin, MinHash/LSH, connected
-# components, multimodal) and the 3 queries ADDED in round 4 — after
-# this round every oracle-backed query has a driver-green row from
-# some round. Rotated-out names stay strict-checked by
-# tools/check_oracles.py (run per-round, judged) and by pytest.
+# NEVER had a driver row all rotate in, plus 14 representatives of
+# already-proven families (parity CRUD/join/agg, windows,
+# sessionization, funnel, PPJoin, MinHash/LSH, connected components,
+# multimodal) and the 8 queries ADDED in round 4 — after this round
+# every oracle-backed query has a driver-green row from some round.
+# Rotated-out names stay strict-checked by tools/check_oracles.py
+# (run per-round, judged) and by pytest.
 GATE_WINDOW = [
     # -- never-gated before round 4: reference-parity + TPC-H shapes --
     "synthetic_orders_category_agg",
@@ -109,16 +109,11 @@ GATE_WINDOW = [
     "salted_join_priority_revenue",
     # -- proven-family representatives (driver-green in r1-r3) --
     "extract_typed_projection",
-    "list_runs_filtered_top100",
-    "due_schedule_predicate",
-    "max_plus_one_run_number",
-    "derived_run_status",
     "run_steps_join",
     "customers_with_orders_semi",
     "upsert_merge",
     "scalar_function_suite",
     "pricing_summary",
-    "running_total_per_customer",
     "sessionize_users",
     "conversion_funnel",
     "pit_features_7d",
@@ -131,6 +126,11 @@ GATE_WINDOW = [
     "source_mix_report",
     "label_centroids",
     "lm_bigram_fluency",
+    "semdedup_prune",
+    "gopher_repetition",
+    "cross_doc_ngram_repetition",
+    "nearest_centroid_assign",
+    "vocab_coverage",
 ]
 
 

@@ -306,3 +306,56 @@ def nearest_centroid_assign(spark, sf_dir):
         F.col("label").alias("true_label"),
         F.col("cand").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------
+@spec(
+    "vocab_coverage",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    u AS (SELECT unnest(ws) AS tok FROM w),
+    c AS (SELECT tok, count(*) AS freq FROM u GROUP BY 1),
+    t AS (SELECT sum(freq) AS total FROM c),
+    r AS (SELECT tok, freq,
+                 row_number() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM c)
+    SELECT r.tok AS token, CAST(r.rank AS BIGINT) AS rank,
+           CAST(r.freq AS BIGINT) AS freq,
+           CAST(round(sum(r.freq) OVER (ORDER BY r.rank) * 1.0 / t.total, 6)
+                AS DOUBLE) AS cum_share
+    FROM r CROSS JOIN t WHERE r.rank <= 100
+    """,
+    "Tokenizer-vocabulary coverage curve: corpus-wide token "
+    "frequencies, ranked, with the cumulative share of all token "
+    "occurrences covered by the top-k vocabulary — the "
+    "how-big-must-the-vocab-be curve a tokenizer build starts from. "
+    "Plan: one explode + count agg (map-side partials), scalar total "
+    "broadcast, TOP-100 via rank filter, and the cumulative window "
+    "runs over <= 100 rows (single tiny partition BY CONSTRUCTION — "
+    "the unbounded-window never sees the full vocabulary)",
+)
+def vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = c.agg(F.sum("freq").alias("total"))
+    r = c.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("tok"))
+        ),
+    ).filter(F.col("rank") <= 100)
+    cum = F.sum("freq").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        r.crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.round(cum / F.col("total"), 6).cast("double").alias("cum_share"),
+        )
+    )

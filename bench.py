@@ -73,6 +73,7 @@ HEADLINE = [
     "gopher_repetition",
     "cross_doc_ngram_repetition",
     "nearest_centroid_assign",
+    "vocab_coverage",
 ]
 
 
