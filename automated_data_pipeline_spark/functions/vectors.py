@@ -39,6 +39,18 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
+def cosine_rounded_safe(a: Column, b: Column, digits: int = 6) -> Column:
+    """Like cosine_rounded, but a zero-norm side yields 0.0 instead of
+    a divide-by-zero (Spark 4 ANSI mode RAISES on x/0 — a single
+    all-zero embedding would kill a whole corpus-scale job otherwise).
+    0.0 = "no similarity evidence", the right semantics for dedup/ANN
+    gates on degenerate vectors."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(dot(a, b) / denom, digits)
+    )
+
+
 def int8_scale(a: Column) -> Column:
     """Symmetric per-vector int8 quantization scale: max(|v_i|) / 127.
     Zero vectors get scale 0 (quantize maps them to all-zeros)."""

@@ -47,7 +47,7 @@ def cosine_topk(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col), digits).alias("cosine"),
+        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col), digits).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -127,7 +127,7 @@ def rhp_lsh_topk(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
     if multiprobe:
         scored = scored.distinct()  # a pair can match via several probes
@@ -251,7 +251,7 @@ def ivf_topk(
             query_id_col,
             query_vec_col,
             "ivf_cluster",
-            V.cosine_rounded(
+            V.cosine_rounded_safe(
                 F.col(query_vec_col).cast("array<double>"), F.col("centroid")
             ).alias("c_cos"),
         )
@@ -265,7 +265,7 @@ def ivf_topk(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -292,7 +292,7 @@ def embedding_near_dup(
     return cand.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        V.cosine_rounded(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        V.cosine_rounded_safe(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -330,7 +330,7 @@ def semantic_dedup(
     pruned = (
         a.join(b, "c")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine_rounded(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(V.cosine_rounded_safe(F.col("v_a"), F.col("v_b")) >= threshold)
         .select(F.col("id_b").alias("pruned_id"))
         .distinct()
     )
@@ -400,7 +400,7 @@ def ivf_topk_persisted(
             query_id_col,
             query_vec_col,
             "ivf_cluster",
-            V.cosine_rounded(
+            V.cosine_rounded_safe(
                 F.col(query_vec_col).cast("array<double>"), F.col("centroid")
             ).alias("c_cos"),
         )
@@ -417,7 +417,7 @@ def ivf_topk_persisted(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

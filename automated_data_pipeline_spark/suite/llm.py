@@ -456,7 +456,7 @@ def embedding_near_dup_brute(spark, sf_dir):
         pairs.select(
             F.col("qid").alias("id_a"),
             F.col("vec_id").alias("id_b"),
-            V.cosine_rounded(F.col("embedding"), F.col("qe")).alias("cosine"),
+            V.cosine_rounded_safe(F.col("embedding"), F.col("qe")).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
     )

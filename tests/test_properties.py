@@ -289,3 +289,76 @@ def test_conversion_funnel_matches_brute_force_with_bot_user(
     got = conversion_funnel(spark, sf_dir).first()
     exp = _brute_funnel([(u, t, ts) for u, t, ts in all_events])
     assert (got["n_view"], got["n_click"], got["n_purchase"]) == exp
+
+
+# ------------------------------------------------------------------
+# SemDeDup pruning (round 4): Spark result must equal the brute-force
+# definition — a vector is pruned iff SOME lower-id vector in the same
+# cluster has rounded cosine >= threshold (NOT transitive closure: a
+# pruned vector still prunes its own higher-id neighbors).
+def _brute_semdedup(rows, threshold):
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(d / (na * nb), 6)
+
+    survives = {}
+    for vid, label, vec in rows:
+        pruned = any(
+            o_label == label and o_vid < vid and cos(o_vec, vec) >= threshold
+            for o_vid, o_label, o_vec in rows
+        )
+        survives[vid] = not pruned
+    return survives
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # ids (dupes filtered below)
+            st.integers(0, 2),   # cluster label
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=2, max_size=14,
+        unique_by=lambda r: r[0],
+    ),
+    threshold=st.sampled_from([0.3, 0.7, 0.95]),
+)
+@settings(**_SETTINGS)
+def test_semdedup_matches_bruteforce(spark, rows, threshold):
+    from automated_data_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(vid, label, [float(x) for x in vec]) for vid, label, vec in rows],
+        "vec_id int, label int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["survives"]
+        for r in similarity.semantic_dedup(df, threshold=threshold).collect()
+    }
+    # brute force must see the same float32 values Spark stored
+    import numpy as np
+
+    rows32 = [
+        (vid, label, [float(np.float32(x)) for x in vec])
+        for vid, label, vec in rows
+    ]
+    want = _brute_semdedup(rows32, threshold)
+    # cosine values that land EXACTLY on the threshold after rounding
+    # are engine-order-robust (both sides compare the same rounded
+    # value), so exact dict equality is the right assertion
+    assert got == want
+    # the lowest id of every cluster always survives
+    by_label = {}
+    for vid, label, _ in rows:
+        by_label.setdefault(label, []).append(vid)
+    for label, ids in by_label.items():
+        assert got[min(ids)] is True
