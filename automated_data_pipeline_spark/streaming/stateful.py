@@ -49,24 +49,70 @@ def _sessionize_user(
             start, last, n, total = state.get
         else:
             start, last, n, total = None, None, 0, 0.0
-        events: list[tuple[int, float]] = []
+        import numpy as np
+
+        chunks_t, chunks_v = [], []
         for pdf in pdfs:
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            for t, v in zip(ts_us, pdf["value"].fillna(0.0)):
-                events.append((int(t), float(v)))
-        events.sort()
-        for t_us, v in events:
-            if start is None:
-                start, last, n, total = t_us, t_us, 1, v
-            elif t_us - last > gap_us:
-                closed.append((start, last, n, total))
-                start, last, n, total = t_us, t_us, 1, v
+            chunks_t.append(pdf["ts"].astype("int64").to_numpy() // 1000)
+            chunks_v.append(pdf["value"].fillna(0.0).to_numpy(dtype="float64"))
+        if chunks_t:
+            t = np.concatenate(chunks_t)
+            v = np.concatenate(chunks_v)
+            order = np.argsort(t, kind="stable")
+            t, v = t[order], v[order]
+            # Vectorized equivalent of the per-event loop: after the
+            # sort, a session closes exactly where the gap between
+            # consecutive events exceeds gap_us. Two subtleties keep
+            # parity with carried state:
+            # (1) an event at or before state's `last` ALWAYS merges
+            #     (t - last <= 0 <= gap), so fold those in wholesale;
+            # (2) events after `last` segment by diff-over-gap with
+            #     `last` itself as the seed boundary.
+            if start is not None:
+                le = t <= last
+                if le.any():
+                    start = min(start, int(t[0]))
+                    n += int(le.sum())
+                    total += float(v[le].sum())
+                    t, v = t[~le], v[~le]
+                seed = np.concatenate(([last], t))
             else:
-                # cross-batch out-of-order arrivals (late but above the
-                # watermark) may precede `last`; merge them without
-                # moving the session backward or forward incorrectly
-                start = min(start, t_us)
-                last, n, total = max(last, t_us), n + 1, total + v
+                seed = t
+            if len(t):
+                brk = np.nonzero(np.diff(seed) > gap_us)[0]
+                if start is not None:
+                    # brk indexes gaps in [last, t...]; gap positions
+                    # translate to segment starts within t directly
+                    seg_starts = brk
+                else:
+                    seg_starts = brk + 1
+                    seg_starts = np.concatenate(([0], seg_starts))
+                if start is not None:
+                    if len(brk) == 0 or brk[0] != 0:
+                        # first events continue the carried session
+                        first_end = seg_starts[0] if len(brk) else len(t)
+                        start = min(start, int(t[0]))
+                        last = max(last, int(t[first_end - 1]))
+                        n += int(first_end)
+                        total += float(v[:first_end].sum())
+                        if len(brk) == 0:
+                            seg_starts = np.array([], dtype="int64")
+                    if len(seg_starts):
+                        closed.append((start, last, n, total))
+                        start = None
+                if len(seg_starts):
+                    bounds = np.concatenate((seg_starts, [len(t)]))
+                    csum = np.concatenate(([0.0], np.cumsum(v)))
+                    for i in range(len(seg_starts)):
+                        s, e = int(bounds[i]), int(bounds[i + 1])
+                        seg = (
+                            int(t[s]), int(t[e - 1]), e - s,
+                            float(csum[e] - csum[s]),
+                        )
+                        if i < len(seg_starts) - 1:
+                            closed.append(seg)
+                        else:
+                            start, last, n, total = seg
         if start is not None:
             state.update((start, last, n, total))
             state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)  # ms

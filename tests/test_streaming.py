@@ -447,3 +447,85 @@ def test_fingerprint_store_compaction(spark, tmp_path):
         spark, dup, store, batch_key="b9", assume_fresh=True
     )
     assert out.count() == 0
+
+
+def test_sessionize_user_state_merge_edges():
+    """The vectorized _sessionize_user must preserve the loop semantics
+    on carried-state edges: (a) events at/below state's `last` always
+    merge; (b) an immediate gap closes the carried session; (c) a
+    continuing chunk extends it; (d) multiple segments split correctly."""
+    import pandas as pd
+
+    from automated_data_pipeline_spark.streaming.stateful import _sessionize_user
+
+    GAP = 10_000_000  # 10s in us
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def remove(self):
+            self._v = None
+
+    def run(state_val, ts_us, values):
+        st = FakeState(state_val)
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([t * 1000 for t in ts_us]), "value": values}
+        )
+        out = list(_sessionize_user((7,), iter([pdf]), st, GAP))
+        closed = []
+        if out:
+            for _, r in out[0].iterrows():
+                closed.append(
+                    (r["session_start"].value // 1000,
+                     r["session_end"].value // 1000,
+                     int(r["n_events"]), float(r["total_value"]))
+                )
+        return closed, st.updated
+
+    S = 1_000_000  # 1s
+    # (a) late-but-above-watermark events (t <= last) merge, never close
+    closed, updated = run((0, 20 * S, 2, 5.0), [5 * S, 10 * S], [1.0, 2.0])
+    assert closed == []
+    assert updated == (0, 20 * S, 4, 8.0)
+
+    # (b) immediate gap: carried session closes, fresh one opens
+    closed, updated = run((0, 5 * S, 1, 1.0), [100 * S], [3.0])
+    assert closed == [(0, 5 * S, 1, 1.0)]
+    assert updated == (100 * S, 100 * S, 1, 3.0)
+
+    # (c) continuing chunk extends the carried session, later gap splits
+    closed, updated = run(
+        (0, 5 * S, 1, 1.0), [8 * S, 12 * S, 100 * S, 103 * S], [1.0, 1.0, 5.0, 5.0]
+    )
+    assert closed == [(0, 12 * S, 3, 3.0)]
+    assert updated == (100 * S, 103 * S, 2, 10.0)
+
+    # (d) no state: multiple segments, last stays open
+    closed, updated = run(None, [0, S, 50 * S, 51 * S, 200 * S], [1.0] * 5)
+    assert closed == [(0, S, 2, 2.0), (50 * S, 51 * S, 2, 2.0)]
+    assert updated == (200 * S, 200 * S, 1, 1.0)
+
+    # (a)+(b) combined: merge late events THEN close on gap
+    closed, updated = run(
+        (0, 20 * S, 2, 5.0), [5 * S, 100 * S], [1.0, 7.0]
+    )
+    assert closed == [(0, 20 * S, 3, 6.0)]
+    assert updated == (100 * S, 100 * S, 1, 7.0)
