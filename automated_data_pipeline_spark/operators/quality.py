@@ -1,0 +1,84 @@
+"""Data-quality rule checking (expectation suite over DataFrames).
+
+The reference validates rows only implicitly (Extract's invalid-row
+filter, SURVEY.md §2.2 P2, `003_sp_extract.sql:24`); a production
+pipeline additionally wants declarative table-level expectations —
+null-rate, uniqueness, range, referential membership — evaluated as a
+report, not a crash. This is the Deequ/dbt-test shape, Spark-first.
+
+Scale design: every rule is a boolean column expression folded into ONE
+aggregate pass over the table (sum of 0/1 casts + count(*)), so a
+50-rule suite costs a single scan with map-side partials — no per-rule
+jobs, no shuffle beyond the final scalar row. Uniqueness rules need a
+groupBy on the key (one shuffle) and are evaluated in the same report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rule_report(
+    df: DataFrame, table: str, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Evaluate (check_name, violation_condition) rules in one scan.
+    A rule's condition is TRUE when the row VIOLATES the expectation.
+    Returns one row per rule: (table, check, n_rows, n_violations,
+    violation_rate)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, cond) in enumerate(rules):
+        aggs.append(
+            F.sum(F.coalesce(cond.cast("int"), F.lit(0))).alias(f"_v{i}")
+        )
+    row = df.agg(*aggs)
+    # ONE aggregate row -> N report rows via explode. (A per-rule
+    # select + union would re-execute the aggregate — and therefore
+    # re-SCAN the table — once per rule.)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(f"_v{i}").cast("bigint").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return (
+        row.select(
+            F.col("_n").cast("bigint").alias("n_rows"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            F.lit(table).alias("table_name"),
+            F.col("p.check_name").alias("check_name"),
+            F.col("n_rows"),
+            F.col("p.n_violations").alias("n_violations"),
+            F.round(F.col("p.n_violations") / F.col("n_rows"), 6)
+            .cast("double")
+            .alias("violation_rate"),
+        )
+    )
+
+
+def uniqueness_report(
+    df: DataFrame, table: str, key_cols: list[str]
+) -> DataFrame:
+    """Duplicate-key expectation: one shuffle on the key, reported in
+    the same (table, check, n_rows, n_violations, rate) shape. A
+    violation is every row beyond the first for its key."""
+    total = df.count()
+    dup_rows = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"))
+    )
+    return dup_rows.select(
+        F.lit(table).alias("table_name"),
+        F.lit(f"unique({','.join(key_cols)})").alias("check_name"),
+        F.lit(total).cast("bigint").alias("n_rows"),
+        F.col("extra").cast("bigint").alias("n_violations"),
+        F.round(F.col("extra") / F.lit(total), 6)
+        .cast("double")
+        .alias("violation_rate"),
+    )

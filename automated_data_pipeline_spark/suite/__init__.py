@@ -1,6 +1,6 @@
-"""The declared query suite: 96 named queries — every operator from
+"""The declared query suite: 97 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (94 with oracles, 2 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (95 with oracles, 2 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -132,6 +132,20 @@ GATE_WINDOW = [
     "nearest_centroid_assign",
     "vocab_coverage",
 ]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view (through ``load``'s
+    timestamp normalization), so users can drive the engine with raw
+    ``spark.sql`` — the same surface the DuckDB oracles use. Returns
+    the registered names."""
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return tables
 
 
 def all_specs() -> list[QuerySpec]:

@@ -359,3 +359,87 @@ def vocab_coverage(spark, sf_dir):
             F.round(cum / F.col("total"), 6).cast("double").alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "data_quality_report",
+    """
+    WITH o AS (
+      SELECT 'orders' AS table_name, check_name, n_rows, n_violations,
+             CAST(round(n_violations * 1.0 / n_rows, 6) AS DOUBLE) AS violation_rate
+      FROM (
+        SELECT unnest(['not_null(o_orderkey)', 'range(o_totalprice <= 400000)',
+                       'fresh(o_orderdate >= 1993-01-01)']) AS check_name,
+               unnest([CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT),
+                       CAST(count(*) FILTER (o_totalprice > 400000) AS BIGINT),
+                       CAST(count(*) FILTER (o_orderdate < DATE '1993-01-01') AS BIGINT)]) AS n_violations,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+      )
+    ),
+    l AS (
+      SELECT 'lineitem' AS table_name, check_name, n_rows, n_violations,
+             CAST(round(n_violations * 1.0 / n_rows, 6) AS DOUBLE) AS violation_rate
+      FROM (
+        SELECT unnest(['range(l_discount in [0, 0.08])', 'positive(l_quantity)']) AS check_name,
+               unnest([CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.08) AS BIGINT),
+                       CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT)]) AS n_violations,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+      )
+    ),
+    u AS (
+      SELECT 'lineitem' AS table_name,
+             'unique(l_orderkey,l_linenumber)' AS check_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             CAST((SELECT count(*) FROM lineitem)
+                  - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+                  AS BIGINT) AS n_violations,
+             CAST(round(((SELECT count(*) FROM lineitem)
+                  - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))
+                  * 1.0 / (SELECT count(*) FROM lineitem), 6) AS DOUBLE) AS violation_rate
+    )
+    SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM u
+    """,
+    "Declarative data-quality expectation report (the Deequ/dbt-test "
+    "shape the reference's P2 invalid-row filter only hints at): "
+    "null-rate, range, freshness, and duplicate-key checks over "
+    "orders + lineitem as (table, check, n_rows, n_violations, rate) "
+    "rows. Plan: ALL boolean rules for a table fold into ONE "
+    "aggregate scan (sum of 0/1 casts, map-side partials); the "
+    "uniqueness rule adds one groupBy shuffle on the key — a 50-rule "
+    "suite still costs two scans + one shuffle, never per-rule jobs",
+)
+def data_quality_report(spark, sf_dir):
+    from ..operators import quality
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    o_report = quality.rule_report(
+        orders,
+        "orders",
+        [
+            ("not_null(o_orderkey)", F.col("o_orderkey").isNull()),
+            ("range(o_totalprice <= 400000)", F.col("o_totalprice") > 400000),
+            (
+                "fresh(o_orderdate >= 1993-01-01)",
+                F.col("o_orderdate") < F.lit("1993-01-01").cast("date"),
+            ),
+        ],
+    )
+    l_report = quality.rule_report(
+        lineitem,
+        "lineitem",
+        [
+            (
+                "range(l_discount in [0, 0.08])",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
+            ),
+            ("positive(l_quantity)", F.col("l_quantity") <= 0),
+        ],
+    )
+    u_report = quality.uniqueness_report(
+        lineitem, "lineitem", ["l_orderkey", "l_linenumber"]
+    )
+    return o_report.unionAll(l_report).unionAll(u_report)

@@ -74,6 +74,7 @@ HEADLINE = [
     "cross_doc_ngram_repetition",
     "nearest_centroid_assign",
     "vocab_coverage",
+    "data_quality_report",
 ]
 
 
