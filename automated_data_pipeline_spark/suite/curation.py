@@ -1,6 +1,8 @@
 """Round-4 corpus-curation additions: SemDeDup-style semantic dedup,
 Gopher-style repetition filters, cross-document n-gram repetition
-(the ExactSubstr signal), and nearest-centroid assignment.
+(the ExactSubstr signal), nearest-centroid assignment, the
+tokenizer-vocabulary coverage curve, and the data-quality expectation
+report (operators/quality.py).
 
 These extend the LLM-pipeline surface (BASELINE.json mandate) with the
 curation signals a 100 TB training-data pipeline runs between raw
