@@ -97,6 +97,39 @@ def stream_stream_join(
     return l.join(r, cond, "inner").withColumnRenamed("_k", on).drop("_k2")
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with the same range constraint as
+    ``stream_stream_join``. Unmatched left rows are emitted with NULL
+    right columns — but only once the watermark passes the end of their
+    join window (Spark must be certain no matching right row can still
+    arrive), so outer results trail the inner ones by up to
+    ``within + watermark`` of event time. That delayed-null contract is
+    the outer-join analogue of append-mode window emission, and the
+    state stays bounded exactly like the inner variant."""
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on).alias("_k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != on],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("_k2"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    cond = (
+        (F.col("_k") == F.col("_k2"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return l.join(r, cond, "left_outer").withColumnRenamed("_k", on).drop("_k2")
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

@@ -529,3 +529,60 @@ def test_sessionize_user_state_merge_edges():
     )
     assert closed == [(0, 20 * S, 3, 6.0)]
     assert updated == (100 * S, 100 * S, 1, 7.0)
+
+
+def test_stream_stream_left_join_emits_delayed_nulls(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit like the inner
+    join; an unmatched left row emits with NULL right columns once the
+    watermark passes its join window (never before — Spark must rule
+    out a late match)."""
+    import time as _time
+    from datetime import datetime, timedelta
+    from pyspark.sql import Row
+
+    base = datetime(2024, 6, 1, 12, 0, 0)
+    pdir = str(tmp_path / "purchases")
+    cdir = str(tmp_path / "clicks")
+    schema = "user_id bigint, ts timestamp, eid string"
+
+    def write(d, rows):
+        spark.createDataFrame([Row(**r) for r in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    # clicks first so the matching right row is in state before its
+    # purchase arrives
+    write(cdir, [dict(user_id=1, ts=base, eid="c1")])
+    write(pdir, [dict(user_id=1, ts=base + timedelta(minutes=30), eid="p1")])
+    write(pdir, [dict(user_id=2, ts=base + timedelta(minutes=5), eid="p2")])  # no click
+    # sentinels on BOTH inputs (the join watermark is the minimum over
+    # all inputs): first advance pushes it far past every join window,
+    # the following batch triggers eviction/null-emission of expired
+    # left state
+    write(cdir, [dict(user_id=-2, ts=base + timedelta(hours=5), eid="cs")])
+    write(pdir, [dict(user_id=-1, ts=base + timedelta(hours=5), eid="s1")])
+    write(pdir, [dict(user_id=-1, ts=base + timedelta(hours=6), eid="s2")])
+
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    )
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    )
+    out = _run_stream(
+        spark,
+        SW.stream_stream_left_join(
+            purchases.withColumnRenamed("eid", "purchase_id"),
+            clicks.withColumnRenamed("eid", "click_id"),
+            on="user_id",
+            within="1 hour",
+        ),
+        "ss_left_join_out",
+    )
+    rows = {
+        r["l_purchase_id"]: r["r_click_id"]
+        for r in out.collect()
+        if not r["l_purchase_id"].startswith("s")
+    }
+    assert rows == {"p1": "c1", "p2": None}
