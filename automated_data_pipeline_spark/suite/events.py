@@ -457,3 +457,121 @@ def top_event_transitions(spark, sf_dir):
         .orderBy(F.desc("n"), "from_type", "to_type")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "ts_pattern_match",
+    """
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             CAST((epoch(max(date_trunc('hour', ts))) - epoch(min(date_trunc('hour', ts)))) / 3600 + 1 AS BIGINT) AS n_hours
+      FROM events
+    ),
+    hc AS (
+      SELECT user_id,
+             CAST((epoch(date_trunc('hour', ts)) - epoch(b.h0)) / 3600 AS BIGINT) AS idx,
+             count(*) AS c
+      FROM events CROSS JOIN b GROUP BY 1, 2
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    g AS (SELECT u.user_id, unnest(range(b.n_hours)) AS idx FROM u CROSS JOIN b),
+    s AS (
+      SELECT g.user_id, g.idx, coalesce(hc.c, 0) AS c
+      FROM g LEFT JOIN hc ON g.user_id = hc.user_id AND g.idx = hc.idx
+    ),
+    pat AS (SELECT * FROM (VALUES (0, 0), (1, 4), (2, 0), (3, 0)) p(j, pv)),
+    offs AS (SELECT unnest(range(b.n_hours - 3)) AS o FROM b),
+    d AS (
+      SELECT s.user_id, offs.o AS off,
+             sum((s.c - pat.pv) * (s.c - pat.pv)) AS dist
+      FROM offs JOIN pat ON true
+      JOIN s ON s.idx = offs.o + pat.j
+      GROUP BY 1, 2
+    ),
+    pick AS (
+      SELECT user_id, off, dist,
+             row_number() OVER (PARTITION BY user_id ORDER BY dist, off) AS rn
+      FROM d
+    )
+    SELECT user_id, CAST(off AS BIGINT) AS best_offset,
+           CAST(dist AS BIGINT) AS best_dist
+    FROM pick WHERE rn = 1
+    """,
+    "Time-series pattern matching (the subsequence-similarity-search "
+    "shape of EDBT'19 'Time Series Similarity Search for Streaming "
+    "Data'): per user, build the dense hourly event-count series "
+    "(zero-filled grid) and slide a 4-hour burst pattern [0,4,0,0] "
+    "across it under squared Euclidean distance; report each user's "
+    "best-matching offset. All-integer arithmetic -> exact cross-"
+    "engine. Plan: one (user, hour) count shuffle, one user shuffle "
+    "to assemble the series map, then the whole slide is per-row "
+    "array HOFs (codegen, zero additional shuffle, no explode of the "
+    "users x offsets x window product the SQL twin materializes)",
+)
+def ts_pattern_match(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    PAT = [0, 4, 0, 0]
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.select(
+        F.unix_timestamp(F.min(hour)).alias("e0"),
+        (
+            (F.unix_timestamp(F.max(hour)) - F.unix_timestamp(F.min(hour)))
+            / 3600 + 1
+        ).cast("bigint").alias("n_hours"),
+    )
+    hc = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            ((F.unix_timestamp(hour) - F.col("e0")) / 3600)
+            .cast("bigint")
+            .alias("idx"),
+            "n_hours",
+        )
+        .groupBy("user_id", "idx", "n_hours")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = hc.groupBy("user_id", "n_hours").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "c"))).alias("m")
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_hours") - 1),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
+    )
+    series = series.select("user_id", "n_hours", counts.alias("cs"))
+    pat = F.array(*[F.lit(v) for v in PAT])
+    wins = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_hours") - len(PAT)),
+        lambda o: F.struct(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(len(PAT))),
+                F.lit(0).cast("bigint"),
+                lambda acc, j: acc
+                + F.pow(
+                    F.element_at(F.col("cs"), (o + j).cast("int"))
+                    - F.element_at(pat, j),
+                    2,
+                ).cast("bigint"),
+            ).alias("dist"),
+            o.alias("off"),
+        ),
+    )
+    best = F.aggregate(
+        wins,
+        F.struct(
+            F.lit(None).cast("bigint").alias("dist"),
+            F.lit(None).cast("bigint").alias("off"),
+        ),
+        lambda acc, x: F.when(
+            acc["dist"].isNull()
+            | (x["dist"] < acc["dist"])
+            | ((x["dist"] == acc["dist"]) & (x["off"] < acc["off"])),
+            x,
+        ).otherwise(acc),
+    )
+    return series.select(
+        "user_id",
+        best["off"].alias("best_offset"),
+        best["dist"].alias("best_dist"),
+    )

@@ -75,6 +75,7 @@ HEADLINE = [
     "nearest_centroid_assign",
     "vocab_coverage",
     "data_quality_report",
+    "ts_pattern_match",
 ]
 
 
