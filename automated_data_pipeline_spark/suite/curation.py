@@ -445,3 +445,64 @@ def data_quality_report(spark, sf_dir):
         lineitem, "lineitem", ["l_orderkey", "l_linenumber"]
     )
     return o_report.unionAll(l_report).unionAll(u_report)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "length_vocab_correlation",
+    f"""
+    WITH w AS (
+      SELECT lang,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS x,
+             CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS y
+      FROM documents
+    ),
+    a AS (
+      SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM w GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(round((n*sxy - sx*sy)
+                / sqrt((n*sxx - sx*sx) * 1.0 * (n*syy - sy*sy)), 4)
+                AS DOUBLE) AS corr_len_vocab
+    FROM a
+    """,
+    "Per-language Pearson correlation between document length and "
+    "distinct-vocabulary size — the lexical-diversity signal (near-1 "
+    "= vocabulary grows linearly with length; low = repetitive "
+    "corpus). The engineering point: Spark's built-in corr() "
+    "accumulates FLOATS in partition order (run-to-run "
+    "nondeterministic), so this hand-rolls the five moment sums as "
+    "exact integers (order-independent) and evaluates the closed form "
+    "once in IEEE double — bit-identical cross-engine. At 100 TB the "
+    "moment sums move to DECIMAL(38,0) (int64 overflows ~2^63); the "
+    "shape stays one scan + one tiny groupBy",
+)
+def length_vocab_correlation(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    d = d.select(
+        "lang", TX.tokens(F.col("text")).alias("ws")
+    ).select(
+        "lang",
+        F.size("ws").cast("bigint").alias("x"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("y"),
+    )
+    a = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx) * F.lit(1.0) * (n * F.col("syy") - sy * sy)
+    )
+    return a.select(
+        "lang",
+        n.cast("bigint").alias("n_docs"),
+        F.round(num / den, 4).cast("double").alias("corr_len_vocab"),
+    )

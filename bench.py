@@ -76,6 +76,7 @@ HEADLINE = [
     "vocab_coverage",
     "data_quality_report",
     "ts_pattern_match",
+    "length_vocab_correlation",
 ]
 
 
