@@ -28,8 +28,12 @@ def rule_report(
     violation_rate)."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (_, cond) in enumerate(rules):
+        # outer coalesce: sum over ZERO rows is NULL — an empty table
+        # (or empty micro-batch) must report 0 violations, not NULL
         aggs.append(
-            F.sum(F.coalesce(cond.cast("int"), F.lit(0))).alias(f"_v{i}")
+            F.coalesce(
+                F.sum(F.coalesce(cond.cast("int"), F.lit(0))), F.lit(0)
+            ).alias(f"_v{i}")
         )
     row = df.agg(*aggs)
     # ONE aggregate row -> N report rows via explode. (A per-rule
@@ -54,7 +58,8 @@ def rule_report(
             F.col("p.check_name").alias("check_name"),
             F.col("n_rows"),
             F.col("p.n_violations").alias("n_violations"),
-            F.round(F.col("p.n_violations") / F.col("n_rows"), 6)
+            F.when(F.col("n_rows") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("p.n_violations") / F.col("n_rows"), 6))
             .cast("double")
             .alias("violation_rate"),
         )
@@ -73,12 +78,15 @@ def uniqueness_report(
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"))
     )
+    rate = (
+        F.lit(0.0)
+        if total == 0  # empty table: 0/0 raises under ANSI mode
+        else F.round(F.col("extra") / F.lit(total), 6)
+    )
     return dup_rows.select(
         F.lit(table).alias("table_name"),
         F.lit(f"unique({','.join(key_cols)})").alias("check_name"),
         F.lit(total).cast("bigint").alias("n_rows"),
         F.col("extra").cast("bigint").alias("n_violations"),
-        F.round(F.col("extra") / F.lit(total), 6)
-        .cast("double")
-        .alias("violation_rate"),
+        rate.cast("double").alias("violation_rate"),
     )

@@ -57,8 +57,27 @@ def attach_quality_monitor(
     """
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
-        report = batch_quality_report(batch_df, batch_id, table, rules)
-        report.write.mode("append").parquet(metrics_path)
+        spark = batch_df.sparkSession
+        # replay idempotency: foreachBatch redelivers a batch_id when a
+        # failure lands between our append and the checkpoint commit;
+        # skip the report if this batch already reported (same contract
+        # as the incremental-dedup FingerprintStore)
+        import os
+
+        already = False
+        if os.path.isdir(metrics_path) and any(
+            f.endswith(".parquet") for f in os.listdir(metrics_path)
+        ):
+            already = (
+                spark.read.parquet(metrics_path)
+                .filter(F.col("batch_id") == int(batch_id))
+                .limit(1)
+                .count()
+                > 0
+            )
+        if not already:
+            report = batch_quality_report(batch_df, batch_id, table, rules)
+            report.write.mode("append").parquet(metrics_path)
         if handler is not None:
             handler(batch_df, batch_id)
 

@@ -102,12 +102,16 @@ def _sessionize_user(
                         start = None
                 if len(seg_starts):
                     bounds = np.concatenate((seg_starts, [len(t)]))
-                    csum = np.concatenate(([0.0], np.cumsum(v)))
+                    # per-segment sums accumulate from zero (reduceat),
+                    # not as prefix-sum differences — csum[e]-csum[s]
+                    # carries cancellation error proportional to the
+                    # prefix magnitude, which can flip round(total, 6)
+                    seg_sums = np.add.reduceat(v, seg_starts.astype(np.intp))
                     for i in range(len(seg_starts)):
                         s, e = int(bounds[i]), int(bounds[i + 1])
                         seg = (
                             int(t[s]), int(t[e - 1]), e - s,
-                            float(csum[e] - csum[s]),
+                            float(seg_sums[i]),
                         )
                         if i < len(seg_starts) - 1:
                             closed.append(seg)

@@ -69,10 +69,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #
 # Round-4 rotation (VERDICT r3 item 2): rounds 1-3 accumulated driver-
 # green rows for 57 names; the 28 oracle-checked queries that have
-# NEVER had a driver row all rotate in, plus 14 representatives of
+# NEVER had a driver row all rotate in, plus 11 representatives of
 # already-proven families (parity CRUD/join/agg, windows,
 # sessionization, funnel, PPJoin, MinHash/LSH, connected components,
-# multimodal) and the 8 queries ADDED in round 4 — after this round
+# multimodal) and the 11 queries ADDED in round 4 — after this round
 # every oracle-backed query has a driver-green row from some round.
 # Rotated-out names stay strict-checked by tools/check_oracles.py
 # (run per-round, judged) and by pytest.
@@ -110,10 +110,7 @@ GATE_WINDOW = [
     # -- proven-family representatives (driver-green in r1-r3) --
     "extract_typed_projection",
     "run_steps_join",
-    "customers_with_orders_semi",
     "upsert_merge",
-    "scalar_function_suite",
-    "pricing_summary",
     "sessionize_users",
     "conversion_funnel",
     "pit_features_7d",
@@ -131,6 +128,9 @@ GATE_WINDOW = [
     "cross_doc_ngram_repetition",
     "nearest_centroid_assign",
     "vocab_coverage",
+    "data_quality_report",
+    "ts_pattern_match",
+    "length_vocab_correlation",
 ]
 
 

@@ -40,10 +40,17 @@ def spec(name, oracle, doc=""):
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
+# zero-norm guard mirrors the Spark side's cosine_rounded_safe: without
+# it DuckDB yields 0/0 = NaN, and NaN >= tau is TRUE under DuckDB's
+# NaN-sorts-greatest semantics — the engines would disagree on
+# degenerate vectors
 _COS_SQL = (
+    "(CASE WHEN (SELECT sum(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0"
+    "   OR (SELECT sum(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0"
+    " THEN 0.0 ELSE "
     "round((SELECT sum(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))"
     " / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))"
-    "  * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6)"
+    "  * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) END)"
 )
 
 
@@ -332,9 +339,10 @@ def nearest_centroid_assign(spark, sf_dir):
     "occurrences covered by the top-k vocabulary — the "
     "how-big-must-the-vocab-be curve a tokenizer build starts from. "
     "Plan: one explode + count agg (map-side partials), scalar total "
-    "broadcast, TOP-100 via rank filter, and the cumulative window "
-    "runs over <= 100 rows (single tiny partition BY CONSTRUCTION — "
-    "the unbounded-window never sees the full vocabulary)",
+    "broadcast, TOP-100 via orderBy+limit (TakeOrderedAndProject: "
+    "distributed per-partition top-k, driver merge), and the rank + "
+    "cumulative windows run over the <= 100 survivors only — no "
+    "global window ever sees the full vocabulary",
 )
 def vocab_coverage(spark, sf_dir):
     from pyspark.sql import Window
@@ -343,12 +351,18 @@ def vocab_coverage(spark, sf_dir):
     toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     total = c.agg(F.sum("freq").alias("total"))
-    r = c.withColumn(
+    # top-100 FIRST via orderBy+limit (TakeOrderedAndProject — a
+    # distributed per-partition top-k + driver merge), THEN rank the
+    # <=100 survivors; ranking the full vocabulary with a global
+    # row_number window would funnel every distinct token through one
+    # WindowExec partition
+    top = c.orderBy(F.col("freq").desc(), F.col("tok")).limit(100)
+    r = top.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("freq").desc(), F.col("tok"))
         ),
-    ).filter(F.col("rank") <= 100)
+    )
     cum = F.sum("freq").over(
         Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -539,6 +539,12 @@ def ts_pattern_match(spark, sf_dir):
         F.sequence(F.lit(0).cast("bigint"), F.col("n_hours") - 1),
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
     )
+    # guard the degenerate span: with n_hours < len(PAT) there is no
+    # valid window — F.sequence(0, n_hours-4) would otherwise generate
+    # a DESCENDING run of negative offsets (Spark steps -1 when
+    # start > stop) and element_at(cs, 0) raises under ANSI mode. The
+    # SQL twin's range(n_hours-3) is empty there, so emptiness matches.
+    series = series.filter(F.col("n_hours") >= len(PAT))
     series = series.select("user_id", "n_hours", counts.alias("cs"))
     pat = F.array(*[F.lit(v) for v in PAT])
     wins = F.transform(

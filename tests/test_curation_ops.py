@@ -119,3 +119,22 @@ def test_semdedup_query_runs_on_fixture(spark):
     n = out.count()
     assert n == out.select("vec_id").distinct().count()
     assert set(out.columns) == {"vec_id", "label", "survives"}
+
+
+def test_ts_pattern_match_short_span_is_empty(tmp_path, spark):
+    """A corpus spanning fewer hours than the pattern yields no rows
+    (matching the SQL twin's empty range) instead of generating
+    negative offsets that crash under ANSI indexing."""
+    from datetime import datetime, timedelta
+
+    from automated_data_pipeline_spark.suite.events import ts_pattern_match
+
+    base = datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=base + timedelta(minutes=m), event_type="click",
+            event_id=f"e{m}", value=1.0)
+        for m in (0, 30, 70)  # spans 2 hourly buckets < pattern length 4
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+    assert ts_pattern_match(spark, d).count() == 0

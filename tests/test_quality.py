@@ -80,3 +80,21 @@ def test_register_views_sql_surface(spark):
         """
     ).collect()
     assert len(joined) == 5
+
+
+def test_reports_on_empty_table_are_zero_not_null(spark):
+    """Empty input must report 0 violations / 0.0 rate, never NULL, and
+    never raise (Spark 4 ANSI 0/0) — the degenerate input a quality
+    tool exists to report on."""
+    empty = spark.createDataFrame([], "k int, amount double")
+    rep = quality.rule_report(
+        empty, "t", [("not_null(k)", F.col("k").isNull())]
+    ).collect()[0]
+    assert rep["n_rows"] == 0
+    assert rep["n_violations"] == 0
+    assert rep["violation_rate"] == 0.0
+
+    u = quality.uniqueness_report(empty, "t", ["k"]).collect()[0]
+    assert u["n_rows"] == 0
+    assert u["n_violations"] == 0
+    assert u["violation_rate"] == 0.0

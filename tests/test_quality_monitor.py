@@ -98,3 +98,19 @@ def test_monitor_without_downstream_handler(spark, tmp_path):
     rep = read_quality_metrics(spark, metrics).collect()
     assert len(rep) == 1
     assert rep[0]["n_violations"] == 0
+
+
+def test_monitor_replay_same_batch_id_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivers a batch_id after a failure between the
+    metrics append and the checkpoint commit; the monitor must not
+    double-report."""
+    metrics = str(tmp_path / "metrics")
+    rules = [("not_null(k)", F.col("k").isNull())]
+    wrapped = attach_quality_monitor(None, metrics, "t", rules)
+    batch = spark.createDataFrame([Row(k=1, amount=1.0)], "k int, amount double")
+    wrapped(batch, 7)
+    wrapped(batch, 7)  # replay
+    rep = read_quality_metrics(spark, metrics).collect()
+    assert len(rep) == 1
+    wrapped(batch, 8)  # a genuinely new batch still lands
+    assert len(read_quality_metrics(spark, metrics).collect()) == 2
