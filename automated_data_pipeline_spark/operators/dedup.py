@@ -64,12 +64,22 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup on the normalized fingerprint: one row per distinct
     fingerprint with the smallest id as canonical representative and the
-    duplicate count. min/count do map-side partial aggregation."""
+    duplicate count. min/count do map-side partial aggregation.
+
+    Degenerate documents — NULL text, or text that normalizes to ''
+    (whitespace/punctuation-only) — carry no comparable content and get
+    a per-document synthetic key (``doc:<id>``), so they are never
+    collapsed as "duplicates" of each other. Without this, every NULL
+    doc lands in the NULL-fingerprint group and every '!!!'-style doc
+    in the md5('') group, and downstream survivor selection silently
+    drops real rows whose text was never compared."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    fp = F.when(F.length(normalized) > 0, F.md5(normalized))
+    key = F.coalesce(
+        fp, F.concat(F.lit("doc:"), F.col(id_col).cast("string"))
+    )
     return (
-        df.select(
-            TX.fingerprint(F.col(text_col)).alias("fingerprint"),
-            F.col(id_col).alias("id"),
-        )
+        df.select(key.alias("fingerprint"), F.col(id_col).alias("id"))
         .groupBy("fingerprint")
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -117,9 +127,12 @@ def decontaminate(
         )
         .distinct()
     )
+    # plain explode: gram-less docs need no row here — the inner join
+    # would discard their NULL gram anyway, and the final left join
+    # from `docs` restores them with n_hits = 0
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("gram"),
+        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram"),
     )
     hits = (
         doc_grams.join(F.broadcast(bench), "gram", "inner")
@@ -751,6 +764,12 @@ def simhash_pairs(
             f"{n_rotations}, {max_hamming} differing bits can straddle every "
             "bucket block (pigeonhole) and true near-dups would be missed"
         )
+    # token-less documents (empty/whitespace/NULL text) all hash to
+    # simhash 0 and would collide in EVERY rotation — one quadratic hot
+    # bucket of spurious hamming-0 "near-dups" (millions of empty docs
+    # in a crawl = one killed reducer). They carry no content to
+    # compare; drop them, same guard as _lsh_verify_frames.
+    df = df.filter(F.size(TX.tokens(F.col(text_col))) > 0)
     # persist: the bucket self-join references the simhash lineage
     # (tokenize+hash+pack, the expensive part) on BOTH sides
     base = TX.simhash_frame(df, id_col, text_col).persist()

@@ -44,6 +44,10 @@ def asof_join_backward(
     pay = F.struct(
         *[F.col(c).alias(alias) for c, alias in right_payload.items()]
     ).alias("_pay")
+    # a NULL right timestamp would sort FIRST (ASC NULLS FIRST) and act
+    # as a universal fallback match for every left row — it carries no
+    # event time, so it can never satisfy right_ts <= left_ts
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_ts"),

@@ -279,14 +279,17 @@ def decode_image_features(df: DataFrame) -> DataFrame:
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize: decode -> nearest-neighbor resample -> re-encode
     PNG, inside the same mapInPandas shape as ``resize_stub``. Rows
-    whose payloads don't decode pass through unchanged with their
-    original geometry (flagged by width/height staying NULL)."""
+    whose payloads don't decode pass through unchanged — payload AND
+    original width/height metadata both kept (a corrupt row must not
+    lose the geometry it arrived with)."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             new_payloads, new_w, new_h = [], [], []
-            for payload in pdf["payload"]:
+            for payload, orig_w, orig_h in zip(
+                pdf["payload"], pdf["width"], pdf["height"]
+            ):
                 try:
                     w, h, ch, px = _decode_image(bytes(payload or b""))
                     out = bytearray()
@@ -303,8 +306,8 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
                     new_h.append(height)
                 except Exception:
                     new_payloads.append(payload)
-                    new_w.append(None)
-                    new_h.append(None)
+                    new_w.append(None if pd.isna(orig_w) else int(orig_w))
+                    new_h.append(None if pd.isna(orig_h) else int(orig_h))
             pdf["payload"] = new_payloads
             pdf["width"] = pd.array(new_w, dtype="Int32")
             pdf["height"] = pd.array(new_h, dtype="Int32")

@@ -26,6 +26,15 @@ def rule_report(
     A rule's condition is TRUE when the row VIOLATES the expectation.
     Returns one row per rule: (table, check, n_rows, n_violations,
     violation_rate)."""
+    if not rules:
+        # F.array() of zero structs types as array<null> and the
+        # field extraction fails at planning time; zero rules = zero
+        # report rows, not an AnalysisException
+        return df.sparkSession.createDataFrame(
+            [],
+            "table_name string, check_name string, n_rows bigint, "
+            "n_violations bigint, violation_rate double",
+        )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (_, cond) in enumerate(rules):
         # outer coalesce: sum over ZERO rows is NULL — an empty table
@@ -69,24 +78,27 @@ def rule_report(
 def uniqueness_report(
     df: DataFrame, table: str, key_cols: list[str]
 ) -> DataFrame:
-    """Duplicate-key expectation: one shuffle on the key, reported in
+    """Duplicate-key expectation: one shuffle on the key and ONE scan
+    (total row count comes from sum of the per-key counts — a separate
+    df.count() action would scan the table a second time), reported in
     the same (table, check, n_rows, n_violations, rate) shape. A
     violation is every row beyond the first for its key."""
-    total = df.count()
     dup_rows = (
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"))
-    )
-    rate = (
-        F.lit(0.0)
-        if total == 0  # empty table: 0/0 raises under ANSI mode
-        else F.round(F.col("extra") / F.lit(total), 6)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("total"),
+        )
     )
     return dup_rows.select(
         F.lit(table).alias("table_name"),
         F.lit(f"unique({','.join(key_cols)})").alias("check_name"),
-        F.lit(total).cast("bigint").alias("n_rows"),
+        F.col("total").cast("bigint").alias("n_rows"),
         F.col("extra").cast("bigint").alias("n_violations"),
-        rate.cast("double").alias("violation_rate"),
+        # empty table: 0/0 raises under ANSI mode
+        F.when(F.col("total") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("extra") / F.col("total"), 6))
+        .cast("double")
+        .alias("violation_rate"),
     )

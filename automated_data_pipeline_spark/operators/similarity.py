@@ -408,6 +408,13 @@ def ivf_topk_persisted(
         .filter(F.col("_pr") <= nprobe)
         .drop("_pr", "c_cos")
     )
+    # materialize before collecting: the probes lineage (centroid read
+    # + crossJoin + window rank) otherwise executes twice — once for
+    # the cluster list, once inside the final join. localCheckpoint
+    # (not persist) so the CacheManager stays empty for callers — the
+    # ContextCleaner frees the blocks with the frame (same discipline
+    # as the dedup operators).
+    probes = probes.localCheckpoint(eager=True)
     probe_rows = probes.select(query_id_col, "ivf_cluster").collect()
     clusters = sorted({r["ivf_cluster"] for r in probe_rows})
     corpus = read_ivf_probes(spark, path, clusters, vec_col)

@@ -52,8 +52,12 @@ def upsert_merge(
         return updates
     if set_columns is None:
         set_columns = [c for c in updates.columns if c != key]
-    t = target.alias("t")
-    u = updates.alias("u")
+    # presence markers, NOT key nullity, decide the branch: a real
+    # target row whose business key is NULL also has t.key IS NULL, and
+    # branching on that would replace its every column with the (absent)
+    # update side — i.e. silently wipe the row
+    t = target.withColumn("_t_present", F.lit(1)).alias("t")
+    u = updates.withColumn("_u_present", F.lit(1)).alias("u")
     joined = t.join(u, on=F.col(f"t.{key}") == F.col(f"u.{key}"), how="full_outer")
     cols = [
         F.coalesce(F.col(f"t.{key}"), F.col(f"u.{key}")).alias(key)
@@ -70,8 +74,8 @@ def upsert_merge(
         cols.append(
             # WHEN NOT MATCHED INSERT * — every update column, not just
             # set_columns, feeds a brand-new row
-            F.when(F.col(f"t.{key}").isNull(), u_val)
-            .when(F.col(f"u.{key}").isNull(), F.col(f"t.{c}"))
+            F.when(F.col("t._t_present").isNull(), u_val)
+            .when(F.col("u._u_present").isNull(), F.col(f"t.{c}"))
             .otherwise(matched_val)
             .alias(c)
         )

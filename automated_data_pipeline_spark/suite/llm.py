@@ -33,11 +33,15 @@ _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
 @spec(
     "dedup_exact_fingerprint",
     """
-    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+    SELECT CASE WHEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) > 0
+                THEN md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                ELSE 'doc:' || doc_id END AS fingerprint,
            min(doc_id) AS keep_id, count(*) AS n_dups
     FROM documents GROUP BY 1
     """,
-    "exact dedup: hash-groupBy on normalized fingerprint",
+    "exact dedup: hash-groupBy on normalized fingerprint; degenerate "
+    "(NULL/empty-normalizing) docs keep per-doc synthetic keys so they "
+    "never collapse into one fake duplicate group",
 )
 def dedup_exact_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
