@@ -48,6 +48,26 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def _recover_compact(path: str) -> None:
+    """Self-heal a crash mid-compact (see ``FingerprintStore.compact``):
+    if the live dir vanished between the two renames, the '.old' backup
+    IS the store — move it back; if both exist, '.old' is post-swap
+    debris — drop it. Stale '.compact' output is always discarded.
+    Called at store-read time and at compact start; both are
+    by-contract never concurrent with an in-flight compact."""
+    import shutil
+
+    base = path.rstrip("/")
+    old, tmp = base + ".old", base + ".compact"
+    if os.path.isdir(old):
+        if not os.path.isdir(base):
+            os.rename(old, base)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _has_parquet(path: str) -> bool:
     """True iff ``path`` contains at least one parquet part file.
     Cheap driver-side probe so empty/missing dirs don't go through
@@ -76,6 +96,7 @@ class FingerprintStore:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
+        _recover_compact(self.path)
         if not _has_parquet(self.path):
             return self._empty(spark)
         return spark.read.parquet(self.path)
@@ -89,12 +110,17 @@ class FingerprintStore:
 
     def compact(self, spark: SparkSession, n_files: int = 8) -> None:
         """Rewrite the append-only store into few large files (one
-        small parquet lands per micro-batch otherwise). Atomic swap via
-        a sibling temp dir; not safe concurrently with an ingest —
-        run between sessions. Same pathology/remedy as
-        ``incremental_lsh.LshStore.compact``."""
+        small parquet lands per micro-batch otherwise). Not safe
+        concurrently with an ingest — run between sessions. The
+        two-rename swap is not atomic; every crash window is covered by
+        ``_recover_compact`` (run at compact start and store read): a
+        crash between the renames leaves the store at '.old' and the
+        next access moves it back, a crash after the swap leaves stale
+        '.old'/'.compact' debris that the next access drops. Same
+        pathology/remedy as ``incremental_lsh.LshStore.compact``."""
         import shutil
 
+        _recover_compact(self.path)
         if not _has_parquet(self.path):
             return
         df = spark.read.parquet(self.path).coalesce(n_files)

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from .incremental_dedup import _has_parquet
+from .incremental_dedup import _has_parquet, _recover_compact
 
 
 class LshStore:
@@ -63,6 +63,7 @@ class LshStore:
         os.makedirs(self.docs_dir, exist_ok=True)
 
     def buckets(self, spark: SparkSession) -> DataFrame:
+        _recover_compact(self.buckets_dir)
         if not _has_parquet(self.buckets_dir):
             return spark.createDataFrame(
                 [], "band int, bucket string, doc_id bigint"
@@ -70,6 +71,7 @@ class LshStore:
         return spark.read.parquet(self.buckets_dir)
 
     def docs(self, spark: SparkSession) -> DataFrame:
+        _recover_compact(self.docs_dir)
         if not _has_parquet(self.docs_dir):
             return spark.createDataFrame(
                 [],
@@ -85,6 +87,12 @@ class LshStore:
     def append(
         self, buckets: DataFrame, docs: DataFrame
     ) -> None:
+        # buckets first, docs last: has_batch probes the docs side, so
+        # a replay reprocesses as fresh unless BOTH writes landed. A
+        # crash between the two appends therefore duplicates bucket
+        # rows on replay — harmless for correctness (candidates are
+        # .distinct()ed and verified against the docs side) and
+        # reclaimed by compact()'s dropDuplicates.
         buckets.write.mode("append").parquet(self.buckets_dir)
         docs.write.mode("append").parquet(self.docs_dir)
 
@@ -92,16 +100,22 @@ class LshStore:
         """Rewrite both stores into few large files. An append-only
         ingest accretes one small parquet file per micro-batch per
         partition; after N batches every candidate join pays N file
-        opens. Run between ingest sessions (NOT concurrently with one —
-        the rewrite is not transactional against in-flight appends).
-        Writes to a sibling temp dir and atomically swaps, so a crash
-        mid-compact leaves the original store intact."""
+        opens. Also drops exact-duplicate bucket rows (debris of a
+        crash between the bucket and doc appends of one batch). Run
+        between ingest sessions (NOT concurrently with one — the
+        rewrite is not transactional against in-flight appends). The
+        two-rename swap's crash windows are covered by
+        ``_recover_compact`` at every store read and compact start."""
         import shutil
 
         for dir_ in (self.buckets_dir, self.docs_dir):
+            _recover_compact(dir_)
             if not _has_parquet(dir_):
                 continue
-            df = spark.read.parquet(dir_).coalesce(files_per_store)
+            df = spark.read.parquet(dir_)
+            if dir_ is self.buckets_dir:
+                df = df.dropDuplicates()
+            df = df.coalesce(files_per_store)
             tmp = dir_ + ".compact"
             df.write.mode("overwrite").parquet(tmp)
             old = dir_ + ".old"
@@ -255,6 +269,7 @@ def start_incremental_lsh_dedup(
 
     def handle(batch_df, batch_id: int):
         key = f"{checkpoint_dir}#{batch_id}"
+        maybe_replay = not first["fresh"]
         novel = near_dedup_batch_against_store(
             spark,
             batch_df,
@@ -264,7 +279,21 @@ def start_incremental_lsh_dedup(
             assume_fresh=first["fresh"],
         )
         first["fresh"] = True  # only batch 1 after a restart can replay
-        novel.write.mode("append").parquet(out_dir)
+        # Idempotent corpus append (same probe as start_incremental_dedup):
+        # a replayed batch whose write already landed must not append its
+        # survivors a second time. Rows carry the batch key; parquet
+        # min/max stats make the probe a footer-only read at scale.
+        done = maybe_replay and _has_parquet(out_dir) and bool(
+            spark.read.parquet(out_dir)
+            .filter(F.col("batch_key") == key)
+            .take(1)
+        )
+        if not done:
+            (
+                novel.withColumn("batch_key", F.lit(key))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
 
     stream = spark.readStream.schema(schema).json(source_dir)
     writer = (

@@ -45,6 +45,7 @@ def attach_quality_monitor(
     metrics_path: str,
     table: str,
     rules: list[tuple[str, Column]],
+    run_key: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """Wrap a foreachBatch handler so every micro-batch also appends its
     rule report to ``metrics_path``. The batch frame is evaluated twice
@@ -53,30 +54,37 @@ def attach_quality_monitor(
     already-persisted frame or source-stage stream, which is the normal
     foreachBatch shape.
 
+    ``run_key`` scopes replay detection (pass the query's checkpoint
+    dir, mirroring incremental_dedup's ``checkpoint#batch`` keys): with
+    the default ''-scope, a checkpoint reset — which restarts batch ids
+    at 0 — or a second query sharing ``metrics_path`` would collide
+    with the old ids and silently skip genuine reports.
+
     Pass ``handler=None`` to monitor without any downstream processing.
     """
+    from .incremental_dedup import _has_parquet
+
+    # only the first batch after a (re)start can be a replay of a
+    # crashed attempt; steady-state batches skip the probe read
+    maybe_replay = [True]
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # replay idempotency: foreachBatch redelivers a batch_id when a
-        # failure lands between our append and the checkpoint commit;
-        # skip the report if this batch already reported (same contract
-        # as the incremental-dedup FingerprintStore)
-        import os
-
-        already = False
-        if os.path.isdir(metrics_path) and any(
-            f.endswith(".parquet") for f in os.listdir(metrics_path)
-        ):
-            already = (
+        key = f"{run_key}#{int(batch_id)}"
+        already = (
+            maybe_replay[0]
+            and _has_parquet(metrics_path)
+            and bool(
                 spark.read.parquet(metrics_path)
-                .filter(F.col("batch_id") == int(batch_id))
-                .limit(1)
-                .count()
-                > 0
+                .filter(F.col("batch_key") == key)
+                .take(1)
             )
+        )
+        maybe_replay[0] = False
         if not already:
-            report = batch_quality_report(batch_df, batch_id, table, rules)
+            report = batch_quality_report(
+                batch_df, batch_id, table, rules
+            ).withColumn("batch_key", F.lit(key))
             report.write.mode("append").parquet(metrics_path)
         if handler is not None:
             handler(batch_df, batch_id)

@@ -45,7 +45,15 @@ def sliding_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .select(
+            F.col("w.start").alias("window_start"),
+            # keep the end too: sliding windows overlap, so start alone
+            # cannot identify the interval without out-of-band knowledge
+            # of the window width
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
     )
 
 

@@ -131,3 +131,76 @@ def test_store_compaction_preserves_content_and_dedup(spark, store, tmp_path):
         spark, _df(spark, [(9, NEAR)]), store, batch_key="c9", assume_fresh=True
     )
     assert out.count() == 0  # NEAR still rejected against compacted store
+
+
+def test_crashed_last_batch_replay_does_not_duplicate_output(
+    spark, store, tmp_path
+):
+    """Simulate the crash window the checkpoint protocol exposes: the
+    out_dir append landed but the streaming commit did not. On restart
+    Spark redelivers the last batch; the out_dir probe must detect the
+    landed write and append nothing."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "shard1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": BASE}) + "\n")
+    with open(os.path.join(src, "shard2.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": FAR}) + "\n")
+
+    q = start_incremental_lsh_dedup(spark, src, store, out, ckpt)
+    q.awaitTermination(180)
+    before = spark.read.parquet(out).count()
+    assert before == 2
+
+    # delete the LAST streaming commit: the output + store writes for
+    # that batch are durable, but the checkpoint says it never finished
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar must go too
+        os.remove(crc)
+
+    q2 = start_incremental_lsh_dedup(spark, src, store, out, ckpt)
+    q2.awaitTermination(180)
+    after = spark.read.parquet(out)
+    assert after.count() == before  # no duplicated survivors
+    assert after.select("doc_id").distinct().count() == before
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_compact_crash_recovery(spark, store, tmp_path):
+    """The two-rename compact swap's crash windows self-heal: a store
+    left at '.old' (crash between renames) is moved back on next read;
+    stale '.old'/'.compact' debris (crash after swap) is dropped."""
+    import shutil
+
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore,
+    )
+
+    fp = FingerprintStore(str(tmp_path / "fp"))
+    fp.append(
+        spark.createDataFrame(
+            [("f1", 1, "k1"), ("f2", 2, "k1")],
+            "fingerprint string, doc_id bigint, batch_key string",
+        )
+    )
+    assert fp.read(spark).count() == 2
+
+    # crash between the renames: live dir gone, backup at .old
+    os.rename(fp.path, fp.path + ".old")
+    assert fp.read(spark).count() == 2  # self-healed
+    assert os.path.isdir(fp.path) and not os.path.isdir(fp.path + ".old")
+
+    # crash after the swap: stale .old and .compact debris
+    shutil.copytree(fp.path, fp.path + ".old")
+    os.makedirs(fp.path + ".compact", exist_ok=True)
+    fp.compact(spark, n_files=1)
+    assert fp.read(spark).count() == 2
+    assert not os.path.isdir(fp.path + ".old")
+    assert not os.path.isdir(fp.path + ".compact")

@@ -102,15 +102,30 @@ def test_monitor_without_downstream_handler(spark, tmp_path):
 
 def test_monitor_replay_same_batch_id_is_idempotent(spark, tmp_path):
     """foreachBatch redelivers a batch_id after a failure between the
-    metrics append and the checkpoint commit; the monitor must not
-    double-report."""
+    metrics append and the checkpoint commit. A replay always arrives
+    as the FIRST batch after a restart (fresh handler closure), so the
+    probe only runs there; the monitor must not double-report."""
     metrics = str(tmp_path / "metrics")
     rules = [("not_null(k)", F.col("k").isNull())]
-    wrapped = attach_quality_monitor(None, metrics, "t", rules)
     batch = spark.createDataFrame([Row(k=1, amount=1.0)], "k int, amount double")
+    wrapped = attach_quality_monitor(None, metrics, "t", rules, run_key="ckptA")
     wrapped(batch, 7)
-    wrapped(batch, 7)  # replay
+    # crash + restart: the replay runs under a NEW handler instance
+    replayed = attach_quality_monitor(None, metrics, "t", rules, run_key="ckptA")
+    replayed(batch, 7)
     rep = read_quality_metrics(spark, metrics).collect()
     assert len(rep) == 1
-    wrapped(batch, 8)  # a genuinely new batch still lands
+    replayed(batch, 8)  # a genuinely new batch still lands
+    assert len(read_quality_metrics(spark, metrics).collect()) == 2
+
+
+def test_monitor_checkpoint_reset_reports_again(spark, tmp_path):
+    """Restarting batch ids at 0 under a DIFFERENT run scope (checkpoint
+    reset / second query sharing the metrics table) must NOT be
+    mistaken for a replay."""
+    metrics = str(tmp_path / "metrics")
+    rules = [("not_null(k)", F.col("k").isNull())]
+    batch = spark.createDataFrame([Row(k=1, amount=1.0)], "k int, amount double")
+    attach_quality_monitor(None, metrics, "t", rules, run_key="ckptA")(batch, 0)
+    attach_quality_monitor(None, metrics, "t", rules, run_key="ckptB")(batch, 0)
     assert len(read_quality_metrics(spark, metrics).collect()) == 2
