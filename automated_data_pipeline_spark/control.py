@@ -19,6 +19,7 @@ the event-sourced latest-wins view is identical.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from datetime import datetime, timezone
@@ -89,6 +90,12 @@ class ControlStore:
         # current-state caches so each append carries full state
         self._runs: dict[str, dict[str, Any]] = {}
         self._steps: dict[tuple[str, int], dict[str, Any]] = {}
+        # Concurrent runs (HTTP trigger daemon threads, scheduler) share
+        # one store: the RLock (a) keeps cache iteration/mutation safe
+        # and (b) makes next_run_number + the Running-row write one
+        # atomic section, so two simultaneous start_run calls cannot
+        # both read MAX(run_number)=N and both hand out N+1.
+        self._lock = threading.RLock()
 
     # ---- low-level append ----------------------------------------------
     def _append(self, directory: str, fields, row: dict[str, Any]) -> None:
@@ -102,13 +109,19 @@ class ControlStore:
 
     def _disk_rows(self, directory: str, columns: list[str] | None = None):
         """All event rows on disk as a list of dicts (control tables are
-        tiny metadata; this is a footer-level read, no Spark job)."""
-        try:
-            ds = pq.ParquetDataset(directory)
-            tbl = ds.read(columns=columns)
-        except Exception:
+        tiny metadata; this is a footer-level read, no Spark job).
+
+        Only the no-data-yet case maps to [] — a real read error must
+        PROPAGATE: swallowing it would make update_run fall through to
+        a bare {run_id} merge base (wiping state to NULLs) and restart
+        run numbering at 1, exactly what the disk fallback exists to
+        prevent."""
+        if not os.path.isdir(directory) or not any(
+            f.endswith(".parquet") for f in os.listdir(directory)
+        ):
             return []
-        return tbl.to_pylist()
+        ds = pq.ParquetDataset(directory)
+        return ds.read(columns=columns).to_pylist()
 
     def _latest_disk_state(self, directory: str, key: dict[str, Any]) -> dict[str, Any] | None:
         """Latest-wins row for one key from disk — the cross-process
@@ -131,7 +144,9 @@ class ControlStore:
         this instance's cache and disk, so concurrent stores on one
         workdir don't hand out duplicate numbers from a stale cache."""
         mx = 0
-        for r in self._runs.values():
+        with self._lock:
+            runs_snapshot = list(self._runs.values())
+        for r in runs_snapshot:
             mx = max(mx, r.get("run_number") or 0)
         for row in self._disk_rows(self.runs_dir, columns=["run_number"]):
             if row.get("run_number") is not None:
@@ -148,15 +163,38 @@ class ControlStore:
         (the reference's 'logical plan': index.js:38-49)."""
         run_id = run_id or str(uuid.uuid4())
         now = utcnow()
+        with self._lock:
+            return self._start_run_locked(run_id, pipeline_name, adf_run_id, now)
+
+    def _start_run_locked(self, run_id, pipeline_name, adf_run_id, now) -> str:
+        # Restart-aware: when the run_id already has control rows (the
+        # HTTP trigger creates them synchronously before the worker
+        # thread calls run(), and a retried run_id re-enters here), the
+        # run KEEPS its run_number — the client already saw it — and
+        # its row/steps reset to Running/Pending for the new attempt
+        # instead of being re-inserted under a fresh number.
+        existing = self._runs.get(run_id) or self._latest_disk_state(
+            self.runs_dir, {"run_id": run_id}
+        )
+        run_number = (
+            existing["run_number"]
+            if existing and existing.get("run_number") is not None
+            else self.next_run_number()
+        )
+        created_at = (
+            existing["created_at"]
+            if existing and existing.get("created_at") is not None
+            else now
+        )
         row = {
             "run_id": run_id,
-            "run_number": self.next_run_number(),
+            "run_number": run_number,
             "pipeline_name": pipeline_name,
             "adf_run_id": adf_run_id or f"local-{time.time_ns() // 1_000_000}",
             "started_at": now,
             "finished_at": None,
             "status": "Running",
-            "created_at": now,
+            "created_at": created_at,
         }
         self._write_run(row)
         for i, name in enumerate(STEP_NAMES, start=1):
@@ -181,33 +219,37 @@ class ControlStore:
         row = dict(row)
         row["updated_at"] = utcnow()
         row["event_seq"] = time.time_ns()
-        self._runs[row["run_id"]] = row
+        with self._lock:
+            self._runs[row["run_id"]] = row
         self._append(self.runs_dir, _RUN_FIELDS, row)
 
     def _write_step(self, row: dict[str, Any]) -> None:
         row = dict(row)
         row["updated_at"] = utcnow()
         row["event_seq"] = time.time_ns()
-        self._steps[(row["run_id"], row["step_number"])] = row
+        with self._lock:
+            self._steps[(row["run_id"], row["step_number"])] = row
         self._append(self.steps_dir, _STEP_FIELDS, row)
 
     def update_run(self, run_id: str, **fields: Any) -> None:
-        cur = self._runs.get(run_id)
-        if cur is None:  # started by another process — merge, don't wipe
-            cur = self._latest_disk_state(self.runs_dir, {"run_id": run_id})
-        cur = dict(cur or {"run_id": run_id})
-        cur.update(fields)
-        self._write_run(cur)
+        with self._lock:
+            cur = self._runs.get(run_id)
+            if cur is None:  # started by another process — merge, don't wipe
+                cur = self._latest_disk_state(self.runs_dir, {"run_id": run_id})
+            cur = dict(cur or {"run_id": run_id})
+            cur.update(fields)
+            self._write_run(cur)
 
     def update_step(self, run_id: str, step_number: int, **fields: Any) -> None:
-        cur = self._steps.get((run_id, step_number))
-        if cur is None:
-            cur = self._latest_disk_state(
-                self.steps_dir, {"run_id": run_id, "step_number": step_number}
-            )
-        cur = dict(cur or {"run_id": run_id, "step_number": step_number})
-        cur.update(fields)
-        self._write_step(cur)
+        with self._lock:
+            cur = self._steps.get((run_id, step_number))
+            if cur is None:
+                cur = self._latest_disk_state(
+                    self.steps_dir, {"run_id": run_id, "step_number": step_number}
+                )
+            cur = dict(cur or {"run_id": run_id, "step_number": step_number})
+            cur.update(fields)
+            self._write_step(cur)
 
     def log(
         self,

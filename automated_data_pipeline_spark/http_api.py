@@ -140,16 +140,26 @@ class PipelineApiServer:
 
     def trigger(self, filename: str, payload: bytes) -> dict:
         api.validate_upload(filename, len(payload))
+        import uuid
+
         ext = os.path.splitext(filename)[1].lower() or ".csv"
         os.makedirs(self.landing_dir, exist_ok=True)
+        # timestamp + uuid suffix: two concurrent uploads in the same
+        # millisecond must not collide and silently overwrite each other
         saved = os.path.join(
-            self.landing_dir, f"upload_{int(time.time() * 1000)}{ext}"
+            self.landing_dir,
+            f"upload_{int(time.time() * 1000)}_{uuid.uuid4().hex[:8]}{ext}",
         )
         with open(saved, "wb") as f:
             f.write(payload)
-        import uuid
-
         run_id = str(uuid.uuid4())
+        # create the control rows SYNCHRONOUSLY so a client that polls
+        # GET /runs/{id} right after the 201 finds the Running row
+        # (reference parity: server.js:180 / PipelineRunner.java:59-119
+        # insert control rows before handing off to the worker)
+        self.runner.control.start_run(
+            pipeline_name="HttpTriggeredPipeline", run_id=run_id
+        )
         t = threading.Thread(
             target=self.runner.run,
             kwargs={
@@ -260,7 +270,18 @@ def _make_handler(srv: PipelineApiServer):
                     return self._send(
                         500, {"error": "trigger not configured"}
                     )
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    return self._send(
+                        400, {"error": "invalid Content-Length header"}
+                    )
+                if length < 0:
+                    # rfile.read(-N) would block reading to EOF and hang
+                    # this handler thread until the client gives up
+                    return self._send(
+                        400, {"error": "invalid Content-Length header"}
+                    )
                 # multer parity (server.js:25 limits.fileSize): refuse
                 # oversize uploads from the header, BEFORE buffering the
                 # body — a 10 GB POST must not reach driver memory.

@@ -51,6 +51,7 @@ class TargetTable:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._pointer = os.path.join(path, "_LATEST")
+        self._commit_lock = threading.Lock()
 
     def latest_version(self) -> int | None:
         try:
@@ -69,7 +70,12 @@ class TargetTable:
         """Allocate a version exclusively (O_EXCL claim file), write it,
         then advance the pointer. Concurrent committers get distinct
         version directories, so a published version is never rewritten
-        in place; the pointer only moves forward. (Concurrent merges
+        in place; the pointer only moves forward — the check-then-
+        replace runs under the table lock so two in-process committers
+        cannot interleave between the read and the replace and regress
+        the pointer (cross-process committers on one directory still
+        need a real transaction log; this guards in-process use, which
+        is what local[N] + daemon threads exercise). (Concurrent merges
         still serialize their *content* only at the level of who commits
         last — that's a transaction log's job; this guards readers.)"""
         v = (self.latest_version() or 0) + 1
@@ -82,11 +88,12 @@ class TargetTable:
                 v += 1
         out = os.path.join(self.path, f"v={v}")
         df.write.mode("overwrite").parquet(out)
-        if (self.latest_version() or 0) < v:
-            tmp = self._pointer + f".tmp-{v}"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._pointer)
+        with self._commit_lock:
+            if (self.latest_version() or 0) < v:
+                tmp = self._pointer + f".tmp-{v}"
+                with open(tmp, "w") as f:
+                    f.write(str(v))
+                os.replace(tmp, self._pointer)
         return v
 
 
@@ -147,7 +154,11 @@ class PipelineRunner:
         per-job staging committer."""
         obs = Observation()
         out = df.drop("run_id").observe(obs, F.count(F.lit(1)).alias("n"))
-        out.write.mode("append").parquet(f"{directory}/run_id={run_id}")
+        # overwrite, not append: each stage writes its run's partition
+        # exactly once per attempt, so a RETRY of the same run_id (the
+        # documented recovery path) replaces the failed attempt's rows
+        # instead of appending a second copy on top of them
+        out.write.mode("overwrite").parquet(f"{directory}/run_id={run_id}")
         return int(obs.get["n"])
 
     def _read_stage(self, directory: str, run_id: str) -> DataFrame:
@@ -252,6 +263,13 @@ class PipelineRunner:
                 raise
         finally:
             sc.setJobGroup("", "")
+            # drop the flag on every exit so a cancel that raced this
+            # run's completion cannot leak into a future retry (and the
+            # flag set stays bounded). Pre-cancellation of a NOT-yet-
+            # started run_id still works: the flag is only cleared once
+            # an execution of that run_id finishes.
+            with self._lock:
+                self._cancel_flags.discard(run_id)
         return run_id
 
     # ---- timeout sweep (ST6, ApiServlet.java:382-433) -------------------

@@ -102,8 +102,10 @@ class ScheduleRunner:
         self.now_fn = now_fn
         self.poll_seconds = poll_seconds
         self.schedules: dict[str, dict] = {}
+        self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self.errors: list[tuple[str, str]] = []  # (schedule_id, message)
 
     def add(self, schedule: dict) -> None:
         s = dict(schedule)
@@ -115,19 +117,33 @@ class ScheduleRunner:
                 s.get("day_of_week"),
                 s.get("day_of_month"),
             )
-        self.schedules[s["schedule_id"]] = s
+        with self._lock:
+            self.schedules[s["schedule_id"]] = s
 
     def run_due(self) -> list[str]:
-        """One poll tick (ScheduleRunner.java:36-58). Returns fired ids."""
+        """One poll tick (ScheduleRunner.java:36-58). Returns fired ids.
+
+        A failing fire() must not kill the poller or hot-loop: the
+        error is recorded on ``self.errors`` and next_run_at STILL
+        advances (the reference's poll loop likewise survives a failed
+        run and retries at the next scheduled time, not every 60 s).
+        The snapshot under the lock keeps a concurrent add() from
+        breaking the iteration."""
         now = self.now_fn()
         fired = []
-        for s in self.schedules.values():
-            if not s.get("enabled", True):
-                continue
-            nra = s.get("next_run_at")
-            if nra is None or nra > now:
-                continue
-            self.fire(s)
+        with self._lock:
+            due = [
+                s for s in self.schedules.values()
+                if s.get("enabled", True)
+                and s.get("next_run_at") is not None
+                and s["next_run_at"] <= now
+            ]
+        for s in due:
+            try:
+                self.fire(s)
+                fired.append(s["schedule_id"])
+            except Exception as e:  # noqa: BLE001 — poller must survive
+                self.errors.append((s["schedule_id"], str(e)))
             s["last_run_at"] = now
             s["next_run_at"] = compute_next_run(
                 s["schedule_type"],
@@ -136,13 +152,15 @@ class ScheduleRunner:
                 s.get("day_of_week"),
                 s.get("day_of_month"),
             )
-            fired.append(s["schedule_id"])
         return fired
 
     def start(self) -> None:
         def loop():
             while not self._stop.is_set():
-                self.run_due()
+                try:
+                    self.run_due()
+                except Exception as e:  # noqa: BLE001 — keep polling
+                    self.errors.append(("_poll", str(e)))
                 self._stop.wait(self.poll_seconds)
 
         self._thread = threading.Thread(target=loop, daemon=True)

@@ -184,3 +184,92 @@ def test_validate_upload_whitelist_and_cap():
         api.validate_upload("orders.csv", api.UPLOAD_MAX_BYTES + 1)
     # Java servlet's larger cap is a parameter, not a fork
     api.validate_upload("orders.csv", 50 * 1024 * 1024, max_bytes=100 * 1024 * 1024)
+
+
+def test_failed_run_retry_does_not_duplicate_stage_rows(spark, workdir):
+    """Retrying a failed run with the SAME run_id (the documented
+    recovery path) must replace the failed attempt's stage rows, not
+    append a second copy."""
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.sources.generators import generate_orders
+
+    runner = PipelineRunner(spark, workdir)
+    bad = generate_orders(spark, 20).withColumn(
+        "Amount", F.when(F.col("OrderId") == "ORD-000001", -1.0).otherwise(F.col("Amount"))
+    )
+    rid = "retry-me"
+    with pytest.raises(Exception):
+        runner.run(source_df=bad, source_type="Generated", run_id=rid,
+                   fail_on_negative=True)
+    # retry with clean data under the same run_id
+    runner.run(
+        source_df=generate_orders(spark, 20), source_type="Generated", run_id=rid
+    )
+    landing = spark.read.parquet(f"{workdir}/stages/landing").filter(
+        F.col("run_id") == rid
+    )
+    assert landing.count() == 20  # not 40
+    run = runner.control.runs(spark).filter(F.col("run_id") == rid).first()
+    assert run["status"] == "Success"
+    steps = runner.control.steps(spark).filter(F.col("run_id") == rid).collect()
+    assert all(s["status"] == "Success" for s in steps)
+
+
+def test_concurrent_start_runs_get_distinct_run_numbers(spark, workdir):
+    """Two threads starting runs on one ControlStore must not hand out
+    duplicate run numbers (the MAX+1 TOCTOU) or corrupt the cache."""
+    import threading
+
+    from automated_data_pipeline_spark.control import ControlStore
+
+    ctl = ControlStore(workdir)
+    ids = [[] for _ in range(4)]
+
+    def worker(slot):
+        for _ in range(5):
+            ids[slot].append(ctl.start_run(pipeline_name=f"P{slot}"))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    nums = [
+        r["run_number"]
+        for r in ctl.runs(spark).select("run_number").collect()
+    ]
+    assert len(nums) == 20
+    assert len(set(nums)) == 20, f"duplicate run numbers: {sorted(nums)}"
+
+
+def test_scheduler_survives_fire_failures(spark):
+    """A failing fire() records the error and advances next_run_at —
+    it must not kill the poll loop or hot-loop the broken schedule."""
+    from datetime import datetime, timedelta
+
+    from automated_data_pipeline_spark.scheduler import ScheduleRunner
+
+    clock = {"now": datetime(2024, 6, 1, 9, 0, 0)}
+    fired = []
+
+    def fire(s):
+        fired.append(s["schedule_id"])
+        if s["schedule_id"] == "bad":
+            raise RuntimeError("boom")
+
+    sr = ScheduleRunner(fire=fire, now_fn=lambda: clock["now"])
+    sr.add({"schedule_id": "bad", "schedule_type": "daily",
+            "run_at_time": "08:00", "enabled": True,
+            "next_run_at": datetime(2024, 6, 1, 8, 0)})
+    sr.add({"schedule_id": "good", "schedule_type": "daily",
+            "run_at_time": "08:30", "enabled": True,
+            "next_run_at": datetime(2024, 6, 1, 8, 30)})
+    ok = sr.run_due()
+    assert ok == ["good"]                      # bad fired but errored
+    assert fired == ["bad", "good"]            # poller kept going
+    assert sr.errors and sr.errors[0][0] == "bad"
+    # both schedules advanced to tomorrow — no hot-loop on the bad one
+    assert sr.run_due() == []
+    clock["now"] += timedelta(days=1)
+    assert set(sr.run_due()) == {"good"}  # bad errors again, good fires
+    assert fired.count("bad") == 2 and fired.count("good") == 2

@@ -157,3 +157,46 @@ def test_oversize_upload_rejected_from_header(served):
     )
     assert status == 400 and "too large" in err["error"]
     assert len(_get(srv.port, "/runs")[1]) == n_before
+
+
+def test_trigger_creates_control_row_before_201(spark, served):
+    """The 201 response must be pollable immediately: the Running
+    control row is written synchronously before the reply (reference
+    parity: server.js:180 inserts rows, then spawns the worker)."""
+    srv, runner = served
+    body = b"OrderId,CustomerId,Amount,OrderDate\nORD-P1,C-1,10.0,2024-01-01\n"
+    status, resp = _post(
+        srv.port, "/pipeline/trigger?filename=poll.csv", body,
+        "application/octet-stream",
+    )
+    assert status == 201
+    rid = resp["runId"]
+    # no sleep: the row must already exist
+    status, got = _get(srv.port, f"/runs/{rid}")
+    assert status == 200
+    assert got["run_id"] == rid
+    # let the background run finish before the fixture tears down
+    for _ in range(120):
+        status, got = _get(srv.port, f"/runs/{rid}")
+        if got.get("status") in ("Success", "Failed"):
+            break
+        time.sleep(0.5)
+    assert got["status"] == "Success"
+
+
+def test_invalid_content_length_is_client_error(served):
+    """Negative Content-Length must not reach rfile.read(-N) (which
+    blocks to EOF and hangs the handler thread); non-numeric is a 400,
+    not a 500."""
+    import http.client
+
+    srv, _ = served
+    for bad in ("-5", "abc"):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.putrequest("POST", "/pipeline/trigger?filename=x.csv")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Content-Length", bad)
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400, bad
+        conn.close()
