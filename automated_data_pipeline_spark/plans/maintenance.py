@@ -55,11 +55,25 @@ def compact_partitioned_table(
         if n_files <= min_files:
             continue
         pdir = os.path.join(root, part)
+        # DOT-prefixed siblings: Spark's file index skips '.'/'_'-led
+        # names, so in-flight tmp/backup dirs are invisible to a
+        # concurrent partitioned read (a name containing '=' would be
+        # discovered as a bogus partition and double-read). Recovery
+        # mirrors streaming's _recover_compact: a partition stranded at
+        # the backup name (crash between the renames) moves back before
+        # we touch it; stale debris is dropped.
+        tmp = os.path.join(root, f".compact_tmp_{part}")
+        old = os.path.join(root, f".compact_old_{part}")
+        if os.path.isdir(old):
+            if not os.path.isdir(pdir):
+                os.rename(old, pdir)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
         n_out = max(1, -(-total // target_file_bytes))  # ceil div
         df = spark.read.parquet(pdir)
-        tmp = pdir + "._compact_tmp"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        old = pdir + "._compact_old"
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old, ignore_errors=True)
@@ -117,6 +131,12 @@ def zorder_key(df, cols: list[str], bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    # interleaved bit positions must stay below the long sign bit:
+    # position bits*n-1 must be <= 62, else the top bit lands on the
+    # sign (negative keys sort FIRST, inverting the clustering) and
+    # 5+ columns would wrap shifts mod 64 silently
+    n_dims = len(cols)
+    bits = min(bits, 62 // n_dims)
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
@@ -125,6 +145,8 @@ def zorder_key(df, cols: list[str], bits: int = 16):
     top = (1 << bits) - 1
     for c in cols:
         mn, mx = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        if mn is None or mx is None:  # empty frame / all-null column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         scaled.append(
             F.least(

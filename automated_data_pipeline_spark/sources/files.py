@@ -76,11 +76,52 @@ def _resolved_exprs(df: DataFrame):
     return exprs
 
 
+def _json_is_multiline(path: str) -> bool:
+    """Sniff whether a JSON input is a whole-file document (array of
+    objects / pretty-printed object -> Spark multiLine mode) or
+    line-delimited JSONL (Spark's own JSON writer emits JSONL; reading
+    THAT with multiLine=True silently keeps only the FIRST record per
+    file — no corrupt-record marker, just data loss). Decision: first
+    non-blank line parses as a complete JSON value => JSONL."""
+    import json as _json
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".json") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return True
+        target = os.path.join(path, parts[0])
+    try:
+        with open(target, "rb") as f:
+            first_line = f.readline().strip()
+            while not first_line:
+                nxt = f.readline()
+                if not nxt:
+                    return True
+                first_line = nxt.strip()
+    except OSError:
+        return True
+    if first_line.startswith(b"["):
+        return True  # array document (even a one-line one)
+    try:
+        _json.loads(first_line)
+        return False  # one complete object per line -> JSONL
+    except ValueError:
+        return True  # object spans lines -> whole-file document
+
+
 def read_orders_json(spark: SparkSession, path: str) -> DataFrame:
-    """S2+S3: JSON scan (array-of-objects or single object -> 1 row) with
-    raw-payload retention (`raw_payload` = the original record
-    re-serialized, pull.js:50)."""
-    raw = spark.read.option("multiLine", True).json(path)
+    """S2+S3: JSON scan (array-of-objects or single object -> 1 row,
+    plus line-delimited JSONL — auto-sniffed) with raw-payload
+    retention (`raw_payload` = the original record re-serialized,
+    pull.js:50)."""
+    reader = spark.read
+    if _json_is_multiline(path):
+        reader = reader.option("multiLine", True)
+    raw = reader.json(path)
     with_payload = raw.withColumn("raw_payload", F.to_json(F.struct(*raw.columns)))
     return resolve_input_columns(with_payload)
 

@@ -80,6 +80,9 @@ def resolve_overrides(
     not-provided, mirroring the servlet's trim/isEmpty checks."""
     host = host.strip() if host and host.strip() else None
     user = user.strip() if user and user.strip() else None
+    # password gets the same blank-is-absent rule: a form that always
+    # POSTs the field as '' must not override the configured credential
+    password = password if password and password.strip() else None
     if host is None and port is None and user is None:
         return base
     return replace(

@@ -37,7 +37,12 @@ def _records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
     for rec in records:
         lookup: dict[str, object] = {}
         for k, v in rec.items():
-            lookup.setdefault(k.strip().lower(), v)
+            lk = k.strip().lower()
+            # first NON-NULL variant wins (pull.js:30-33 `row.OrderId ||
+            # row.orderId` — a null first variant must not shadow a
+            # populated later one; files.py COALESCEs identically)
+            if lookup.get(lk) is None:
+                lookup[lk] = v
         rows.append(
             tuple(
                 None if lookup.get(c.lower()) is None else str(lookup[c.lower()])

@@ -116,6 +116,12 @@ def _parse_html(html: str) -> _Node:
                     break
 
         def handle_data(self, data):
+            # <script>/<style> bodies are code, not innerText —
+            # Chromium's innerText (the contract playwright_fetcher
+            # meets) excludes them
+            for node in self.stack:
+                if node.tag in ("script", "style"):
+                    return
             self.stack[-1].content.append(data)
 
     p = P()

@@ -97,3 +97,31 @@ def test_text_corpus_line_and_whole_modes(spark, tmp_path):
     docs = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in whole.collect()}
     assert docs["d1.txt"] == "line one\nline two\n"
     assert docs["d2.txt"] == "single doc body\n"
+
+
+def test_json_reader_handles_jsonl_and_document_forms(spark, tmp_path):
+    """Spark's own JSON writer emits line-delimited JSONL; reading that
+    with multiLine=True silently keeps only the FIRST record per file.
+    The reader must sniff the form and lose nothing."""
+    import json as _json
+
+    # JSONL (one object per line — e.g. a Spark-written dataset)
+    jl = tmp_path / "orders_lines.json"
+    with open(jl, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"OrderId": f"ORD-{i}", "Amount": i * 10.0}) + "\n")
+    df = files.read_orders_json(spark, str(jl))
+    assert df.count() == 3
+
+    # whole-file array document (the reference's sample_orders.json form)
+    arr = tmp_path / "orders_array.json"
+    arr.write_text(_json.dumps(
+        [{"OrderId": "ORD-A", "Amount": 1.0}, {"OrderId": "ORD-B", "Amount": 2.0}]
+    ))
+    assert files.read_orders_json(spark, str(arr)).count() == 2
+
+    # pretty-printed single object -> 1 row
+    one = tmp_path / "order_one.json"
+    one.write_text('{\n  "OrderId": "ORD-X",\n  "Amount": 5.0\n}\n')
+    got = files.read_orders_json(spark, str(one)).collect()
+    assert len(got) == 1 and got[0]["OrderId"] == "ORD-X"

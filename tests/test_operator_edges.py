@@ -107,3 +107,59 @@ def test_rule_report_empty_rules_returns_empty_report(spark):
     assert rep.columns == [
         "table_name", "check_name", "n_rows", "n_violations", "violation_rate"
     ]
+
+
+def test_zorder_empty_frame_and_many_columns(spark):
+    """zorder_key must not crash on an empty frame (min/max = None) and
+    must keep every interleaved bit below the long sign bit for 4+
+    columns (a sign-bit key would sort its high bucket FIRST)."""
+    from automated_data_pipeline_spark.plans.maintenance import zorder_key
+
+    empty = spark.createDataFrame([], "a double, b double")
+    keyed, kc = zorder_key(empty, ["a", "b"])
+    assert keyed.count() == 0
+
+    rows = [(float(i % 7), float(i % 5), float(i % 3), float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    keyed, kc = zorder_key(df, ["a", "b", "c", "d"])
+    mn = keyed.agg(F.min(kc)).first()[0]
+    assert mn >= 0, "Morton key hit the sign bit"
+
+
+def test_rest_records_prefer_non_null_case_variant(spark):
+    from automated_data_pipeline_spark.sources.rest import _records_to_df
+
+    df = _records_to_df(
+        spark, [{"orderid": None, "OrderId": "ORD-9", "Amount": 1.5}]
+    )
+    row = df.collect()[0]
+    assert row["OrderId"] == "ORD-9"
+
+
+def test_scrape_inner_text_excludes_script_and_style():
+    from automated_data_pipeline_spark.sources.scrape import (
+        _parse_html,
+        select_all,
+    )
+
+    html = (
+        "<html><body><style>.a{color:red}</style>"
+        "<script>var x = 1;</script><p>hello</p></body></html>"
+    )
+    root = _parse_html(html)
+    els = select_all(root, "body")
+    assert len(els) == 1
+    assert els[0].inner_text() == "hello"
+
+
+def test_jdbc_blank_password_does_not_override():
+    from automated_data_pipeline_spark.sources.jdbc import (
+        JdbcConfig,
+        resolve_overrides,
+    )
+
+    base = JdbcConfig(host="h", port=1527, database="db",
+                      user="u", password="secret")
+    out = resolve_overrides(base, host="h2", password="")
+    assert out.host == "h2"
+    assert out.password == "secret"
