@@ -244,7 +244,7 @@ def retention_cohorts(spark, sf_dir):
              percent_rank() OVER (
                PARTITION BY event_type ORDER BY value ASC, event_id ASC
              ) AS pr
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, event_type, value, round(pr, 6) AS pr
     FROM r WHERE pr >= 0.99
@@ -254,9 +254,11 @@ def retention_cohorts(spark, sf_dir):
     "mean/stddev z-scores whose float sums are order-dependent)",
 )
 def value_outliers_by_type(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     e = load(spark, sf_dir, "events")
+    # NULL values carry no rank position and the engines disagree on
+    # where they sort (Spark NULLS FIRST, DuckDB NULLS LAST — opposite
+    # extremes of the distribution); exclude them symmetrically
+    e = e.filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy(
         F.asc("value"), F.asc("event_id")
     )
@@ -553,12 +555,20 @@ def ts_pattern_match(spark, sf_dir):
             F.aggregate(
                 F.sequence(F.lit(1), F.lit(len(PAT))),
                 F.lit(0).cast("bigint"),
+                # exact integer multiply — pow() goes through double
+                # and a truncating cast, which loses exactness once
+                # (c - p)^2 exceeds 2^53
                 lambda acc, j: acc
-                + F.pow(
-                    F.element_at(F.col("cs"), (o + j).cast("int"))
-                    - F.element_at(pat, j),
-                    2,
-                ).cast("bigint"),
+                + (
+                    (
+                        F.element_at(F.col("cs"), (o + j).cast("int"))
+                        - F.element_at(pat, j)
+                    ).cast("bigint")
+                    * (
+                        F.element_at(F.col("cs"), (o + j).cast("int"))
+                        - F.element_at(pat, j)
+                    ).cast("bigint")
+                ),
             ).alias("dist"),
             o.alias("off"),
         ),

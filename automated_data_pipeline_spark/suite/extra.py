@@ -44,10 +44,10 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     w AS (
       SELECT *,
         last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+          OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, is_left, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
         last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+          OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, is_left, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
       FROM cp
     )
@@ -294,10 +294,11 @@ def segments_except(spark, sf_dir):
     return (
         c.filter(F.col("c_acctbal") > 7000)
         .select("c_custkey")
-        .exceptAll(
+        # subtract IS SQL EXCEPT (distinct) — exceptAll+distinct did the
+        # same thing via wasted multiset bookkeeping
+        .subtract(
             c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
         )
-        .distinct()
     )
 
 
@@ -307,8 +308,8 @@ def segments_except(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
     "JSON payload extraction (F9 surface) + aggregate",

@@ -150,9 +150,17 @@ def list_runs_filtered_top100(spark, sf_dir):
 )
 def run_point_lookup(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    min_key = o.agg(F.min("o_orderkey")).first()[0]
-    return o.filter(F.col("o_orderkey") == min_key).select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    # lazy scalar-subquery shape: the min key rides as a broadcast
+    # 1-row frame instead of an eager .first() at build time (which ran
+    # a separate job per invocation and froze a stale literal into the
+    # returned plan)
+    mk = o.agg(F.min("o_orderkey").alias("_mk"))
+    return (
+        o.join(F.broadcast(mk), o["o_orderkey"] == mk["_mk"])
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
     )
 
 
@@ -228,9 +236,9 @@ def recent_logs_clamped(spark, sf_dir):
 def ordered_steps_scan(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    min_key = o.agg(F.min("o_orderkey")).first()[0]
+    mk = o.agg(F.min("o_orderkey").alias("_mk"))
     return (
-        li.filter(F.col("l_orderkey") == min_key)
+        li.join(F.broadcast(mk), li["l_orderkey"] == mk["_mk"])
         .orderBy("l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
