@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions import vectors as V
 from ..operators import similarity
 from . import QuerySpec, load
 
@@ -518,5 +517,11 @@ def length_vocab_correlation(spark, sf_dir):
     return a.select(
         "lang",
         n.cast("bigint").alias("n_docs"),
-        F.round(num / den, 4).cast("double").alias("corr_len_vocab"),
+        # a zero-variance stratum (e.g. a single-document language) has
+        # den = 0: correlation is undefined -> NULL, matching DuckDB's
+        # x/0 = NULL instead of raising under Spark's ANSI mode
+        F.when(den == 0, F.lit(None))
+        .otherwise(F.round(num / den, 4))
+        .cast("double")
+        .alias("corr_len_vocab"),
     )

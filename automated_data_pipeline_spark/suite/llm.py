@@ -226,9 +226,9 @@ def dedup_clusters(spark, sf_dir):
              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
       FROM bitsum GROUP BY doc_id
     ),
-    sig AS (  -- zero-token docs still carry signature 0
-      SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
-      FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    sig AS (  -- token-less docs are EXCLUDED: all-zero signatures would
+              -- collide in every rotation (see simhash_pairs' guard)
+      SELECT doc_id, simhash FROM packed
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -404,11 +404,15 @@ def _rhp_planes_sql(dim: int = 64, n_planes: int = 6, seed: str = "rhp") -> str:
 _COSINE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
     pairs AS (
+      -- zero-norm guard mirrors the Spark side's cosine_rounded_safe:
+      -- without it DuckDB yields NULL (x/0) where Spark scores 0.0
       SELECT q.qid, e.vec_id,
-        round(
+        CASE WHEN (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+               OR (SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+        THEN 0.0 ELSE round(
           (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i))
           / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
-           * sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) AS cosine
+           * sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) END AS cosine
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id != q.qid
     )
@@ -519,7 +523,7 @@ def ann_rhp_lsh(spark, sf_dir):
 @spec(
     "ann_ivf_topk",
     None,
-    "approximate top-5 via IVF (KMeans coarse quantizer, nprobe=4)",
+    "approximate top-5 via IVF (KMeans coarse quantizer, nprobe=3)",
 )
 def ann_ivf_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
@@ -540,11 +544,11 @@ def ann_ivf_topk(spark, sf_dir):
 # float feature (= acc/n rounded) stays pytest-pinned because no two
 # engines format floats identically.
 _MM_BYTES = (
-    "[ (position(substring(hex(encode(text)), 2*i+1, 1) in "
+    "[ (position(substring(hex(encode(coalesce(text, ''))), 2*i+1, 1) in "
     "'0123456789ABCDEF')-1)*16 "
-    "+ (position(substring(hex(encode(text)), 2*i+2, 1) in "
+    "+ (position(substring(hex(encode(coalesce(text, ''))), 2*i+2, 1) in "
     "'0123456789ABCDEF')-1) "
-    "for i in range(octet_length(encode(text))) ]"
+    "for i in range(octet_length(encode(coalesce(text, '')))) ]"
 )
 _MM_ACCS = ",\n      ".join(
     "COALESCE(CAST(list_sum([bytes[i+1] for i in range(n_bytes) "
@@ -561,12 +565,13 @@ _MM_ACCS = ",\n      ".join(
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio'
              ELSE 'video' END AS media_type,
-        octet_length(encode(text)) AS n_bytes,
-        sha256(text) AS payload_sha,
+        octet_length(encode(coalesce(text, ''))) AS n_bytes,
+        sha256(coalesce(text, '')) AS payload_sha,
+        (text IS NOT NULL) AS decode_ok,
         {_MM_BYTES} AS bytes
       FROM documents
     )
-    SELECT media_id, media_type, n_bytes, payload_sha, TRUE AS decode_ok,
+    SELECT media_id, media_type, n_bytes, payload_sha, decode_ok,
       {_MM_ACCS}
     FROM b
     """,
