@@ -525,3 +525,383 @@ def length_vocab_correlation(spark, sf_dir):
         .cast("double")
         .alias("corr_len_vocab"),
     )
+
+
+# ====================================================================
+# Round-4 continuation: audio decode, leakage-free splits, and four
+# further TPC-H query shapes (Q12/Q14/Q19/Q22 analogues on the fixture
+# columns) rounding out the OLAP surface.
+
+# UTF-8 bytes of text as a 1-based int list, re-derived from
+# hex(encode(text)) — same recipe as llm._MM_BYTES (the
+# multimodal_feature_extract oracle).
+_BYTES_SQL = (
+    "[ (position(substring(hex(encode(coalesce(text, ''))), 2*i+1, 1) in "
+    "'0123456789ABCDEF')-1)*16 "
+    "+ (position(substring(hex(encode(coalesce(text, ''))), 2*i+2, 1) in "
+    "'0123456789ABCDEF')-1) "
+    "for i in range(octet_length(encode(coalesce(text, '')))) ]"
+)
+
+
+@spec(
+    "audio_feature_extract",
+    f"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             {_BYTES_SQL} AS bytes
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id,
+             [ CASE WHEN bytes[2*i+1] + 256*bytes[2*i+2] >= 32768
+                    THEN bytes[2*i+1] + 256*bytes[2*i+2] - 65536
+                    ELSE bytes[2*i+1] + 256*bytes[2*i+2] END
+               for i in range(n_bytes // 2) ] AS samples
+      FROM b
+    )
+    SELECT media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(len(samples) AS BIGINT) AS n_samples,
+           CAST(len(samples) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(coalesce(list_sum(list_transform(samples, s -> abs(s))), 0) AS BIGINT) AS abs_sum,
+           CAST(coalesce(list_sum(list_transform(samples, s -> s*s)), 0) AS BIGINT) AS energy,
+           CAST(coalesce(list_sum(
+             [ CASE WHEN (samples[i+1] < 0) != (samples[i+2] < 0) THEN 1 ELSE 0 END
+               for i in range(len(samples) - 1) ]), 0) AS BIGINT) AS zero_crossings,
+           CAST(coalesce(list_max(list_transform(samples, s -> abs(s))), 0) AS INT) AS peak,
+           true AS decode_ok
+    FROM s
+    """,
+    "REAL audio decode loop, value-checked end to end: text bytes -> "
+    "16-bit PCM samples -> RIFF/WAV encode -> the stdlib RIFF parser -> "
+    "exact integer signal features (abs-sum, energy, zero-crossings, "
+    "peak). The oracle re-derives the same integers straight from the "
+    "UTF-8 bytes, so a hash match proves the encoder, the chunk-walking "
+    "decoder, and the featurizer agree sample-for-sample. Plan: two "
+    "chained mapInPandas stages (Arrow-batched, partition-parallel, no "
+    "shuffle); a corrupt payload flags its row, never the task",
+)
+def audio_feature_extract(spark, sf_dir):
+    from ..operators import audio
+
+    d = load(spark, sf_dir, "documents")
+    media = audio.attach_wav_payload(d, "doc_id", "text", sample_rate=8000)
+    return audio.decode_audio_features(media)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "cluster_disjoint_split",
+    f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
+      FROM w WHERE len(ws) >= 2
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, seeds.seed,
+        min((base * seeds.a + seeds.b) % 2147483647) AS sig
+      FROM tok CROSS JOIN (
+        SELECT unnest(range(8)) AS seed,
+               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
+               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
+      ) seeds
+      GROUP BY doc_id, seeds.seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
+            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(src) AS rep_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, rep_id,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, rep_id,
+        CAST(('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM labeled
+    )
+    """,
+    "Leakage-free train/val/test split: the 80/10/10 hash draw is taken "
+    "on the near-dup CLUSTER representative, not the document — so two "
+    "near-duplicate documents can never straddle train and test (the "
+    "eval-contamination hole a plain per-doc split leaves open). "
+    "Composition: dedup connected components -> hash-bucket the rep id. "
+    "Plan: the components loop is the lineage-truncated label "
+    "propagation from dedup_clusters; the split itself adds ZERO "
+    "shuffles (a pure column expression on the labeled output)",
+)
+def cluster_disjoint_split(spark, sf_dir):
+    from ..functions import text as TX
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    comp = dedup.dedup_components(d, "doc_id", "text", threshold=0.8)
+    bucket = F.pmod(
+        TX.stable_hash64(
+            F.concat(F.lit("split:"), F.col("rep_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    return comp.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "late_lines_priority_class",
+    """
+    SELECT l.l_linestatus AS linestatus,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+    GROUP BY 1
+    """,
+    "TPC-H Q12 shape on the fixture columns: late-shipping lines "
+    "(shipped >30 days after order date) classified by line status into "
+    "high- vs low-priority order counts — the conditional-sum pivot "
+    "over a fact-to-fact join. Plan: one equi-join shuffle on orderkey "
+    "(both sides pre-projected to 3 columns), CASE-sums fold into the "
+    "partial agg; the date predicate is NOT pushable (it spans both "
+    "sides) and correctly evaluates post-join",
+)
+def late_lines_priority_class(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 30)
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(hi.cast("int")).cast("bigint").alias("high_priority_lines"),
+            F.sum((~hi).cast("int")).cast("bigint").alias("low_priority_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "promo_revenue_share",
+    """
+    WITH m AS (
+      SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
+              ELSE CAST(0 AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS promo_revenue,
+        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+      CAST(round(100.0 * promo_revenue / total_revenue, 4) AS DOUBLE) AS promo_share_pct
+    FROM m
+    """,
+    "TPC-H Q14 shape: monthly promo-revenue share — conditional decimal "
+    "sum over a fact-dim join, ratio taken in ONE IEEE division of the "
+    "two already-rounded sums (decimal/decimal division scale rules "
+    "differ across engines; double-of-rounded is bit-identical). Plan: "
+    "part is a dimension -> broadcast, so the only shuffle is the final "
+    "small groupBy on month; both sums share one scan",
+)
+def promo_revenue_share(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    m = (
+        l.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(28,10)")
+                    )
+                ),
+                2,
+            ).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).cast("double").alias("promo_share_pct"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "disjunctive_parts_revenue",
+    """
+    SELECT branch,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT l.l_extendedprice, l.l_discount,
+        CASE WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                  AND l.l_quantity BETWEEN 1 AND 20 THEN 'small-brand1'
+             WHEN p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+                  AND l.l_quantity BETWEEN 10 AND 40 THEN 'mid-brand13'
+             WHEN p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+                  AND l.l_quantity >= 25 THEN 'bulk-promo'
+             ELSE NULL END AS branch
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ) WHERE branch IS NOT NULL
+    GROUP BY 1
+    """,
+    "TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing "
+    "dimension attributes (brand/type/size) with fact attributes "
+    "(quantity), labeled by first-matching branch. The disjunction "
+    "cannot be pushed to either scan whole, but Catalyst pushes the "
+    "derivable per-side bounds; part broadcasts so the disjunction "
+    "evaluates map-side — one partial-agg shuffle of <=3 rows total",
+)
+def disjunctive_parts_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        F.when(
+            (F.col("p_brand") == "Brand#1") & sz.between(1, 15)
+            & q.between(1, 20), "small-brand1")
+        .when(
+            (F.col("p_brand") == "Brand#13") & sz.between(10, 30)
+            & q.between(10, 40), "mid-brand13")
+        .when(
+            (F.col("p_type") == "PROMO") & sz.between(20, 50)
+            & (q >= 25), "bulk-promo")
+    )
+    return (
+        l.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("branch", branch)
+        .filter(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "idle_rich_customers_by_segment",
+    """
+    WITH g AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+    FROM customer c CROSS JOIN g
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * g.n > g.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    "TPC-H Q22 shape: customers with above-average balance and NO "
+    "urgent orders (every fixture customer has SOME order, so the "
+    "anti-join side is filtered to keep the result non-degenerate), "
+    "grouped by market segment. The above-average predicate is "
+    "evaluated as acctbal * n > sum (decimal-exact cross-multiplication "
+    "— an avg() of doubles is partition-order-nondeterministic and a "
+    "decimal division's scale differs per engine). Plan: the (sum, "
+    "count) scalar broadcasts; the existence check is a LEFT ANTI join "
+    "shuffled on custkey (orders pre-projected to the key column); one "
+    "tiny groupBy on segment",
+)
+def idle_rich_customers_by_segment(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    g = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(o.filter(F.col("o_orderpriority") == "1-URGENT")
+               .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
+        )
+    )
