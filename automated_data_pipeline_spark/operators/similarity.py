@@ -344,6 +344,255 @@ def semantic_dedup(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_fraction: float = 1.0,
+    train_cap: int = 100_000,
+):
+    """Product-quantization codebook (Jégou et al. 2011): split each
+    vector into ``m`` contiguous subspaces of dim/m components and fit
+    an independent ``n_codes``-centroid k-means per subspace.
+
+    Returns (codebooks, codebook_df): ``codebooks`` is the driver-side
+    list of m (n_codes x dim/m) float arrays feeding ``pq_encode``'s
+    literal expressions; ``codebook_df`` is the same content as a
+    DataFrame (subspace, code, centroid) for persistence/broadcast.
+
+    Scale split mirrors ``ivf_index``: training runs on a bounded
+    UNIFORM driver-side sample (hash-ranked, not partition-ordered
+    ``limit``) — m tiny independent k-means fits; encoding and search
+    stay fully distributed. At 100 TB the win is storage/IO: m bytes
+    per vector instead of dim*4 (32x for 64-dim float32 at m=8), which
+    is what lets a re-ranking ANN pipeline keep its candidate set in
+    memory."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if train_fraction < 1.0:
+        sample = sample.sample(train_fraction, seed=seed)
+    rows = (
+        sample.withColumn(
+            "_r", F.xxhash64(F.to_json(F.struct("v")), F.lit(seed))
+        )
+        .orderBy("_r")
+        .limit(train_cap)
+        .drop("_r")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < n_codes:
+        raise ValueError(f"need >= {n_codes} training vectors, got {len(X)}")
+    rng = np.random.RandomState(seed)
+    codebooks = []
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        cent = Xj[rng.choice(len(Xj), n_codes, replace=False)].copy()
+        for _ in range(max_iter):
+            d = (
+                (Xj * Xj).sum(1)[:, None]
+                - 2 * Xj @ cent.T
+                + (cent * cent).sum(1)[None, :]
+            )
+            lab = d.argmin(1)
+            for c in range(n_codes):
+                mask = Xj[lab == c]
+                if len(mask):
+                    cent[c] = mask.mean(0)
+        codebooks.append(cent)
+    spark = corpus.sparkSession
+    codebook_df = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return codebooks, codebook_df
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Distributed PQ encoding: per subspace, argmin squared L2 over the
+    literal codebook centroids — pure expressions on a vector slice, so
+    the whole encode is one narrow codegen pass (no shuffle, no Python).
+    Adds ``out_col`` = array<int> of m codes."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def code_expr(j):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    s,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in codebooks[j]
+        ])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.withColumn(out_col, F.array(*[code_expr(j) for j in range(m)]))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays full-precision;
+    each corpus vector is scored from its codes through a per-query
+    lookup table LUT[j][c] = ||q_j - centroid_{j,c}||^2, so approx
+    distance = sum_j LUT[j][codes[j]].
+
+    Plan: the LUT build is queries x codebook (both tiny — m*n_codes
+    rows per query) collapsed to one array<array<double>> per query and
+    BROADCAST; scoring the corpus is then a narrow pass folding the
+    m-element codes array through element_at — the full-precision
+    vectors are never read, which is the point of PQ. Ranking is the
+    standard per-query top-k window on (rounded distance, id)."""
+    sub = F.col("centroid")
+    lut_rows = (
+        queries.crossJoin(F.broadcast(codebook_df))
+        .select(
+            query_id_col,
+            "subspace",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col(query_vec_col),
+                        F.col("subspace") * F.size(sub) + 1,
+                        F.size(sub),
+                    ),
+                    sub,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    lut = (
+        lut_rows.groupBy(query_id_col, "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))),
+                lambda r: r["d2"],
+            ).alias("row")
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "row"))),
+                lambda r: r["row"],
+            ).alias("lut")
+        )
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.col("lut"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        digits,
+    )
+    pairs = encoded.crossJoin(F.broadcast(lut))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col), adc.alias("adc_d2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    codebook_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """The production PQ pattern: ADC over the compressed codes produces
+    a k*oversample shortlist (cheap — full vectors never read), then
+    ONLY the shortlist rows are re-scored against the full-precision
+    vectors and re-ranked. On the synthetic fixture (near-random 64-dim
+    vectors, PQ's hardest case) m=8/n_codes=64/oversample=5 lifts
+    recall@10 from ~0.46 (raw ADC) to ~0.88 (pinned by
+    tests/test_pq.py). At 100 TB the shortlist join is a semi-join on
+    id against the (bucketed) corpus — IO proportional to
+    k*oversample*queries, not corpus size."""
+    shortlist = pq_adc_topk(
+        encoded, codebook_df, queries,
+        k=k * oversample,
+        id_col=id_col, codes_col=codes_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        exclude_self=exclude_self, digits=digits,
+    ).select(query_id_col, id_col)
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col(query_vec_col),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        digits,
+    )
+    rescored = (
+        shortlist.join(encoded.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def write_ivf_index(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -905,3 +905,30 @@ def idle_rich_customers_by_segment(spark, sf_dir):
             F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Product quantization: approximate by construction (per-subspace
+# k-means codebooks) — rows-only, like ann_ivf_topk; encode parity,
+# ADC==LUT-sum, and recall >= 0.8 are pinned by tests/test_pq.py.
+@spec(
+    "ann_pq_rerank_topk",
+    None,
+    "PQ compressed ANN (Jegou et al. 2011): per-subspace k-means "
+    "codebooks (m=8, 64 codes -> 8 bytes/vector, 32x smaller than "
+    "float32), asymmetric-distance shortlist over the codes, exact "
+    "re-rank of the k*oversample survivors. Full vectors are read only "
+    "for the shortlist join — the IO shape that makes billion-vector "
+    "ANN feasible",
+)
+def ann_pq_rerank_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    codebooks, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
+    enc = similarity.pq_encode(e, codebooks)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.pq_topk_rerank(enc, cb_df, q, k=5, oversample=5)
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

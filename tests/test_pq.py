@@ -1,0 +1,129 @@
+"""Product-quantization tests: codebook shape/determinism, distributed
+encode parity with the driver-side math, ADC correctness, and the
+shortlist+rerank recall the operator docstring claims."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.operators import similarity
+from automated_data_pipeline_spark.suite import load
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_ORACLE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_top10(emb):
+    rows = emb.collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    out = {}
+    for qid in range(5):
+        qv = X[qid]
+        d = sorted(
+            (float(np.sum((v - qv) ** 2)), vid)
+            for vid, v in X.items()
+            if vid != qid
+        )
+        out[qid] = [vid for _, vid in d[:10]]
+    return X, out
+
+
+def test_pq_train_shapes_and_determinism(emb):
+    cb1, df1 = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    cb2, _ = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    assert len(cb1) == 8 and all(len(c) == 16 for c in cb1)
+    assert all(len(c[0]) == 8 for c in cb1)
+    for a, b in zip(cb1, cb2):
+        assert np.allclose(a, b), "training must be deterministic"
+    assert df1.count() == 8 * 16
+
+
+def test_pq_train_rejects_bad_dims(emb):
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, dim=64, m=7)
+
+
+def test_pq_encode_matches_driver_argmin(emb, exact_top10):
+    X, _ = exact_top10
+    codebooks, _ = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    enc = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode(emb, codebooks)
+        .select("vec_id", "pq_codes").collect()
+    }
+    # spot-check 20 vectors against numpy argmin per subspace
+    for vid in list(X)[:20]:
+        v = X[vid]
+        for j in range(8):
+            sub = v[j * 8:(j + 1) * 8]
+            d = ((codebooks[j] - sub) ** 2).sum(1)
+            assert enc[vid][j] == int(d.argmin())
+
+
+def test_pq_codes_compress_32x(emb):
+    codebooks, _ = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    enc = similarity.pq_encode(emb, codebooks)
+    row = enc.select("pq_codes").first()
+    assert len(row["pq_codes"]) == 8  # 8 bytes vs 64 float32 = 32x
+
+
+def test_adc_equals_lut_sum(emb, exact_top10):
+    """ADC distance must equal the sum of per-subspace LUT entries for
+    the assigned codes (checked against numpy for one query)."""
+    X, _ = exact_top10
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    enc = similarity.pq_encode(emb, codebooks)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = {
+        r["vec_id"]: r["adc_d2"]
+        for r in similarity.pq_adc_topk(
+            enc, cb_df, q, k=500
+        ).collect()
+    }
+    qv = X[0]
+    codes = {
+        r["vec_id"]: r["pq_codes"]
+        for r in enc.select("vec_id", "pq_codes").collect()
+    }
+    for vid in list(X)[:20]:
+        if vid == 0:
+            continue
+        want = sum(
+            float(((qv[j * 8:(j + 1) * 8] - codebooks[j][codes[vid][j]]) ** 2).sum())
+            for j in range(8)
+        )
+        assert got[vid] == pytest.approx(want, abs=1e-5)
+
+
+def test_pq_rerank_recall(emb, exact_top10):
+    """Shortlist+rerank recall on the hardest case (near-random
+    vectors): m=8, 64 codes, oversample 5 -> recall@10 >= 0.8."""
+    _, exact = exact_top10
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=64)
+    enc = similarity.pq_encode(emb, codebooks)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.pq_topk_rerank(enc, cb_df, q, k=10, oversample=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = np.mean(
+        [len(got[qid] & set(exact[qid])) / 10 for qid in range(5)]
+    )
+    assert recall >= 0.8
+    # rerank scores are EXACT distances: top-1 must match brute force
+    first = {
+        r["qid"]: r["vec_id"] for r in out.collect() if r["rank"] == 1
+    }
+    hits = sum(1 for qid in range(5) if first[qid] == exact[qid][0])
+    assert hits >= 4  # top-1 can only miss if ADC dropped it from the shortlist
