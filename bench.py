@@ -77,6 +77,13 @@ HEADLINE = [
     "data_quality_report",
     "ts_pattern_match",
     "length_vocab_correlation",
+    "audio_feature_extract",
+    "cluster_disjoint_split",
+    "late_lines_priority_class",
+    "promo_revenue_share",
+    "disjunctive_parts_revenue",
+    "idle_rich_customers_by_segment",
+    "ann_pq_rerank_topk",
 ]
 
 

@@ -373,3 +373,42 @@ def test_curation_ops_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in frag[:120]
+
+
+def test_q_shape_plans_broadcast_dims(spark):
+    """The round-4 TPC-H shapes keep their plan contracts: part is a
+    broadcast dim for Q14/Q19 (lineitem never shuffles for the join),
+    the Q22 scalar (sum, count) arrives via broadcast with a LEFT ANTI
+    existence join, and Q12 is a single equi-join with pruned scans."""
+    import os
+
+    from automated_data_pipeline_spark.suite import curation
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+    for fn in (curation.promo_revenue_share,
+               curation.disjunctive_parts_revenue):
+        df = fn(spark, sf)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the fact side must not shuffle for the join itself: the only
+        # hash exchange is the final small-key aggregation
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    df = curation.idle_rich_customers_by_segment(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row (sum, count) build side
+    assert "CartesianProduct" not in plan
+
+    df = curation.late_lines_priority_class(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both scans pruned to the 3 needed columns
+    import re
+
+    widths = [len(r.split(",")) for r in
+              re.findall(r"ReadSchema: struct<([^>]*)>", plan) if r]
+    assert widths and max(widths) <= 3
