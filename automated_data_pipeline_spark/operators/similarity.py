@@ -593,6 +593,198 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 6,
+    train_fraction: float = 1.0,
+    train_cap: int = 100_000,
+):
+    """IVF-PQ index (the FAISS IndexIVFPQ architecture): a coarse
+    k-means quantizer routes each vector to a cluster, and the RESIDUAL
+    (vector - its centroid) is product-quantized. Residual encoding is
+    what makes PQ codes sharp: within a cluster the residuals are
+    centered near zero, so the same code budget spends its resolution
+    on local structure instead of global position.
+
+    Returns (encoded, cent_df, codebooks, codebook_df): ``encoded`` is
+    the corpus with ``ivf_cluster`` + ``pq_codes`` (+ the original
+    vector, kept for re-ranking; drop it for a codes-only index).
+
+    Plan: cluster assignment and residual subtraction are one narrow
+    codegen pass (centroids join back via broadcast); PQ training
+    samples residuals uniformly (same hash-rank discipline as
+    ``ivf_index``); encoding is literal-expression argmin. At 100 TB
+    the encoded corpus persists partitioned by ``ivf_cluster`` (see
+    ``write_ivf_index``) so a probe reads nprobe directories of 8-byte
+    codes — the billion-vector layout."""
+    assigned, cent_df = ivf_index(
+        corpus, n_clusters, vec_col, seed, max_iter=max_iter,
+        train_fraction=train_fraction, train_cap=train_cap,
+    )
+    resid = assigned.join(F.broadcast(cent_df), "ivf_cluster").withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ),
+    ).drop("centroid")
+    codebooks, codebook_df = pq_train(
+        resid, dim=dim, m=m, n_codes=n_codes, vec_col="_resid", seed=seed,
+        max_iter=max_iter, train_fraction=train_fraction,
+        train_cap=train_cap,
+    )
+    encoded = pq_encode(resid, codebooks, vec_col="_resid").drop("_resid")
+    return encoded, cent_df, codebooks, codebook_df
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    cent_df: DataFrame,
+    codebook_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search: probe the nprobe nearest clusters per query, ADC
+    against the RESIDUAL codes (the lookup table is built per (query,
+    probed cluster) from the query's residual in that cluster), then
+    exact re-rank of the k*oversample shortlist.
+
+    Plan: probes and LUTs are (queries x nprobe x m x n_codes) rows —
+    tiny — and broadcast; the corpus side touches only probed clusters
+    (partition-pruned when the index is persisted by cluster), scored
+    in one narrow fold over the codes array; only the shortlist reads
+    full vectors."""
+    qw = Window.partitionBy(query_id_col).orderBy(F.asc("qc_d2"), F.asc("ivf_cluster"))
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col(query_vec_col), F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(
+            query_id_col, query_vec_col, "ivf_cluster", "centroid",
+            qdist.alias("qc_d2"),
+        )
+        .withColumn("_pr", F.row_number().over(qw))
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_pr", "qc_d2")
+    )
+    # per-(query, cluster) residual LUT: d2 between the query residual
+    # slice and each residual codebook centroid
+    resid_slice = F.slice(
+        F.zip_with(
+            F.col(query_vec_col), F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ),
+        F.col("subspace") * F.size(F.col("pq_centroid")) + 1,
+        F.size(F.col("pq_centroid")),
+    )
+    lut_rows = (
+        probes.crossJoin(
+            F.broadcast(codebook_df.withColumnRenamed("centroid", "pq_centroid"))
+        )
+        .select(
+            query_id_col,
+            "ivf_cluster",
+            "subspace",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    resid_slice,
+                    F.col("pq_centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    lut = (
+        lut_rows.groupBy(query_id_col, "ivf_cluster", "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))),
+                lambda r: r["d2"],
+            ).alias("row")
+        )
+        .groupBy(query_id_col, "ivf_cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "row"))),
+                lambda r: r["row"],
+            ).alias("lut")
+        )
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.col("lut"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        digits,
+    )
+    pairs = encoded.join(F.broadcast(lut), "ivf_cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    shortlist = (
+        pairs.select(F.col(query_id_col), F.col(id_col), adc.alias("adc_d2"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.asc("adc_d2"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col(query_vec_col),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        digits,
+    )
+    rescored = (
+        shortlist.join(encoded.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def write_ivf_index(
     assigned: DataFrame,
     centroids: DataFrame,

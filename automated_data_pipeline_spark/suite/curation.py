@@ -932,3 +932,30 @@ def ann_pq_rerank_topk(spark, sf_dir):
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "ann_ivfpq_topk",
+    None,
+    "IVF-PQ (the FAISS IndexIVFPQ architecture): coarse k-means routing "
+    "+ product-quantized RESIDUALS, per-(query, probed-cluster) ADC "
+    "lookup tables, exact re-rank of the shortlist. The billion-vector "
+    "layout: probes read nprobe cluster partitions of 8-byte codes; "
+    "full vectors only for the shortlist. Recall-vs-nprobe monotonicity "
+    "pinned by tests/test_pq.py",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        e, dim=64, n_clusters=8, m=8, n_codes=16
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.ivfpq_topk(
+        enc, cent_df, cb_df, q, k=5, nprobe=4, oversample=5
+    )
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

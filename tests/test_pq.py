@@ -127,3 +127,49 @@ def test_pq_rerank_recall(emb, exact_top10):
     }
     hits = sum(1 for qid in range(5) if first[qid] == exact[qid][0])
     assert hits >= 4  # top-1 can only miss if ADC dropped it from the shortlist
+
+
+def test_ivfpq_recall_rises_with_nprobe(emb, exact_top10):
+    """IVF-PQ (residual product codes): recall must rise with nprobe
+    and reach a sane floor at full probe — the coarse-quantizer routing
+    must never LOSE candidates that the probe set covers."""
+    from pyspark.sql import functions as F
+
+    _, exact = exact_top10
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        emb, dim=64, n_clusters=8, m=8, n_codes=32
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def recall(nprobe):
+        out = similarity.ivfpq_topk(
+            enc, cent_df, cb_df, q, k=10, nprobe=nprobe, oversample=5
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        return np.mean(
+            [len(got.get(i, set()) & set(exact[i])) / 10 for i in range(5)]
+        )
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.5  # random-vector fixture is PQ's hardest case
+
+
+def test_ivfpq_codes_and_clusters(emb):
+    from pyspark.sql import functions as F
+
+    enc, cent_df, codebooks, _ = similarity.ivfpq_index(
+        emb, dim=64, n_clusters=8, m=8, n_codes=32
+    )
+    assert cent_df.count() == 8
+    row = enc.select("ivf_cluster", "pq_codes").first()
+    assert 0 <= row["ivf_cluster"] < 8
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 32 for c in row["pq_codes"])
+    # every corpus row encoded exactly once
+    assert enc.count() == emb.count()
+    assert enc.select("vec_id").distinct().count() == emb.count()
