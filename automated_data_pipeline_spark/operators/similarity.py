@@ -452,6 +452,58 @@ def pq_encode(
     return corpus.withColumn(out_col, F.array(*[code_expr(j) for j in range(m)]))
 
 
+def pq_encode_joined(
+    corpus: DataFrame,
+    codebook_df: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Large-codebook PQ encode: instead of literal centroid expressions
+    (whose task binary grows with m*n_codes*sub — fine at 16-64 codes,
+    multi-MiB at FAISS-typical 256x16x64), explode each vector into its
+    m subspace slices, broadcast-join the codebook on ``subspace``, and
+    take the argmin code per (row, subspace) with a struct-min (ties ->
+    smallest code, matching numpy argmin). One partial-agg shuffle of
+    N*m rows; codes parity with ``pq_encode`` is pinned by
+    tests/test_pq.py."""
+    sub_ix = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace")
+    sliced = corpus.select(id_col, vec_col).select(
+        id_col, F.col(vec_col), sub_ix
+    )
+    pairs = sliced.join(F.broadcast(codebook_df), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.col(vec_col),
+                    F.col("subspace") * F.size("centroid") + 1,
+                    F.size("centroid"),
+                ),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    codes = (
+        pairs.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("d2", "code"))["code"].alias("code"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda r: r["code"].cast("int"),
+            ).alias(out_col)
+        )
+    )
+    return corpus.join(codes, id_col)
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebook_df: DataFrame,

@@ -173,3 +173,20 @@ def test_ivfpq_codes_and_clusters(emb):
     # every corpus row encoded exactly once
     assert enc.count() == emb.count()
     assert enc.select("vec_id").distinct().count() == emb.count()
+
+
+def test_pq_encode_joined_parity(emb):
+    """The broadcast-join encode (large-codebook path) must produce
+    byte-identical codes to the literal-expression encode."""
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    lit = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode(emb, codebooks)
+        .select("vec_id", "pq_codes").collect()
+    }
+    joined = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_joined(emb, cb_df, m=8)
+        .select("vec_id", "pq_codes").collect()
+    }
+    assert lit == joined
