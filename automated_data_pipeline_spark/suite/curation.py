@@ -923,8 +923,16 @@ def idle_rich_customers_by_segment(spark, sf_dir):
 )
 def ann_pq_rerank_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    codebooks, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
-    enc = similarity.pq_encode(e, codebooks)
+    _, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
+    # the broadcast-join encode: at 64 codes the literal-expression
+    # variant's 512-aggregate plan spends ~25s in codegen COMPILATION
+    # alone (measured at sf0.1) — the join path is 6x faster end to end
+    # and the shape that scales with codebook size. Checkpoint the
+    # codes so the shortlist's join back onto `enc` doesn't re-run the
+    # encode lineage a second time.
+    enc = similarity.pq_encode_joined(e, cb_df, m=8).localCheckpoint(
+        eager=True
+    )
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
