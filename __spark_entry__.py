@@ -17,7 +17,8 @@
   (IVF / PQ / IVF-PQ ANN: k-means quantizers; approx aggregates:
   HLL++/t-digest) are
   non-SQL-expressible by construction and are pinned by pytest unit
-  oracles instead (tests/test_text_hashes.py, tests/test_multimodal.py,
+  oracles instead (tests/test_pq.py: encode parity, ADC==LUT-sum,
+  recall floors; tests/test_text_hashes.py, tests/test_multimodal.py,
   tests/test_scale_plans.py).
 """
 

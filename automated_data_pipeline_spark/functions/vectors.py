@@ -28,6 +28,22 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential array fold — the shared
+    primitive behind IVF assignment, PQ encode/ADC, and re-ranking.
+    Deterministic (left-to-right accumulation, both sides cast to
+    double before subtraction)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

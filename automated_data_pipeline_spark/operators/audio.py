@@ -70,6 +70,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         ctype = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            # a declared length past the end of the payload is a
+            # truncated/corrupt file — flag it, don't silently decode
+            # the partial clip as if it were complete
+            raise ValueError("truncated WAV chunk")
         # chunks are word-aligned: odd-length bodies carry a pad byte
         pos += 8 + length + (length & 1)
         if ctype == b"fmt ":
@@ -140,7 +145,12 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                     rate, ch, samples = _decode_audio(bytes(payload or b""))
                     arr = np.asarray(samples, dtype=np.int64)
                     n = len(arr) // max(ch, 1)
-                    signs = arr < 0
+                    # zero crossings are PER CHANNEL: de-interleave to
+                    # (frames, channels) and count sign flips down each
+                    # channel column — comparing consecutive interleaved
+                    # samples would count L/R alternation as crossings
+                    frames = arr[: n * ch].reshape(n, max(ch, 1))
+                    signs = frames < 0
                     rows.append((
                         mid, rate, ch, n,
                         n * 1000 // rate,

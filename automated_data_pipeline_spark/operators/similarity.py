@@ -429,27 +429,23 @@ def pq_encode(
     """Distributed PQ encoding: per subspace, argmin squared L2 over the
     literal codebook centroids — pure expressions on a vector slice, so
     the whole encode is one narrow codegen pass (no shuffle, no Python).
-    Adds ``out_col`` = array<int> of m codes."""
+    Adds ``out_col`` = array<int> of m codes; a NULL vector gets NULL
+    codes (same contract as ``pq_encode_joined``)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
 
     def code_expr(j):
         s = F.slice(F.col(vec_col), j * sub + 1, sub)
         dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    s,
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            V.sq_l2(s, F.array(*[F.lit(float(x)) for x in cent]))
             for cent in codebooks[j]
         ])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return corpus.withColumn(out_col, F.array(*[code_expr(j) for j in range(m)]))
+    codes = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("array<int>")
+    ).otherwise(F.array(*[code_expr(j) for j in range(m)]))
+    return corpus.withColumn(out_col, codes)
 
 
 def pq_encode_joined(
@@ -466,28 +462,25 @@ def pq_encode_joined(
     m subspace slices, broadcast-join the codebook on ``subspace``, and
     take the argmin code per (row, subspace) with a struct-min (ties ->
     smallest code, matching numpy argmin). One partial-agg shuffle of
-    N*m rows; codes parity with ``pq_encode`` is pinned by
-    tests/test_pq.py."""
+    N*m rows; codes parity with ``pq_encode`` — including NULL vectors
+    -> NULL codes, row kept — is pinned by tests/test_pq.py."""
     sub_ix = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace")
-    sliced = corpus.select(id_col, vec_col).select(
-        id_col, F.col(vec_col), sub_ix
-    )
+    # NULL vectors take the left-join path below (NULL codes, row kept)
+    # rather than feeding NULL distances into the struct-min
+    sliced = corpus.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).select(id_col, F.col(vec_col), sub_ix)
     pairs = sliced.join(F.broadcast(codebook_df), "subspace").select(
         id_col,
         "subspace",
         "code",
-        F.aggregate(
-            F.zip_with(
-                F.slice(
-                    F.col(vec_col),
-                    F.col("subspace") * F.size("centroid") + 1,
-                    F.size("centroid"),
-                ),
-                F.col("centroid"),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        V.sq_l2(
+            F.slice(
+                F.col(vec_col),
+                F.col("subspace") * F.size("centroid") + 1,
+                F.size("centroid"),
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            F.col("centroid"),
         ).alias("d2"),
     )
     codes = (
@@ -501,7 +494,7 @@ def pq_encode_joined(
             ).alias(out_col)
         )
     )
-    return corpus.join(codes, id_col)
+    return corpus.join(codes, id_col, "left")
 
 
 def pq_adc_topk(
@@ -534,18 +527,13 @@ def pq_adc_topk(
             query_id_col,
             "subspace",
             "code",
-            F.aggregate(
-                F.zip_with(
-                    F.slice(
-                        F.col(query_vec_col),
-                        F.col("subspace") * F.size(sub) + 1,
-                        F.size(sub),
-                    ),
-                    sub,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            V.sq_l2(
+                F.slice(
+                    F.col(query_vec_col),
+                    F.col("subspace") * F.size(sub) + 1,
+                    F.size(sub),
                 ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+                sub,
             ).alias("d2"),
         )
     )
@@ -621,19 +609,7 @@ def pq_topk_rerank(
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         exclude_self=exclude_self, digits=digits,
     ).select(query_id_col, id_col)
-    exact_d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.col(query_vec_col),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        digits,
-    )
+    exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     rescored = (
         shortlist.join(encoded.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
@@ -722,14 +698,7 @@ def ivfpq_topk(
     in one narrow fold over the codes array; only the shortlist reads
     full vectors."""
     qw = Window.partitionBy(query_id_col).orderBy(F.asc("qc_d2"), F.asc("ivf_cluster"))
-    qdist = F.aggregate(
-        F.zip_with(
-            F.col(query_vec_col), F.col("centroid"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qdist = V.sq_l2(F.col(query_vec_col), F.col("centroid"))
     probes = (
         queries.crossJoin(F.broadcast(cent_df))
         .select(
@@ -759,15 +728,7 @@ def ivfpq_topk(
             "ivf_cluster",
             "subspace",
             "code",
-            F.aggregate(
-                F.zip_with(
-                    resid_slice,
-                    F.col("pq_centroid"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
+            V.sq_l2(resid_slice, F.col("pq_centroid")).alias("d2"),
         )
     )
     lut = (
@@ -814,18 +775,7 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k * oversample)
         .select(query_id_col, id_col)
     )
-    exact_d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col), F.col(query_vec_col),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        digits,
-    )
+    exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     rescored = (
         shortlist.join(encoded.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators import similarity
 from . import QuerySpec, load
+from . import llm
 
 SPECS: list[QuerySpec] = []
 
@@ -533,15 +534,9 @@ def length_vocab_correlation(spark, sf_dir):
 # columns) rounding out the OLAP surface.
 
 # UTF-8 bytes of text as a 1-based int list, re-derived from
-# hex(encode(text)) — same recipe as llm._MM_BYTES (the
-# multimodal_feature_extract oracle).
-_BYTES_SQL = (
-    "[ (position(substring(hex(encode(coalesce(text, ''))), 2*i+1, 1) in "
-    "'0123456789ABCDEF')-1)*16 "
-    "+ (position(substring(hex(encode(coalesce(text, ''))), 2*i+2, 1) in "
-    "'0123456789ABCDEF')-1) "
-    "for i in range(octet_length(encode(coalesce(text, '')))) ]"
-)
+# hex(encode(text)) — the SAME constant the multimodal_feature_extract
+# oracle uses (one copy; a fix there propagates here).
+from .llm import _MM_BYTES as _BYTES_SQL  # noqa: E402
 
 
 @spec(
@@ -596,60 +591,7 @@ def audio_feature_extract(spark, sf_dir):
 @spec(
     "cluster_disjoint_split",
     f"""
-    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
-    sh AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
-      FROM w WHERE len(ws) >= 2
-    ),
-    tok AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) % 2147483647 AS base
-      FROM sh
-    ),
-    sig AS (
-      SELECT doc_id, seeds.seed,
-        min((base * seeds.a + seeds.b) % 2147483647) AS sig
-      FROM tok CROSS JOIN (
-        SELECT unnest(range(8)) AS seed,
-               unnest([1103515245,1588635695,1117695901,1387672319,1289706101,1464165419,1987654321,1732584193]) AS a,
-               unnest([12345,98765,54321,11111,77777,33333,55555,99999]) AS b
-      ) seeds
-      GROUP BY doc_id, seeds.seed
-    ),
-    band AS (
-      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-        md5(CAST(max(CASE WHEN seed % 2 = 0 THEN sig END) AS VARCHAR) || ',' ||
-            CAST(max(CASE WHEN seed % 2 = 1 THEN sig END) AS VARCHAR)) AS bucket
-      FROM sig GROUP BY doc_id, seed // 2
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM band a JOIN band b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b
-      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS s, id_b AS d FROM verified
-      UNION SELECT id_b, id_a FROM verified
-    ),
-    reach(src, node) AS (
-      SELECT s, s FROM edges
-      UNION
-      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
-    ),
-    comp AS (SELECT node AS doc_id, min(src) AS rep_id FROM reach GROUP BY node),
-    labeled AS (
-      SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
-      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-    )
-    SELECT doc_id, rep_id,
+    WITH RECURSIVE {llm._COMPONENTS_CTES}    SELECT doc_id, rep_id,
       CASE WHEN bucket < 80 THEN 'train'
            WHEN bucket < 90 THEN 'val'
            ELSE 'test' END AS split

@@ -131,11 +131,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-# --------------------------------------------------------------------
-@spec(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+# Shared across dedup_clusters (here) and cluster_disjoint_split
+# (suite/curation.py): shingles -> MinHash(8) -> LSH bands ->
+# verified 0.8-Jaccard edges -> recursive-CTE components ->
+# (doc_id, rep_id) labels. ONE copy so a fix to the recipe cannot
+# silently diverge between the two oracles.
+_COMPONENTS_CTES = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     sh AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingles
       FROM w WHERE len(ws) >= 2
@@ -188,7 +189,14 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     )
-    SELECT l.doc_id, l.rep_id, s.cluster_size,
+"""
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTES}    SELECT l.doc_id, l.rep_id, s.cluster_size,
            l.doc_id != l.rep_id AS is_duplicate
     FROM labeled l
     JOIN (SELECT rep_id, count(*) AS cluster_size FROM labeled GROUP BY 1) s

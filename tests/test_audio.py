@@ -118,3 +118,32 @@ def test_resample_audio_spark(spark):
     assert len(out) == 2  # 4 samples halved
     # nearest-neighbor picks source frames 0 and 2
     assert out == [orig[0], orig[2]]
+
+
+def test_decoder_rejects_truncated_data_chunk():
+    samples = [1, -2, 3, -4]
+    payload = audio.encode_wav(samples, 8000, 1)
+    with pytest.raises(ValueError):
+        audio.decode_wav(payload[:-3])  # cut mid-data: declared > actual
+
+
+def test_stereo_zero_crossings_are_per_channel(spark):
+    # constant L=+1000, R=-1000: interleaved signs alternate every
+    # sample but NEITHER channel ever crosses zero
+    frames = [1000, -1000] * 4
+    payload = audio.encode_wav(frames, 8000, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = audio.decode_audio_features(df).collect()[0]
+    assert out["n_channels"] == 2
+    assert out["n_samples"] == 4
+    assert out["zero_crossings"] == 0
+    # and a channel that DOES cross is counted once per flip
+    frames = [1000, 1000, -1000, 1000]  # L: +,- (one flip); R: +,+ (none)
+    payload = audio.encode_wav(frames, 8000, 2)
+    df = spark.createDataFrame(
+        [(2, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = audio.decode_audio_features(df).collect()[0]
+    assert out["zero_crossings"] == 1

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from automated_data_pipeline_spark.operators import similarity
 from automated_data_pipeline_spark.suite import load
 
-SF_ORACLE = "/root/testdata/sf0.01"
+import os
+
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -189,4 +191,32 @@ def test_pq_encode_joined_parity(emb):
         for r in similarity.pq_encode_joined(emb, cb_df, m=8)
         .select("vec_id", "pq_codes").collect()
     }
+    assert lit == joined
+
+
+def test_pq_encode_null_vector_parity(spark, emb):
+    """A NULL embedding must yield NULL codes (row KEPT) on both encode
+    paths — the literal and join variants must agree on degenerate
+    input, not just the clean fixture."""
+    from pyspark.sql import functions as F
+
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    with_null = emb.limit(3).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    lit = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode(with_null, codebooks)
+        .select("vec_id", "pq_codes").collect()
+    }
+    joined = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_joined(with_null, cb_df, m=8)
+        .select("vec_id", "pq_codes").collect()
+    }
+    assert set(lit) == set(joined) == {0, 1, 2}
+    assert lit[0] is None and joined[0] is None
     assert lit == joined

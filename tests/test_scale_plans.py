@@ -406,9 +406,22 @@ def test_q_shape_plans_broadcast_dims(spark):
     df = curation.late_lines_priority_class(spark, sf)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # both scans pruned to the 3 needed columns
+    # both scans pruned to the 3 needed columns; count TOP-LEVEL fields
+    # (a naive split on ',' would miscount parameterized types like
+    # decimal(12,2))
     import re
 
-    widths = [len(r.split(",")) for r in
+    def n_fields(body):
+        depth, n = 0, 1
+        for ch in body:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        return n
+
+    widths = [n_fields(r) for r in
               re.findall(r"ReadSchema: struct<([^>]*)>", plan) if r]
     assert widths and max(widths) <= 3
