@@ -2,7 +2,7 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: 107 named queries — every implemented operator from
+- ``queries()``: 108 named queries — every implemented operator from
   SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
@@ -13,9 +13,9 @@
   band join (pigeonhole-exact vs the quadratic spec), the RHP-LSH
   queries (deterministic md5-derived hyperplanes re-derived in SQL),
   and the mapInPandas featurization (integer byte-bucket accumulators
-  re-derived from hex(encode(text)) in SQL). The 4 rows-only entries
-  (IVF / PQ / IVF-PQ ANN: k-means quantizers; approx aggregates:
-  HLL++/t-digest) are
+  re-derived from hex(encode(text)) in SQL). The 5 rows-only entries
+  (IVF / PQ / IVF-PQ ANN: k-means quantizers; BPE training:
+  iterative; approx aggregates: HLL++/t-digest) are
   non-SQL-expressible by construction and are pinned by pytest unit
   oracles instead (tests/test_pq.py: encode parity, ADC==LUT-sum,
   recall floors; tests/test_text_hashes.py, tests/test_multimodal.py,

@@ -909,3 +909,27 @@ def ann_ivfpq_topk(spark, sf_dir):
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "bpe_train_merges",
+    None,
+    "Distributed BPE tokenizer training (Sennrich et al. 2016): corpus "
+    "-> compact (word, freq) table (one explode+groupBy; raw text "
+    "never re-shuffles), then each merge round is a pair-count + "
+    "take-1 over that table with the winning merge applied as a pure-"
+    "expression array fold. Deterministic (freq desc, lexicographic "
+    "tie-break) — the merge table matches a from-scratch pure-Python "
+    "reference exactly (tests/test_bpe.py). Iterative-by-construction, "
+    "hence rows-only",
+)
+def bpe_train_merges(spark, sf_dir):
+    from ..operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_freq long",
+    )

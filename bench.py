@@ -84,6 +84,7 @@ HEADLINE = [
     "disjunctive_parts_revenue",
     "idle_rich_customers_by_segment",
     "ann_pq_rerank_topk",
+    "bpe_train_merges",
 ]
 
 

@@ -11,7 +11,7 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 107
+DOCUMENTED_TOTAL = 108
 DOCUMENTED_WITH_ORACLE = 103
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
