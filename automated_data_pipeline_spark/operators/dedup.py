@@ -739,6 +739,75 @@ def containment_pairs(
     return _finalize(result, shingled)
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Generic near-dup pairs over ANY precomputed packed hash column
+    (SimHash, image dHash, audio fingerprint): split the hash into
+    ``n_blocks`` disjoint bit blocks and equi-join per block — by
+    pigeonhole, two hashes within ``max_hamming`` bits must agree on at
+    least one whole block when ``n_blocks > max_hamming`` — then verify
+    candidates with the exact popcount distance.
+
+    The sibling of ``simhash_pairs`` (rotation buckets) factored over
+    an arbitrary hash column; same soundness guard, same one-explode
+    bucketing (no per-block union re-executing the hash lineage).
+    Shuffle volume is proportional to block-collision candidates, never
+    the all-pairs product."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks > max_hamming: with "
+            f"{n_blocks} blocks, {max_hamming} differing bits can straddle "
+            "every block (pigeonhole) and true near-dups would be missed"
+        )
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible by n_blocks={n_blocks}")
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).persist()
+    blk_structs = [
+        F.struct(
+            F.lit(k).alias("blk"),
+            F.shiftright(F.col("h"), width * k)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for k in range(n_blocks)
+    ]
+    buckets = base.select(
+        "id", "h", F.explode(F.array(*blk_structs)).alias("kb")
+    ).select("id", "h", F.col("kb.blk").alias("blk"), F.col("kb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    result = cand.select(
+        "id_a", "id_b",
+        TX.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return _finalize(result, base)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -316,6 +316,103 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(do_resize, schema=MEDIA_SCHEMA)
 
 
+def dhash64(payload: bytes) -> int:
+    """Perceptual difference hash (dHash, 64-bit): decode -> integer
+    grayscale -> nearest-neighbor 9x8 thumbnail -> one bit per adjacent
+    horizontal pixel pair (right brighter than left). Near-identical
+    images (re-encodes, small edits, RESIZES — the thumbnail normalizes
+    scale away) land within a few bits; unrelated images differ in
+    ~32. Pure integer math, deterministic."""
+    w, h, ch, px = _decode_image(payload)
+    tw, th = 9, 8
+    gray = []
+    for y in range(th):
+        sy = min(y * h // th, h - 1)
+        row = []
+        for x in range(tw):
+            sx = min(x * w // tw, w - 1)
+            o = (sy * w + sx) * ch
+            row.append(sum(px[o:o + min(ch, 3)]) // min(ch, 3))
+        gray.append(row)
+    bits = 0
+    for y in range(th):
+        for x in range(tw - 1):
+            if gray[y][x + 1] > gray[y][x]:
+                bits |= 1 << (y * (tw - 1) + x)
+    # fold into signed int64 (Spark LongType); bit semantics unchanged
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str,
+                       width: int = 16) -> DataFrame:
+    """Test/fixture harness (the image twin of audio.attach_wav_payload):
+    render each document's UTF-8 bytes as a REAL grayscale PNG —
+    ``width`` pixels per row, zero-padded final row — so the whole
+    decode->thumbnail->dHash loop runs on genuine PNG payloads while
+    staying re-derivable from the text bytes in a SQL oracle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                h = max((len(raw) + width - 1) // width, 1)
+                px = raw + b"\x00" * (width * h - len(raw))
+                payloads.append(encode_png(width, h, 1, px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    src = df.selectExpr(f"{id_col} as media_id", f"{text_col} as text")
+    return src.mapInPandas(build, schema="media_id long, payload binary")
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched dHash per image payload: (id, dhash, decode_ok).
+    Corrupt payloads flag their row (dhash NULL), never the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((mid, dhash64(bytes(payload or b"")), True))
+                except Exception:
+                    rows.append((mid, None, False))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "decode_ok"]
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(
+        run, schema="media_id long, dhash long, decode_ok boolean"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash the payloads, then the
+    generic pigeonhole block join (``dedup.hamming_near_dup_pairs``)
+    finds all pairs within ``max_hamming`` bits — the image twin of
+    SimHash text dedup, sharing its verified bucketing machinery.
+    Undecodable images are excluded (no hash to compare)."""
+    from . import dedup
+
+    hashes = image_dhash(df, id_col, payload_col).filter(
+        F.col("decode_ok")
+    )
+    return dedup.hamming_near_dup_pairs(
+        hashes, "media_id", "dhash",
+        bits=64, max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payloads through the same mapInPandas
     shape a real resize would use; stamps the target geometry (the

@@ -1,6 +1,6 @@
-"""The declared query suite: 108 named queries — every operator from
+"""The declared query suite: 109 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (103 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (104 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -114,16 +114,18 @@ GATE_WINDOW = [
     "extract_typed_projection",
     "upsert_merge",
     "conversion_funnel",
-    "dedup_minhash_lsh",
     "multimodal_feature_extract",
     # -- added late in round 4 (first driver exposure): audio codec
-    # loop, leakage-free cluster-disjoint split, and the Q12/Q14/Q19/
-    # Q22 TPC-H shapes. They displace 6 triple-proven reps
-    # (run_steps_join, sessionize_users, pit_features_7d,
-    # dedup_jaccard_pairs, dedup_clusters, corpus_curation_funnel) that
-    # stay strict-checked locally; dedup_clusters' component loop is
-    # still driver-exercised through cluster_disjoint_split.
+    # loop, perceptual image dHash near-dup, leakage-free
+    # cluster-disjoint split, and the Q12/Q14/Q19/Q22 TPC-H shapes.
+    # They displace 7 triple-proven reps (run_steps_join,
+    # sessionize_users, pit_features_7d, dedup_jaccard_pairs,
+    # dedup_minhash_lsh, dedup_clusters, corpus_curation_funnel) that
+    # stay strict-checked locally; the components loop is still
+    # driver-exercised through cluster_disjoint_split and the LSH
+    # banding machinery through minhash_containment_pairs.
     "audio_feature_extract",
+    "image_dhash_near_dup",
     "cluster_disjoint_split",
     "late_lines_priority_class",
     "promo_revenue_share",

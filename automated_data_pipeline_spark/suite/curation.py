@@ -913,6 +913,62 @@ def ann_ivfpq_topk(spark, sf_dir):
 
 # --------------------------------------------------------------------
 @spec(
+    "image_dhash_near_dup",
+    f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n,
+             {_BYTES_SQL} AS bytes
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, bytes,
+             CASE WHEN n = 0 THEN 1 ELSE (n + 15) // 16 END AS h
+      FROM b
+    ),
+    bits AS (
+      SELECT doc_id,
+        [ CASE WHEN coalesce(bytes[least((i // 8) * h // 8, h - 1) * 16 + least((i % 8 + 1) * 16 // 9, 15) + 1], 0)
+                 > coalesce(bytes[least((i // 8) * h // 8, h - 1) * 16 + least((i % 8) * 16 // 9, 15) + 1], 0)
+               THEN 1 ELSE 0 END
+          for i in range(64) ] AS bt
+      FROM g
+    ),
+    dh AS (
+      SELECT doc_id,
+        CAST(list_sum([ CASE WHEN bt[i+1] = 1 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END for i in range(63) ])
+          + CASE WHEN bt[64] = 1 THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS dhash
+      FROM bits
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    """,
+    "Perceptual image near-dup, value-checked end to end: document "
+    "bytes render as REAL grayscale PNGs (16 px/row), the stdlib PNG "
+    "decoder + 9x8 thumbnail + dHash produce a 64-bit perceptual hash, "
+    "and the pigeonhole block join finds all pairs within 6 bits. The "
+    "oracle re-derives the hash straight from the bytes and joins the "
+    "naive all-pairs spec — a hash match proves the PNG round trip, "
+    "the thumbnail sampling, the two's-complement bit packing, AND the "
+    "block join's losslessness in one shot. Plan: dHash is one "
+    "Arrow-batched pass; candidates are an equi-join on (block, "
+    "bucket) — shuffle scales with collisions, never the all-pairs "
+    "product the oracle spells out",
+)
+def image_dhash_near_dup(spark, sf_dir):
+    from ..operators import multimodal as MM
+
+    d = load(spark, sf_dir, "documents")
+    media = MM.attach_png_payload(d, "doc_id", "text")
+    pairs = MM.image_near_dup_pairs(media, max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
     "bpe_train_merges",
     None,
     "Distributed BPE tokenizer training (Sennrich et al. 2016): corpus "

@@ -85,6 +85,7 @@ HEADLINE = [
     "idle_rich_customers_by_segment",
     "ann_pq_rerank_topk",
     "bpe_train_merges",
+    "image_dhash_near_dup",
 ]
 
 

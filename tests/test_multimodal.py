@@ -268,3 +268,85 @@ def test_resize_image_real_resample(spark):
     # only even source pixels -> solid red
     assert all(px[i] == 255 for i in range(0, len(px), 3))
     assert all(px[i] == 0 for i in range(1, len(px), 3))
+
+
+# ---- perceptual image hashing (dHash) ------------------------------
+
+def _gradient_png(w, h, tweak=None):
+    """Golden fixture: horizontal gradient, optionally perturbed."""
+    from automated_data_pipeline_spark.operators.multimodal import encode_png
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255) // max(w - 1, 1)
+            if tweak:
+                v = tweak(x, y, v)
+            px.append(v & 0xFF)
+    return encode_png(w, h, 1, bytes(px))
+
+
+def test_dhash_scale_invariant():
+    from automated_data_pipeline_spark.operators import multimodal as MM
+
+    small = MM.dhash64(_gradient_png(18, 16))
+    large = MM.dhash64(_gradient_png(90, 80))
+    assert small == large  # thumbnail normalizes scale away
+    # a monotone L->R gradient sets every compare bit
+    assert MM.dhash64(_gradient_png(9, 8)) == small
+
+
+def test_dhash_separates_distinct_content():
+    from automated_data_pipeline_spark.operators import multimodal as MM
+    from automated_data_pipeline_spark.functions.text import stable_hash64_py
+
+    a = MM.dhash64(_gradient_png(32, 32))
+    # reversed gradient: every comparison flips
+    b = MM.dhash64(
+        _gradient_png(32, 32, tweak=lambda x, y, v: 255 - v)
+    )
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 20
+    # pseudo-random noise image is far from the gradient too
+    c = MM.dhash64(
+        _gradient_png(
+            32, 32,
+            tweak=lambda x, y, v: stable_hash64_py(f"{x},{y}") & 0xFF,
+        )
+    )
+    assert bin((a ^ c) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_image_near_dup_pairs_spark(spark):
+    from automated_data_pipeline_spark.operators import multimodal as MM
+
+    base = _gradient_png(32, 32)
+    # tiny perturbation in one thumbnail cell -> within a few bits
+    near = _gradient_png(
+        32, 32, tweak=lambda x, y, v: min(v + 6, 255) if x < 2 and y < 2 else v
+    )
+    far = _gradient_png(32, 32, tweak=lambda x, y, v: 255 - v)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(far)),
+         (4, bytearray(b"not a png"))],
+        "media_id long, payload binary",
+    )
+    pairs = MM.image_near_dup_pairs(df, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)  # reversed gradient is far
+    # corrupt row excluded, not fatal
+    hashes = MM.image_dhash(df).collect()
+    bad = [r for r in hashes if r["media_id"] == 4][0]
+    assert bad["decode_ok"] is False and bad["dhash"] is None
+
+
+def test_hamming_near_dup_guards(spark):
+    from automated_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, 5)], "id long, h long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.hamming_near_dup_pairs(df, "id", "h", max_hamming=8, n_blocks=8)
+    with pytest.raises(ValueError):
+        dedup.hamming_near_dup_pairs(df, "id", "h", bits=64, n_blocks=7)
