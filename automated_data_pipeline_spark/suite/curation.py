@@ -969,6 +969,63 @@ def image_dhash_near_dup(spark, sf_dir):
 
 # --------------------------------------------------------------------
 @spec(
+    "audio_fingerprint_near_dup",
+    f"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             {_BYTES_SQL} AS bytes
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id,
+             [ CASE WHEN bytes[2*i+1] + 256*bytes[2*i+2] >= 32768
+                    THEN bytes[2*i+1] + 256*bytes[2*i+2] - 65536
+                    ELSE bytes[2*i+1] + 256*bytes[2*i+2] END
+               for i in range(n_bytes // 2) ] AS samples
+      FROM b
+    ),
+    e AS (
+      SELECT media_id, len(samples) AS n,
+        [ coalesce(list_sum(list_transform(
+            samples[j * len(samples) // 65 + 1 : (j + 1) * len(samples) // 65],
+            x -> abs(x))), 0)
+          for j in range(65) ] AS sums
+      FROM s
+    ),
+    fp AS (
+      SELECT media_id,
+        CAST(list_sum([ CASE WHEN sums[i+2] > sums[i+1] THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END for i in range(63) ])
+          + CASE WHEN sums[65] > sums[64] THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS fingerprint
+      FROM e
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+    """,
+    "Acoustic near-dup, value-checked end to end: document bytes -> "
+    "16-bit PCM WAV -> the RIFF decoder -> 65-bucket loudness-envelope "
+    "difference fingerprint (the audio dHash) -> pigeonhole block "
+    "join within 6 bits. Third modality on the SAME shared hamming "
+    "machinery as SimHash (text) and dHash (image); oracle re-derives "
+    "the envelope straight from the bytes and joins the naive "
+    "all-pairs spec. Plan: fingerprint is one Arrow-batched pass; "
+    "candidate shuffle scales with block collisions",
+)
+def audio_fingerprint_near_dup(spark, sf_dir):
+    from ..operators import audio
+
+    d = load(spark, sf_dir, "documents")
+    media = audio.attach_wav_payload(d, "doc_id", "text", sample_rate=8000)
+    pairs = audio.audio_near_dup_pairs(media, max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
     "bpe_train_merges",
     None,
     "Distributed BPE tokenizer training (Sennrich et al. 2016): corpus "

@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "bpe_train_merges",
     "image_dhash_near_dup",
+    "audio_fingerprint_near_dup",
 ]
 
 

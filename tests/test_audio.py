@@ -147,3 +147,27 @@ def test_stereo_zero_crossings_are_per_channel(spark):
     )
     out = audio.decode_audio_features(df).collect()[0]
     assert out["zero_crossings"] == 1
+
+
+def test_audio_fingerprint_near_dup(spark):
+    base = audio.encode_wav([100, -2000, 300, -4000, 5000, -600] * 40, 8000, 1)
+    # mild loudness scaling preserves the envelope SHAPE exactly
+    scaled = audio.encode_wav(
+        [s * 9 // 10 for s in [100, -2000, 300, -4000, 5000, -600] * 40],
+        8000, 1,
+    )
+    other = audio.encode_wav(
+        [(-1) ** i * (37 * i * i % 5000) for i in range(240)], 8000, 1
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(scaled)), (3, bytearray(other)),
+         (4, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    pairs = audio.audio_near_dup_pairs(df, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0  # identical envelope shape
+    assert all(3 not in k for k in got)
+    fps = audio.audio_fingerprint(df).collect()
+    bad = [r for r in fps if r["media_id"] == 4][0]
+    assert bad["decode_ok"] is False and bad["fingerprint"] is None
