@@ -239,8 +239,12 @@ def audio_near_dup_pairs(
 
     from pyspark.sql import functions as F
 
+    # fingerprint == 0 means a structureless clip (empty, silent, or
+    # monotonically decaying envelope) — excluded for the same
+    # hot-bucket reason as simhash_pairs' token-less guard and the
+    # image path's dHash-0 guard
     hashes = audio_fingerprint(df, id_col, payload_col).filter(
-        F.col("decode_ok")
+        F.col("decode_ok") & (F.col("fingerprint") != 0)
     )
     return dedup.hamming_near_dup_pairs(
         hashes, "media_id", "fingerprint",

@@ -35,6 +35,18 @@ from pyspark.sql import functions as F
 END = "</w>"  # end-of-word marker (classic BPE)
 
 
+def _py_words(text: str) -> list[str]:
+    """Driver/Python twin of functions.text.tokens: lowercase + split
+    on ASCII whitespace (Java regex \s is ASCII-only, so re.ASCII
+    here keeps the reference implementation and the tokenize path on
+    EXACTLY the word boundaries the distributed trainer used — a
+    Unicode-aware str.split() would split on U+00A0 etc. and learned
+    merges would never apply to those words)."""
+    import re
+
+    return [w for w in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if w]
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, freq) — the compact table BPE trains on."""
     from ..functions import text as TX
@@ -92,9 +104,10 @@ def bpe_train(
     )
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    pair_ix = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.size("syms") - 1, F.lit(0)))
-    ).alias("i")
+    # only size>=2 rows reach the explode (filtered below); sequence(1, 0)
+    # in Spark is DESCENDING [1, 0], not empty, so no expression-level
+    # guard can substitute for that filter
+    pair_ix = F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i")
     for r in range(n_merges):
         pairs = (
             words.filter(F.size("syms") >= 2)
@@ -134,7 +147,7 @@ def bpe_train_py(texts, n_merges: int = 50, min_freq: int = 2):
 
     freqs = Counter()
     for t in texts:
-        for w in (t or "").lower().split():
+        for w in _py_words(t):
             freqs[w] += 1
     words = {w: list(w) + [END] for w in freqs}
     merges = []
@@ -200,13 +213,19 @@ def bpe_tokenize(
         return syms
 
     def run(batches):
+        cache: dict[str, list[str]] = {}
+
+        def cached(w: str) -> list[str]:
+            # Zipf: a few thousand distinct words cover most of the
+            # stream — tokenize each distinct word once per task
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = tokenize_word(w)
+            return got
+
         for pdf in batches:
             toks = [
-                [
-                    t
-                    for w in (txt or "").lower().split()
-                    for t in tokenize_word(w)
-                ]
+                [t for w in _py_words(txt) for t in cached(w)]
                 for txt in pdf["text"]
             ]
             yield pd.DataFrame(

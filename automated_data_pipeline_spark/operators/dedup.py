@@ -815,12 +815,16 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_rotations: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup candidates: exact 64-bit match on rotated hash
-    prefixes (bucket join per rotation — the classic Charikar/Manku
-    trick), verified by full hamming distance <= max_hamming.
+    """SimHash near-dup candidates: exact match on disjoint bit blocks
+    of the 60-bit signature (the classic Charikar/Manku trick),
+    verified by full hamming distance <= max_hamming.
 
-    Each rotation r buckets on 15 bits of shift(simhash, 15*r);
-    near-identical docs collide in at least one rotation w.h.p."""
+    Delegates to ``hamming_near_dup_pairs`` — the same pigeonhole block
+    join behind image dHash and audio fingerprint near-dup — with
+    ``n_rotations`` blocks over the 60-bit SimHash. Output is identical
+    to the historical per-rotation bucketing (the exact popcount verify
+    makes candidate-set differences invisible); the guards keep their
+    original, more specific messages."""
     if 15 * n_rotations > TX.SIMHASH_BITS:
         raise ValueError(
             f"n_rotations={n_rotations} shifts past the {TX.SIMHASH_BITS}-bit "
@@ -834,46 +838,14 @@ def simhash_pairs(
             "bucket block (pigeonhole) and true near-dups would be missed"
         )
     # token-less documents (empty/whitespace/NULL text) all hash to
-    # simhash 0 and would collide in EVERY rotation — one quadratic hot
+    # simhash 0 and would collide in EVERY block — one quadratic hot
     # bucket of spurious hamming-0 "near-dups" (millions of empty docs
     # in a crawl = one killed reducer). They carry no content to
     # compare; drop them, same guard as _lsh_verify_frames.
     df = df.filter(F.size(TX.tokens(F.col(text_col))) > 0)
-    # persist: the bucket self-join references the simhash lineage
-    # (tokenize+hash+pack, the expensive part) on BOTH sides
-    base = TX.simhash_frame(df, id_col, text_col).persist()
-    # one explode, not a 4-way union: each union branch would re-execute
-    # the whole simhash lineage (tokenize+hash+pack) per rotation
-    rot_structs = [
-        F.struct(
-            F.lit(r).alias("rot"),
-            F.shiftright(F.col("simhash"), 15 * r)
-            .bitwiseAND(F.lit((1 << 15) - 1))
-            .alias("bucket"),
-        )
-        for r in range(n_rotations)
-    ]
-    buckets = base.select(
-        "id", "simhash", F.explode(F.array(*rot_structs)).alias("rb")
-    ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.rot") == F.col("b.rot"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    base = TX.simhash_frame(df, id_col, text_col)
+    return hamming_near_dup_pairs(
+        base, "id", "simhash",
+        bits=TX.SIMHASH_BITS, max_hamming=max_hamming,
+        n_blocks=n_rotations,
     )
-    result = cand.select(
-        "id_a", "id_b", TX.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
-    return _finalize(result, base)

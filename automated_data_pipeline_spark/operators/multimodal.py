@@ -404,8 +404,12 @@ def image_near_dup_pairs(
     Undecodable images are excluded (no hash to compare)."""
     from . import dedup
 
+    # decode failures have no hash; dHash == 0 means "no structure to
+    # compare" (empty or uniform image) — at crawl scale those form one
+    # quadratic hot bucket of spurious hamming-0 pairs, the same guard
+    # simhash_pairs applies to token-less documents
     hashes = image_dhash(df, id_col, payload_col).filter(
-        F.col("decode_ok")
+        F.col("decode_ok") & (F.col("dhash") != 0)
     )
     return dedup.hamming_near_dup_pairs(
         hashes, "media_id", "dhash",

@@ -942,7 +942,8 @@ def ann_ivfpq_topk(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
     FROM dh a JOIN dh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    WHERE a.dhash != 0 AND b.dhash != 0
+      AND bit_count(xor(a.dhash, b.dhash)) <= 6
     """,
     "Perceptual image near-dup, value-checked end to end: document "
     "bytes render as REAL grayscale PNGs (16 px/row), the stdlib PNG "
@@ -1002,7 +1003,8 @@ def image_dhash_near_dup(spark, sf_dir):
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.media_id < b.media_id
-    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+    WHERE a.fingerprint != 0 AND b.fingerprint != 0
+      AND bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
     """,
     "Acoustic near-dup, value-checked end to end: document bytes -> "
     "16-bit PCM WAV -> the RIFF decoder -> 65-bucket loudness-envelope "

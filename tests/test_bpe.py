@@ -19,7 +19,10 @@ def test_bpe_train_matches_reference(spark):
     texts = [r["text"] for r in d.select("text").collect()]
     got = bpe.bpe_train(d, n_merges=30)
     want = bpe.bpe_train_py(texts, n_merges=30)
-    assert got == want, f"first divergence: {next((i, a, b) for i, (a, b) in enumerate(zip(got, want)) if a != b)}"
+    assert got == want, (
+        f"lens {len(got)} vs {len(want)}; first divergence: "
+        f"{next(((i, a, b) for i, (a, b) in enumerate(zip(got, want)) if a != b), None)}"
+    )
     assert len(got) == 30  # fixture corpus supports >= 30 merges
 
 
@@ -64,3 +67,20 @@ def test_bpe_tokenize_roundtrip_and_counts(spark):
     merged_total = out.agg(F.sum("n_tokens")).first()[0]
     char_total = char_level.agg(F.sum("n_tokens")).first()[0]
     assert merged_total < char_total
+
+
+def test_bpe_tokenizer_boundary_consistency_nbsp(spark):
+    """Training and apply must agree on word boundaries for non-ASCII
+    whitespace (U+00A0 is ubiquitous in crawled HTML): both treat the
+    NBSP-joined pair as ONE word, matching the Java \\s+ split the
+    distributed trainer uses."""
+    text = "foo bar foo bar"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = bpe.bpe_train(df, n_merges=3, min_freq=1)
+    want = bpe.bpe_train_py([text], n_merges=3, min_freq=1)
+    assert got == want
+    # the reference sees one distinct word of 7 chars, not two words
+    assert bpe.bpe_train_py([text], n_merges=0) == []
+    toks = bpe.bpe_tokenize(df, got).collect()[0]["bpe_tokens"]
+    # exactly one END marker per NBSP-joined word occurrence
+    assert "".join(toks).count(bpe.END) == 2

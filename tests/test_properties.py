@@ -362,3 +362,33 @@ def test_semdedup_matches_bruteforce(spark, rows, threshold):
         by_label.setdefault(label, []).append(vid)
     for label, ids in by_label.items():
         assert got[min(ids)] is True
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_hamming_block_join_is_pigeonhole_lossless(spark, hashes):
+    """The generic hamming block join (backing image dHash and audio
+    fingerprint near-dup) must find EXACTLY the pairs the naive
+    all-pairs popcount finds for max_hamming < n_blocks — losslessness
+    of the pigeonhole bucketing over arbitrary signed 64-bit hashes."""
+    rows = list(enumerate(hashes))
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.hamming_near_dup_pairs(
+            df, "id", "h", bits=64, max_hamming=6, n_blocks=8
+        ).collect()
+    }
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.add((i, j, d))
+    assert got == want
