@@ -90,7 +90,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             idat += data
         elif ctype == b"IEND":
             break
-    raw = zlib.decompress(idat)
+    return width, height, channels, _unfilter(
+        zlib.decompress(idat), width, height, channels
+    )
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """PNG scanline unfiltering (None/Sub/Up/Average/Paeth) — shared by
+    still-PNG decode and per-frame APNG decode."""
     stride = width * channels
     out = bytearray()
     prev = bytearray(stride)
@@ -121,7 +128,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter {filt}")
         out += line
         prev = line
-    return width, height, channels, bytes(out)
+    return bytes(out)
 
 
 def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
@@ -430,6 +437,177 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(do_resize, schema=MEDIA_SCHEMA)
+
+
+def encode_apng(frames: list[bytes], width: int, height: int,
+                channels: int, delay_ms: int = 100) -> bytes:
+    """Encode full-canvas frames as an APNG animation (public spec:
+    acTL/fcTL/fdAT chunks layered over PNG). Frame 0 rides the default
+    IDAT; later frames ship as fdAT with running sequence numbers —
+    exactly the layout browsers emit for simple animations. Used to
+    build golden fixtures and by tests; the real-world point is the
+    DECODER below."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    def fctl(seq: int) -> bytes:
+        return chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, width, height, 0, 0,
+                delay_ms, 1000, 0, 0,
+            ),
+        )
+
+    def filtered(pixels: bytes) -> bytes:
+        return zlib.compress(
+            b"".join(
+                b"\x00" + pixels[y * stride:(y + 1) * stride]
+                for y in range(height)
+            )
+        )
+
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    out += fctl(seq)
+    seq += 1
+    out += chunk(b"IDAT", filtered(frames[0]))
+    for fr in frames[1:]:
+        out += fctl(seq)
+        seq += 1
+        out += chunk(
+            b"fdAT", struct.pack(">I", seq) + filtered(fr)
+        )
+        seq += 1
+    return out + chunk(b"IEND", b"")
+
+
+def decode_apng_frames(payload: bytes):
+    """Decode an APNG animation: returns (width, height, channels,
+    [(offset_ms, pixel_bytes), ...]) with cumulative frame offsets from
+    the fcTL delays. Supports the full-canvas subset the encoder above
+    writes (offsets 0, dispose/blend 0 — each frame standalone); a
+    region-update APNG raises rather than compositing incorrectly. A
+    plain PNG decodes as a single frame at offset 0, so one code path
+    serves stills and animations."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = channels = None
+    frames = []  # [(delay_ms, zlib-stream bytearray)]
+    have_actl = False
+    default_image_data = bytearray()
+    default_is_frame = False
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace:
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 6: 4}.get(color)
+            if not channels:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"acTL":
+            have_actl = True
+        elif ctype == b"fcTL":
+            (_, fw, fh, fx, fy, dnum, dden, _, _) = struct.unpack(
+                ">IIIIIHHBB", data
+            )
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise ValueError("region-update APNG unsupported")
+            delay_ms = dnum * 1000 // (dden or 100)
+            frames.append((delay_ms, bytearray()))
+            if not default_image_data and not frames[:-1]:
+                default_is_frame = True
+        elif ctype == b"IDAT":
+            if default_is_frame and frames:
+                frames[0][1].extend(data)
+            else:
+                default_image_data.extend(data)
+        elif ctype == b"fdAT":
+            if not frames:
+                raise ValueError("fdAT before any fcTL")
+            frames[-1][1].extend(data[4:])  # skip sequence number
+        elif ctype == b"IEND":
+            break
+    if not have_actl or not frames:
+        # plain still PNG: one frame at offset 0
+        w, h, ch, px = decode_png(payload)
+        return w, h, ch, [(0, px)]
+    out, offset = [], 0
+    for delay_ms, stream in frames:
+        px = _unfilter(
+            zlib.decompress(bytes(stream)), width, height, channels
+        )
+        out.append((offset, px))
+        offset += delay_ms
+    return width, height, channels, out
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """REAL video frame sampling: decode each APNG animation payload
+    in-container and keep the frames nearest each ``every_ms`` boundary,
+    re-encoded as standalone PNGs. Output: (media_id, frame_idx,
+    offset_ms, frame_payload, decode_ok). Same Arrow-batched
+    mapInPandas shape as the image/audio paths; a production deployment
+    swaps the APNG parser for pyav/ffmpeg at the same seam. Corrupt
+    payloads flag their row, never the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, frames = decode_apng_frames(
+                        bytes(payload or b"")
+                    )
+                    next_at = 0
+                    idx = 0
+                    for offset, px in frames:
+                        if offset >= next_at:
+                            rows.append((
+                                mid, idx, offset,
+                                encode_png(w, h, ch, px), True,
+                            ))
+                            idx += 1
+                            next_at = offset + every_ms
+                except Exception:
+                    rows.append((mid, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "offset_ms",
+                         "frame_payload", "decode_ok"],
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, offset_ms long, "
+               "frame_payload binary, decode_ok boolean",
+    )
 
 
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -1,6 +1,6 @@
-"""The declared query suite: 110 named queries — every operator from
+"""The declared query suite: 111 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (105 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (106 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -111,21 +111,27 @@ GATE_WINDOW = [
     # conversion_funnel was REWRITTEN this round (running-min windows)
     # and multimodal_feature_extract got its first real oracle this
     # round — both need fresh driver rows, so they stay pinned.
-    "extract_typed_projection",
-    "upsert_merge",
+    # (extract_typed_projection / upsert_merge / run_steps_join etc.
+    # are triple-proven and rotated out; the first window block above
+    # still covers the reference-parity families, and everything
+    # rotated out stays strict-checked by tools/check_oracles.py.)
     "conversion_funnel",
     "multimodal_feature_extract",
-    # -- added late in round 4 (first driver exposure): audio codec
-    # loop, perceptual image dHash near-dup, leakage-free
-    # cluster-disjoint split, and the Q12/Q14/Q19/Q22 TPC-H shapes.
-    # They displace 7 triple-proven reps (run_steps_join,
-    # sessionize_users, pit_features_7d, dedup_jaccard_pairs,
-    # dedup_minhash_lsh, dedup_clusters, corpus_curation_funnel) that
-    # stay strict-checked locally; the components loop is still
-    # driver-exercised through cluster_disjoint_split and the LSH
-    # banding machinery through minhash_containment_pairs.
+    # -- added late in round 4 (first driver exposure): the tri-modal
+    # media loops (audio features, audio fingerprint near-dup, image
+    # dHash near-dup, video frame sampling — each value-verified
+    # against a byte-level oracle), leakage-free cluster-disjoint
+    # split, and the Q12/Q14/Q19/Q22 TPC-H shapes. They displace 9
+    # triple-proven reps (run_steps_join, sessionize_users,
+    # pit_features_7d, dedup_jaccard_pairs, dedup_minhash_lsh,
+    # dedup_clusters, corpus_curation_funnel, extract_typed_projection,
+    # upsert_merge) that stay strict-checked locally; components are
+    # still driver-exercised through cluster_disjoint_split, LSH
+    # banding through minhash_containment_pairs.
     "audio_feature_extract",
+    "audio_fingerprint_near_dup",
     "image_dhash_near_dup",
+    "video_frame_sample_features",
     "cluster_disjoint_split",
     "late_lines_priority_class",
     "promo_revenue_share",

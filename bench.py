@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_train_merges",
     "image_dhash_near_dup",
     "audio_fingerprint_near_dup",
+    "video_frame_sample_features",
 ]
 
 
