@@ -46,6 +46,7 @@ SHOWN = [
     ("disjunctive_parts_revenue", "Q19 shape: OR-of-ANDs evaluates map-side after broadcast dim join"),
     ("idle_rich_customers_by_segment", "Q22 shape: broadcast scalar + LEFT ANTI existence join"),
     ("audio_feature_extract", "audio codec loop: two chained ArrowEvalPython/mapInPandas stages, no exchange"),
+    ("video_frame_sample_features", "video loop: APNG build/sample/decode as three chained mapInPandas, zero exchanges"),
 ]
 
 
