@@ -54,6 +54,46 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunks(payload: bytes):
+    """Walk a PNG/APNG chunk stream, yielding (type, data). Validates
+    the signature and that every declared chunk length fits inside the
+    payload — a truncated file raises instead of silently yielding a
+    short chunk (same contract as the WAV decoder)."""
+    import struct
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + crc
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+
+
+def _parse_ihdr(data: bytes) -> tuple[int, int, int]:
+    """IHDR -> (width, height, channels); rejects the unsupported
+    variants (non-8-bit, interlaced, palette)."""
+    import struct
+
+    width, height, depth, color, _, _, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+    if not channels:
+        raise ValueError(f"unsupported PNG color type {color}")
+    return width, height, channels
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Minimal pure-stdlib PNG decoder: returns (width, height,
     channels, raw pixel bytes row-major). Supports the common subset —
@@ -64,32 +104,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     Paeth). This is the in-container 'real decode' path; a production
     image with Pillow/torchvision plugs into the same seam
     (``_decode_image``) with broader format support."""
-    import struct
     import zlib
 
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos, width, height, channels, idat = 8, 0, 0, 0, b""
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
+    width = height = channels = 0
+    idat = b""
+    for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
-            width, height, depth, color, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
-            if not channels:
-                raise ValueError(f"unsupported PNG color type {color}")
+            width, height, channels = _parse_ihdr(data)
         elif ctype == b"IDAT":
             idat += data
-        elif ctype == b"IEND":
-            break
     return width, height, channels, _unfilter(
         zlib.decompress(idat), width, height, channels
     )
@@ -97,8 +120,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     """PNG scanline unfiltering (None/Sub/Up/Average/Paeth) — shared by
-    still-PNG decode and per-frame APNG decode."""
+    still-PNG decode and per-frame APNG decode. Rejects streams whose
+    decompressed size doesn't match the declared geometry — a
+    truncated frame must flag its row, not yield short pixel buffers
+    with decode_ok=True."""
     stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"filtered stream is {len(raw)} bytes, geometry needs "
+            f"{height * (stride + 1)}"
+        )
     out = bytearray()
     prev = bytearray(stride)
     for y in range(height):
@@ -479,6 +510,14 @@ def encode_apng(frames: list[bytes], width: int, height: int,
             )
         )
 
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    for i, fr in enumerate(frames):
+        if len(fr) != stride * height:
+            raise ValueError(
+                f"frame {i} is {len(fr)} bytes, geometry needs "
+                f"{stride * height}"
+            )
     out = PNG_SIGNATURE + chunk(b"IHDR", ihdr)
     out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
     seq = 0
@@ -498,44 +537,35 @@ def encode_apng(frames: list[bytes], width: int, height: int,
 def decode_apng_frames(payload: bytes):
     """Decode an APNG animation: returns (width, height, channels,
     [(offset_ms, pixel_bytes), ...]) with cumulative frame offsets from
-    the fcTL delays. Supports the full-canvas subset the encoder above
-    writes (offsets 0, dispose/blend 0 — each frame standalone); a
-    region-update APNG raises rather than compositing incorrectly. A
-    plain PNG decodes as a single frame at offset 0, so one code path
+    the fcTL delays. Supports the full-canvas standalone subset the
+    encoder above writes (offsets 0, dispose_op 0, blend_op 0); a
+    region-update or alpha-composited (blend_op=1) APNG RAISES rather
+    than decoding to silently wrong pixels. A plain PNG decodes as a
+    single frame at offset 0, so one code path (and one chunk walk)
     serves stills and animations."""
     import struct
     import zlib
 
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos = 8
     width = height = channels = None
     frames = []  # [(delay_ms, zlib-stream bytearray)]
     have_actl = False
     default_image_data = bytearray()
     default_is_frame = False
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length
+    for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
-            width, height, depth, color, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or interlace:
-                raise ValueError("unsupported PNG variant")
-            channels = {0: 1, 2: 3, 6: 4}.get(color)
-            if not channels:
-                raise ValueError(f"unsupported PNG color type {color}")
+            width, height, channels = _parse_ihdr(data)
         elif ctype == b"acTL":
             have_actl = True
         elif ctype == b"fcTL":
-            (_, fw, fh, fx, fy, dnum, dden, _, _) = struct.unpack(
+            (_, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
                 ">IIIIIHHBB", data
             )
             if (fw, fh, fx, fy) != (width, height, 0, 0):
                 raise ValueError("region-update APNG unsupported")
+            if dispose or blend:
+                raise ValueError(
+                    "composited APNG (dispose_op/blend_op != 0) unsupported"
+                )
             delay_ms = dnum * 1000 // (dden or 100)
             frames.append((delay_ms, bytearray()))
             if not default_image_data and not frames[:-1]:
@@ -549,12 +579,16 @@ def decode_apng_frames(payload: bytes):
             if not frames:
                 raise ValueError("fdAT before any fcTL")
             frames[-1][1].extend(data[4:])  # skip sequence number
-        elif ctype == b"IEND":
-            break
+    if width is None:
+        raise ValueError("missing IHDR")
     if not have_actl or not frames:
-        # plain still PNG: one frame at offset 0
-        w, h, ch, px = decode_png(payload)
-        return w, h, ch, [(0, px)]
+        # plain still PNG: one frame at offset 0, from the already-
+        # collected IDAT stream (no second chunk walk)
+        px = _unfilter(
+            zlib.decompress(bytes(default_image_data)),
+            width, height, channels,
+        )
+        return width, height, channels, [(0, px)]
     out, offset = [], 0
     for delay_ms, stream in frames:
         px = _unfilter(
@@ -569,12 +603,14 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                  id_col: str = "media_id",
                  payload_col: str = "payload") -> DataFrame:
     """REAL video frame sampling: decode each APNG animation payload
-    in-container and keep the frames nearest each ``every_ms`` boundary,
-    re-encoded as standalone PNGs. Output: (media_id, frame_idx,
-    offset_ms, frame_payload, decode_ok). Same Arrow-batched
-    mapInPandas shape as the image/audio paths; a production deployment
-    swaps the APNG parser for pyav/ffmpeg at the same seam. Corrupt
-    payloads flag their row, never the task."""
+    in-container and keep the FIRST frame at or after each fixed
+    ``k * every_ms`` grid boundary (a non-drifting grid: a kept frame
+    at 1100 ms still leaves the 2000 ms boundary live), re-encoded as
+    standalone PNGs. Output: (media_id, frame_idx, offset_ms,
+    frame_payload, decode_ok). Same Arrow-batched mapInPandas shape as
+    the image/audio paths; a production deployment swaps the APNG
+    parser for pyav/ffmpeg at the same seam. Corrupt payloads flag
+    their row, never the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -584,16 +620,17 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                     w, h, ch, frames = decode_apng_frames(
                         bytes(payload or b"")
                     )
-                    next_at = 0
+                    boundary = 0
                     idx = 0
                     for offset, px in frames:
-                        if offset >= next_at:
+                        if offset >= boundary:
                             rows.append((
                                 mid, idx, offset,
                                 encode_png(w, h, ch, px), True,
                             ))
                             idx += 1
-                            next_at = offset + every_ms
+                            boundary = (offset // every_ms + 1) * every_ms
+                    del idx
                 except Exception:
                     rows.append((mid, None, None, None, False))
             yield pd.DataFrame(

@@ -1050,8 +1050,8 @@ def audio_fingerprint_near_dup(spark, sf_dir):
     "The oracle re-derives the same sums from the raw byte slices — a "
     "hash match proves the fcTL/fdAT chunk walk, per-frame zlib "
     "streams, offset arithmetic, and the PNG re-encode round trip in "
-    "one shot. Plan: two chained Arrow-batched mapInPandas stages, "
-    "zero exchanges",
+    "one shot. Plan: three chained Arrow-batched mapInPandas stages "
+    "(build, sample, pixel-sum), zero exchanges",
 )
 def video_frame_sample_features(spark, sf_dir):
     import pandas as pd

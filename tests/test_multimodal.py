@@ -403,11 +403,70 @@ def test_frame_sample_spark(spark):
     ok = sorted(
         [r for r in out if r["media_id"] == 1], key=lambda r: r["frame_idx"]
     )
-    # frames at 0,400,800,1200,1600,2000 -> sampled 0, 1200, 2400->2000? no:
-    # next_at advances to offset+1000: keep 0 (next 1000), 1200 (next 2200)
-    assert [r["offset_ms"] for r in ok] == [0, 1200]
+    # frames at 0,400,...,2000 on a FIXED 1000ms grid: keep 0 (grid ->
+    # 1000), 1200 (first >= 1000; grid -> 2000), 2000 (exactly on grid)
+    assert [r["offset_ms"] for r in ok] == [0, 1200, 2000]
     # each sampled frame re-encodes as a decodable standalone PNG
     w, h, ch, px = MM.decode_png(bytes(ok[1]["frame_payload"]))
     assert (w, h, ch) == (4, 3, 1) and bytes(px) == frames[3]
     bad = [r for r in out if r["media_id"] == 2][0]
     assert bad["decode_ok"] is False and bad["frame_payload"] is None
+
+
+def test_apng_rejects_composited_and_truncated():
+    import struct
+
+    import pytest
+
+    from automated_data_pipeline_spark.operators import multimodal as MM
+
+    payload = MM.encode_apng([bytes(12), bytes(12)], 4, 3, 1)
+    # flip the second fcTL's blend_op to 1 (alpha-composite OVER)
+    idx = payload.rindex(b"fcTL")
+    body = bytearray(payload)
+    body[idx + 4 + 25] = 1  # fcTL body byte 25 = blend_op
+    with pytest.raises(ValueError):
+        MM.decode_apng_frames(bytes(body))
+    # truncated payload raises (strict chunk bounds; cut into the last
+    # data chunk, not just the unvalidated trailing CRC)
+    with pytest.raises(ValueError):
+        MM.decode_apng_frames(payload[:-20])
+
+
+def test_encode_apng_validates_inputs():
+    import pytest
+
+    from automated_data_pipeline_spark.operators import multimodal as MM
+
+    with pytest.raises(ValueError):
+        MM.encode_apng([], 4, 3, 1)
+    with pytest.raises(ValueError):
+        MM.encode_apng([b"short"], 4, 3, 1)
+
+
+def test_unfilter_rejects_short_stream():
+    import zlib
+
+    import pytest
+
+    from automated_data_pipeline_spark.operators import multimodal as MM
+
+    # hand-build a PNG whose zlib stream holds too few scanline bytes
+    good = MM.encode_png(4, 3, 1, bytes(range(12)))
+    w, h, ch, px = MM.decode_png(good)
+    assert px == bytes(range(12))
+    short_raw = b"\x00" + bytes(4)  # one scanline for a 3-row image
+    bad = (
+        good[: good.index(b"IDAT") - 4]
+    )
+    import struct
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    bad += chunk(b"IDAT", zlib.compress(short_raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        MM.decode_png(bad)
