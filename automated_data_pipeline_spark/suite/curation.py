@@ -1101,6 +1101,92 @@ def video_frame_sample_features(spark, sf_dir):
 
 # --------------------------------------------------------------------
 @spec(
+    "ewma_hourly_forecast",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    slots AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      FROM types t CROSS JOIN bounds b
+    ),
+    j AS (
+      SELECT s.event_type, s.h, coalesce(hh.n, 0) AS n
+      FROM slots s LEFT JOIN hourly hh
+        ON hh.h = s.h AND hh.event_type = s.event_type
+    ),
+    series AS (
+      SELECT event_type,
+             list_transform(
+               list_sort(list(struct_pack(h := h, n := n))),
+               r -> CAST(r.n AS DOUBLE)) AS ys
+      FROM j GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(ys) AS BIGINT) AS n_hours,
+           CAST(ys[len(ys)] AS BIGINT) AS last_n,
+           CAST(round(list_reduce(ys, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                AS DOUBLE) AS ewma_forecast
+    FROM series
+    """,
+    "Exponentially-weighted hourly volume forecast per event type "
+    "(alpha = 0.3, seeded with the first observation — the classic "
+    "EWMA init): the one-step-ahead baseline every monitoring/"
+    "capacity dashboard runs. Determinism note: EWMA is inherently "
+    "ORDER-dependent, so it is evaluated as an explicit left-to-right "
+    "sequential fold over the zero-filled hourly grid (identical "
+    "association both engines) — never as a float aggregate whose "
+    "partition order could vary. Plan: one events aggregation pass, "
+    "tiny grid join, per-type fold inside codegen; no Python",
+)
+def ewma_hourly_forecast(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    slots = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = slots.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    series = j.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))),
+            lambda r: r["n"].cast("double"),
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    level = F.aggregate(
+        F.slice(ys, 2, F.size(ys) - 1),
+        F.element_at(ys, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "event_type",
+        F.size(ys).cast("bigint").alias("n_hours"),
+        F.element_at(ys, -1).cast("bigint").alias("last_n"),
+        F.round(level, 6).cast("double").alias("ewma_forecast"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
     "bpe_train_merges",
     None,
     "Distributed BPE tokenizer training (Sennrich et al. 2016): corpus "

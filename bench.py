@@ -88,6 +88,7 @@ HEADLINE = [
     "image_dhash_near_dup",
     "audio_fingerprint_near_dup",
     "video_frame_sample_features",
+    "ewma_hourly_forecast",
 ]
 
 
