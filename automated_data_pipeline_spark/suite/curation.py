@@ -1187,6 +1187,88 @@ def ewma_hourly_forecast(spark, sf_dir):
 
 # --------------------------------------------------------------------
 @spec(
+    "split_leakage_audit",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, lang,
+          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+      )
+    ),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+          i -> CAST(('0x' || substr(md5('ngram:' || array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS gram
+      FROM w WHERE len(ws) >= 5
+    ),
+    test_g AS (
+      SELECT DISTINCT gram FROM g JOIN s USING (doc_id)
+      WHERE s.split = 'test'
+    ),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+      FROM g JOIN test_g USING (gram) JOIN s USING (doc_id)
+      WHERE s.split = 'train'
+      GROUP BY 1
+    )
+    SELECT s.lang,
+      CAST(count(*) AS BIGINT) AS n_train_docs,
+      CAST(sum(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+      CAST(round(sum(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS DOUBLE) AS leak_rate
+    FROM s LEFT JOIN hits h USING (doc_id)
+    WHERE s.split = 'train'
+    GROUP BY 1
+    """,
+    "Split-leakage audit: for the NAIVE per-document 80/10/10 hash "
+    "split, the per-language fraction of train documents sharing any "
+    "5-gram with a test document — the eval-contamination number that "
+    "motivates cluster_disjoint_split (near-duplicates straddle a "
+    "per-doc split; this query measures exactly how often). "
+    "Composition: the split hash + the decontaminate operator with the "
+    "test split as the holdout. Plan: test-split n-grams broadcast; "
+    "the train side never shuffles on text — same scan discipline as "
+    "decontaminate_vs_holdout",
+)
+def split_leakage_audit(spark, sf_dir):
+    from ..functions import text as TXf
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        TXf.stable_hash64(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    sp = d.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    train = sp.filter(F.col("split") == "train")
+    test = sp.filter(F.col("split") == "test")
+    flags = dedup.decontaminate(train, test, "doc_id", "text", n=5)
+    return (
+        train.select("doc_id", "lang")
+        .join(flags, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.sum(F.col("contaminated").cast("int")).cast("bigint").alias("n_leaky"),
+            F.round(
+                F.sum(F.col("contaminated").cast("int")) / F.count(F.lit(1)), 4
+            ).cast("double").alias("leak_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
     "bpe_train_merges",
     None,
     "Distributed BPE tokenizer training (Sennrich et al. 2016): corpus "

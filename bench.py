@@ -89,6 +89,7 @@ HEADLINE = [
     "audio_fingerprint_near_dup",
     "video_frame_sample_features",
     "ewma_hourly_forecast",
+    "split_leakage_audit",
 ]
 
 

@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 112
-DOCUMENTED_WITH_ORACLE = 107
+DOCUMENTED_TOTAL = 113
+DOCUMENTED_WITH_ORACLE = 108
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
