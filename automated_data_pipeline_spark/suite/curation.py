@@ -1147,22 +1147,10 @@ def video_frame_sample_features(spark, sf_dir):
     "tiny grid join, per-type fold inside codegen; no Python",
 )
 def ewma_hourly_forecast(spark, sf_dir):
+    from .events import dense_hourly_grid
+
     e = load(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = e.agg(
-        F.min(F.date_trunc("hour", "ts")).alias("h0"),
-        F.max(F.date_trunc("hour", "ts")).alias("h1"),
-    )
-    types = e.select("event_type").distinct()
-    slots = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    j = slots.join(hourly, ["event_type", "h"], "left").select(
+    j = dense_hourly_grid(e).select(
         "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
     )
     series = j.groupBy("event_type").agg(

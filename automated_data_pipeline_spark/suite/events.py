@@ -274,6 +274,39 @@ def value_outliers_by_type(spark, sf_dir):
     )
 
 
+def dense_hourly_grid(e, *, with_value_sum: bool = False):
+    """Zero-filled (event_type, h, n[, sv]) over the complete hourly
+    grid spanning the events' bounds — the densification every rolling
+    computation needs (missing hours must exist as rows). The grid is
+    tiny (|types| x |hours|), generated with sequence+explode; the fact
+    side contributes one aggregation pass. Shared by
+    gap_fill_hourly_locf (here) and ewma_hourly_forecast
+    (suite/curation.py) so the grid semantics cannot diverge.
+    With ``with_value_sum`` the per-hour decimal value sum rides along
+    (NULL n marks an empty slot BEFORE the zero-fill; callers that need
+    to distinguish observed-zero use the sv/NULL columns)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if with_value_sum:
+        aggs.append(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv")
+        )
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(*aggs)
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    slots = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return slots.join(hourly, ["event_type", "h"], "left")
+
+
 # --------------------------------------------------------------------
 @spec(
     "gap_fill_hourly_locf",
@@ -318,24 +351,7 @@ def gap_fill_hourly_locf(spark, sf_dir):
     the events scan stays a single aggregation pass; no Python, no
     driver loop. LOCF = last(ignorenulls) over an ordered window."""
     e = load(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
-    )
-    bounds = e.agg(
-        F.min(F.date_trunc("hour", "ts")).alias("h0"),
-        F.max(F.date_trunc("hour", "ts")).alias("h1"),
-    )
-    types = e.select("event_type").distinct()
-    slots = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("h"),
-    )
-    j = slots.join(hourly, ["event_type", "h"], "left").select(
+    j = dense_hourly_grid(e, with_value_sum=True).select(
         "event_type",
         "h",
         F.coalesce("n", F.lit(0)).alias("n"),
