@@ -36,7 +36,7 @@ END = "</w>"  # end-of-word marker (classic BPE)
 
 
 def _py_words(text: str) -> list[str]:
-    """Driver/Python twin of functions.text.tokens: lowercase + split
+    r"""Driver/Python twin of functions.text.tokens: lowercase + split
     on ASCII whitespace (Java regex \s is ASCII-only, so re.ASCII
     here keeps the reference implementation and the tokenize path on
     EXACTLY the word boundaries the distributed trainer used — a

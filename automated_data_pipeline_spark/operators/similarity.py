@@ -166,7 +166,11 @@ def ivf_index(
     rank."""
     import numpy as np
 
-    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # NULL embeddings can't train (ragged np.array); assignment below
+    # still sees them (NULL vector -> NULL distances -> NULL cluster).
+    sample = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
     rows = (
@@ -376,7 +380,12 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # NULL embeddings are legal corpus rows (encode keeps them, NULL
+    # codes); they just can't train — np.array over a ragged list with
+    # None raises otherwise.
+    sample = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
     rows = (
@@ -565,7 +574,13 @@ def pq_adc_topk(
         ),
         digits,
     )
-    pairs = encoded.crossJoin(F.broadcast(lut))
+    # NULL codes (NULL-embedding rows, preserved by the encode
+    # contract) are unsearchable: without this filter their NULL
+    # adc_d2 would sort NULLS FIRST under asc() and displace every
+    # real neighbor at rank 1.
+    pairs = encoded.filter(F.col(codes_col).isNotNull()).crossJoin(
+        F.broadcast(lut)
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
@@ -759,7 +774,11 @@ def ivfpq_topk(
         ),
         digits,
     )
-    pairs = encoded.join(F.broadcast(lut), "ivf_cluster")
+    # same NULL-codes guard as pq_adc_topk: NULL adc_d2 sorts NULLS
+    # FIRST and would poison the shortlist
+    pairs = encoded.filter(F.col(codes_col).isNotNull()).join(
+        F.broadcast(lut), "ivf_cluster"
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     shortlist = (
@@ -858,8 +877,12 @@ def ivf_topk_persisted(
     # ContextCleaner frees the blocks with the frame (same discipline
     # as the dedup operators).
     probes = probes.localCheckpoint(eager=True)
-    probe_rows = probes.select(query_id_col, "ivf_cluster").collect()
-    clusters = sorted({r["ivf_cluster"] for r in probe_rows})
+    # driver-side collect is bounded by n_clusters (distinct cluster
+    # ids only), NOT n_queries x nprobe — a million-query probe batch
+    # still collects at most the number of index partitions. The full
+    # per-(query, cluster) probe frame stays distributed for the join.
+    cluster_rows = probes.select("ivf_cluster").distinct().collect()
+    clusters = sorted(r["ivf_cluster"] for r in cluster_rows)
     corpus = read_ivf_probes(spark, path, clusters, vec_col)
     pairs = corpus.join(F.broadcast(probes), "ivf_cluster")
     if exclude_self:

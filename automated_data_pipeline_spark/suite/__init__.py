@@ -67,13 +67,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # dict keys). GATE_WINDOW is that 50 — an explicit, exact list so a
 # new spec added anywhere can never silently reshuffle the window.
 #
-# Round-4 rotation (VERDICT r3 item 2): rounds 1-3 accumulated driver-
-# green rows for 57 names; the 28 oracle-checked queries that have
-# NEVER had a driver row all rotate in, plus 11 representatives of
-# already-proven families (parity CRUD/join/agg, windows,
-# sessionization, funnel, PPJoin, MinHash/LSH, connected components,
-# multimodal) and the 11 queries ADDED in round 4 — after this round
-# every oracle-backed query has a driver-green row from some round.
+# Round-5 rotation (VERDICT r4 item 2): after round 4, exactly three
+# oracle-backed queries had never been driver-witnessed —
+# embedding_near_dup_lsh (failed r1, never re-gated) plus
+# ewma_hourly_forecast and split_leakage_audit (added after the r4
+# rotation froze). They rotate in here, displacing three r4-proven
+# names whose families stay represented in the window
+# (segments_except -> segments_intersect covers set-ops;
+# ts_pattern_match -> the events family keeps gap_fill/funnel/ewma;
+# length_vocab_correlation -> vocab_coverage + lm_bigram_fluency keep
+# text analysis). Once CORRECTNESS_r05 lands green, every oracle-backed
+# query has a driver-green row from some round (union over r1-r5).
 # Rotated-out names stay strict-checked by tools/check_oracles.py
 # (run per-round, judged) and by pytest.
 GATE_WINDOW = [
@@ -88,7 +92,6 @@ GATE_WINDOW = [
     "pivot_priority_counts",
     "price_percentiles_by_priority",
     "segments_intersect",
-    "segments_except",
     "distinct_users_per_type",
     "customer_order_histogram",
     "nation_pair_volume",
@@ -147,8 +150,11 @@ GATE_WINDOW = [
     "nearest_centroid_assign",
     "vocab_coverage",
     "data_quality_report",
-    "ts_pattern_match",
-    "length_vocab_correlation",
+    # -- round-5 rotation: the last three never-driver-witnessed
+    # oracle-backed queries (see block comment above) --
+    "embedding_near_dup_lsh",
+    "ewma_hourly_forecast",
+    "split_leakage_audit",
 ]
 
 

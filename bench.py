@@ -3,8 +3,18 @@
 pipeline at the reference's design scale (1M generated orders,
 mirroring java_code/gen_1m_csv.py).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...}.
+Prints ONE JSON line — kept COMPACT (<1500 chars) because the driver
+retains only the last 2000 chars of stdout (BENCH_r04.json came back
+parsed:null when the full per-query map outgrew that): {"metric",
+"value": total_sec, "unit": "sec", "sf", "n", "queries": {10 slowest},
+"host_noise": {...}, "detail": "BENCH_DETAIL.json"}. The full
+per-query timing map is written to BENCH_DETAIL.json alongside.
+
+host_noise: the same fixed probe workload (a lineitem parquet
+scan-count) timed at suite start and end — if the two probes disagree
+by >1.5x the host was noisy during the run and cross-round timing
+comparisons need salt (BASELINE.md documents 1.3-2x same-day swings
+on this shared host).
 """
 
 from __future__ import annotations
@@ -402,6 +412,19 @@ def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
     return took
 
 
+def _noise_probe(spark, sf_dir: str) -> float:
+    """Fixed reference workload for host-noise detection: a pushed-down
+    lineitem scan-count, min of 3 (the probe itself must be noise-
+    resistant or it can't measure noise)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        took = time.time() - t0
+        best = took if best is None else min(best, took)
+    return round(best, 4)
+
+
 def main():
     from automated_data_pipeline_spark.session import get_spark
     from automated_data_pipeline_spark.suite import all_specs
@@ -409,6 +432,8 @@ def main():
     spark = get_spark("adp-bench")
     specs = {s.name: s for s in all_specs()}
     timings: dict[str, float] = {}
+
+    probe_start = _noise_probe(spark, SF_DIR)
 
     for name in HEADLINE:
         fn = specs[name].fn
@@ -439,19 +464,54 @@ def main():
     timings["stream_incremental_dedup"] = min2(bench_stream_incremental_dedup)
     timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
 
+    probe_end = _noise_probe(spark, SF_DIR)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    host_noise = {
+        "probe_start_sec": probe_start,
+        "probe_end_sec": probe_end,
+        "ratio": round(max(probe_start, probe_end)
+                       / max(min(probe_start, probe_end), 1e-9), 2),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "n": len(timings),
+                "host_noise": host_noise,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+        )
+    # COMPACT stdout line (driver keeps only the last 2000 chars of
+    # stdout — see module docstring): totals + the 10 slowest queries.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf_val,
+        "n": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "host_noise": host_noise,
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -220,3 +220,61 @@ def test_pq_encode_null_vector_parity(spark, emb):
     assert set(lit) == set(joined) == {0, 1, 2}
     assert lit[0] is None and joined[0] is None
     assert lit == joined
+
+
+def test_pq_search_ignores_null_code_rows(spark, emb):
+    """ADVICE r4: NULL-codes rows (NULL embeddings, kept by the encode
+    contract) must never surface in search results — Spark's asc() is
+    NULLS FIRST, so without the guard a NULL adc_d2 ranks 1 and
+    displaces a real neighbor. Covers pq_adc_topk, the rerank shortlist
+    it feeds, and ivfpq_topk; also pins that pq_train tolerates a NULL
+    row in the training corpus (ADVICE r4 low: np.array raised)."""
+    nulled = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    null_ids = {
+        r["vec_id"]
+        for r in nulled.filter(F.col("embedding").isNull()).collect()
+    }
+    assert null_ids, "fixture must contain NULL rows"
+    # pq_train on a NULL-bearing corpus must not raise
+    codebooks, cb_df = similarity.pq_train(nulled, dim=64, m=8, n_codes=16)
+    enc = similarity.pq_encode(nulled, codebooks)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    adc = similarity.pq_adc_topk(enc, cb_df, q, k=10)
+    adc_ids = {r["vec_id"] for r in adc.collect()}
+    assert not (adc_ids & null_ids), "NULL-codes row surfaced in ADC top-k"
+    assert adc.filter(F.col("adc_d2").isNull()).count() == 0
+    # every query still gets a full k (NULL rows excluded, not ranked)
+    per_q = {r["qid"] for r in adc.filter(F.col("rank") == 10).collect()}
+    assert per_q == {0, 1, 2}
+
+    rr = similarity.pq_topk_rerank(enc.withColumn(
+        "embedding",
+        F.when(F.col("vec_id").isin(list(null_ids)), F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    ), cb_df, q, k=5, oversample=3)
+    rr_ids = {r["vec_id"] for r in rr.collect()}
+    assert not (rr_ids & null_ids)
+
+    enc2, cent_df, _, cb_df2 = similarity.ivfpq_index(
+        nulled.filter(F.col("embedding").isNotNull()), dim=64,
+        n_clusters=4, m=8, n_codes=16,
+    )
+    # splice the NULL rows back in with NULL cluster/codes (what a
+    # full-corpus encode keeps around)
+    null_rows = nulled.filter(F.col("embedding").isNull()).select(
+        "vec_id", "embedding",
+        F.lit(None).cast("int").alias("ivf_cluster"),
+        F.lit(None).cast("array<int>").alias("pq_codes"),
+    )
+    enc_all = enc2.select(*null_rows.columns).unionByName(null_rows)
+    ivf = similarity.ivfpq_topk(enc_all, cent_df, cb_df2, q, k=5, nprobe=4)
+    ivf_ids = {r["vec_id"] for r in ivf.collect()}
+    assert not (ivf_ids & null_ids)

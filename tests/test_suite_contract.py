@@ -33,6 +33,24 @@ ROTATED_IN_R4 = frozenset({
     "salted_join_priority_revenue",
 })
 
+# The last 3 oracle queries with no driver row after round 4 (VERDICT
+# r4 item 2): embedding_near_dup_lsh failed in r1 and was never
+# re-gated; the other two were added after the r4 rotation froze.
+ROTATED_IN_R5 = frozenset({
+    "embedding_near_dup_lsh", "ewma_hourly_forecast",
+    "split_leakage_audit",
+})
+
+# Displaced in r5; each is driver-green in CORRECTNESS_r04 and its
+# family keeps a window representative (see suite/__init__.py comment).
+ROTATED_OUT_R5 = frozenset({
+    "segments_except", "ts_pattern_match", "length_vocab_correlation",
+})
+
+# Oracle-backed queries ADDED in round 5 (no driver row yet, by
+# construction; they queue for the r6 rotation).
+ADDED_IN_R5 = frozenset()
+
 
 def test_suite_counts_match_documentation():
     specs = all_specs()
@@ -53,21 +71,40 @@ def test_gate_window_is_exactly_the_first_50():
 
 
 def test_gate_window_rotation_covers_never_gated_queries():
-    """Round-4 intent: the 28 oracle queries that had no driver row in
-    rounds 1-3 all sit inside the round-4 window, so that after this
-    round every query that existed at r3 has driver-green evidence.
-    (Queries added after r3 queue for a later rotation.)"""
-    missing = ROTATED_IN_R4 - set(GATE_WINDOW)
+    """Round-5 intent: the window carries the r4 rotation (minus the 3
+    names displaced in r5, each r4-green) plus the final 3
+    never-driver-witnessed queries, so that once CORRECTNESS_r05 lands
+    every oracle-backed query has driver-green evidence from some
+    round."""
+    missing = (ROTATED_IN_R4 - ROTATED_OUT_R5) - set(GATE_WINDOW)
     assert not missing, f"rotated-in queries missing from window: {missing}"
-    # cross-check against the driver artifacts when present
+    missing_r5 = ROTATED_IN_R5 - set(GATE_WINDOW)
+    assert not missing_r5, f"r5 rotation missing from window: {missing_r5}"
+    assert not (ROTATED_OUT_R5 & set(GATE_WINDOW)), "displaced names remain"
+    # the r5 rotation must be exactly the set of oracle-backed names
+    # with no driver row in any prior round's artifact
     prev = set()
     for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-              "CORRECTNESS_r03.json"):
+              "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
         p = os.path.join(os.path.dirname(os.path.dirname(__file__)), f)
         if os.path.exists(p):
-            prev |= set(json.load(open(p)))
+            rows = json.load(open(p))
+            # only GREEN rows count as driver-witnessed (r1 recorded a
+            # FAILED row for embedding_near_dup_lsh — that's exactly
+            # why it must rotate back in)
+            prev |= {
+                n for n, r in rows.items()
+                if r.get("rows_match") and r.get("schema_match")
+                and r.get("hash_match") and not r.get("err")
+            }
     if prev:
-        assert not (ROTATED_IN_R4 & prev), "rotation list overlaps r1-r3 rows"
+        oracle_names = {s.name for s in all_specs() if s.oracle is not None}
+        never_witnessed = oracle_names - prev - ADDED_IN_R5
+        assert never_witnessed == ROTATED_IN_R5, (
+            f"never-witnessed set drifted: {never_witnessed ^ ROTATED_IN_R5}"
+        )
+        # displaced names must already have driver-green evidence
+        assert ROTATED_OUT_R5 <= prev, "displaced a never-witnessed name"
 
 
 def test_entry_module_contract():

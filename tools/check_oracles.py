@@ -162,9 +162,14 @@ def main():
         # carrying non-default confs (which would defeat the emulation).
         from pyspark.sql import SparkSession
 
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
+        for prior in (SparkSession.getActiveSession(),
+                      SparkSession._instantiatedSession):
+            if prior is not None:
+                prior.stop()
+        assert SparkSession.getActiveSession() is None, (
+            "a configured session survived stop(); vanilla emulation "
+            "would inherit its confs"
+        )
         cpus = os.environ["SPARK_GRAFT_CPUS"]
         spark = (
             SparkSession.builder.master(f"local[{cpus}]")
