@@ -13,6 +13,15 @@ mirroring the reference's Express server route-for-route
                                the landing dir, start the pipeline in a
                                background thread, 201 {runId, ...}
 
+Browser GUI (web.py renders, this module routes — the counterpart of
+the reference's React pages / JSPs: RunList.jsx, RunDetail.jsx,
+Logs.jsx, run-detail.jsp with its 2 s auto-refresh):
+
+- GET  /                     — HTML runs table (?pipeline=&status=)
+- GET  /ui/runs/{id}         — HTML run detail + steps (+ meta-refresh
+                               2 s while Running), 404 page if missing
+- GET  /ui/logs              — HTML logs table (?runId=&level=&limit=)
+
 Design notes:
 - stdlib only (ThreadingHTTPServer): the engine charter is "no new
   dependencies"; each request runs one already-planned DataFrame query.
@@ -41,7 +50,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 
-from . import api
+from . import api, web
 
 
 def rows_to_jsonable(df: DataFrame) -> list[dict]:
@@ -225,11 +234,52 @@ def _make_handler(srv: PipelineApiServer):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_html(self, code: int, page: str) -> None:
+            data = page.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):
             try:
                 u = urllib.parse.urlsplit(self.path)
                 q = dict(urllib.parse.parse_qsl(u.query))
                 parts = [p for p in u.path.split("/") if p]
+                # -- browser GUI (web.py) ----------------------------
+                if parts == []:
+                    return self._send_html(
+                        200,
+                        web.render_run_list(
+                            srv.list_runs(q.get("pipeline"), q.get("status"))
+                        ),
+                    )
+                if len(parts) == 3 and parts[:2] == ["ui", "runs"]:
+                    detail = srv.run_detail(parts[2])
+                    if detail is None:
+                        return self._send_html(
+                            404, web.render_not_found(f"Run {parts[2]}")
+                        )
+                    return self._send_html(
+                        200, web.render_run_detail(detail)
+                    )
+                if parts == ["ui", "logs"]:
+                    try:
+                        limit = int(q.get("limit", api.DEFAULT_LOG_LIMIT))
+                    except ValueError:
+                        limit = api.DEFAULT_LOG_LIMIT
+                    logs = srv.list_logs(
+                        q.get("runId"), q.get("pipeline"),
+                        q.get("level"), limit,
+                    )
+                    return self._send_html(
+                        200,
+                        web.render_logs(
+                            logs, run_id=q.get("runId"), level=q.get("level")
+                        ),
+                    )
+                # -- JSON API ----------------------------------------
                 if parts == ["runs"]:
                     return self._send(
                         200,

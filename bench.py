@@ -414,8 +414,11 @@ def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
 
 def _noise_probe(spark, sf_dir: str) -> float:
     """Fixed reference workload for host-noise detection: a pushed-down
-    lineitem scan-count, min of 3 (the probe itself must be noise-
-    resistant or it can't measure noise)."""
+    lineitem scan-count, min of 3 after one untimed warm run (the
+    session's first-ever job pays codegen/scan-listing startup costs
+    that aren't host noise; the probe itself must be noise-resistant
+    or it can't measure noise)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     best = None
     for _ in range(3):
         t0 = time.time()

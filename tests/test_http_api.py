@@ -184,6 +184,104 @@ def test_trigger_creates_control_row_before_201(spark, served):
     assert got["status"] == "Success"
 
 
+def _get_html(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read().decode()
+
+
+def test_gui_run_list_renders_dataframe_rows(spark, served):
+    """GET / is the browser twin of GET /runs (RunList.jsx:48-59): every
+    run row the DataFrame query returns must appear in the HTML, with
+    its id linked to the detail page."""
+    srv, _ = served
+    status, ctype, page = _get_html(srv.port, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    runs = rows_to_jsonable(api.list_runs(srv.runs_df()))
+    assert len(runs) == 2
+    for r in runs:
+        assert f'href="/ui/runs/{r["run_id"]}"' in page
+        assert r["pipeline_name"] in page
+        assert r["status"] in page
+        assert r["created_at"] in page
+    # filters pass through to the same DataFrame query
+    _, _, alpha_page = _get_html(srv.port, "/?pipeline=Alpha")
+    assert "Alpha" in alpha_page and "Beta" not in alpha_page
+
+
+def test_gui_run_detail_renders_steps_and_logs_link(spark, served):
+    """GET /ui/runs/{id} mirrors RunDetail.jsx:67-96 /
+    run-detail.jsp:119-158: run fields + all 4 step rows with status
+    and rows-affected; a FINISHED run must NOT carry the 2 s
+    auto-refresh meta tag (the JSP only refreshes while live)."""
+    srv, runner = served
+    rid = rows_to_jsonable(api.list_runs(srv.runs_df()))[0]["run_id"]
+    status, ctype, page = _get_html(srv.port, f"/ui/runs/{rid}")
+    assert status == 200 and ctype.startswith("text/html")
+    detail = srv.run_detail(rid)
+    assert rid in page
+    for s in detail["steps"]:
+        assert s["step_name"] in page
+        assert str(s["rows_affected"]) in page
+    assert page.count("status-Success") >= 5  # run + 4 steps
+    assert f'href="/ui/logs?runId={rid}"' in page
+    assert 'http-equiv="refresh"' not in page  # finished run is quiet
+    # duration renders as whole seconds (RunDetail.jsx:26-29)
+    assert "<dt>Duration</dt>" in page
+
+    status, _, missing = _get_html(srv.port, "/ui/runs/nope")
+    assert status == 404 and "not found" in missing
+
+
+def test_gui_running_detail_auto_refreshes():
+    """The 2 s meta-refresh is emitted exactly while the run is live
+    (run-detail.jsp auto-refresh; RunDetail.jsx:67-81 polls at 2 s) —
+    pure-render check, no race against a real background run."""
+    from automated_data_pipeline_spark import web
+
+    base = {"run_id": "r-1", "run_number": 1, "pipeline_name": "P",
+            "started_at": "2024-01-01 00:00:00", "finished_at": None,
+            "steps": []}
+    live = web.render_run_detail({**base, "status": "Running"})
+    assert '<meta http-equiv="refresh" content="2">' in live
+    done = web.render_run_detail(
+        {**base, "status": "Success",
+         "finished_at": "2024-01-01 00:00:07"}
+    )
+    assert 'http-equiv="refresh"' not in done
+    assert "<dd>7s</dd>" in done  # duration from ISO strings
+
+
+def test_gui_logs_page_matches_dataframe_twin(spark, served):
+    srv, runner = served
+    status, ctype, page = _get_html(srv.port, "/ui/logs?level=Info&limit=5")
+    assert status == 200 and ctype.startswith("text/html")
+    logs = rows_to_jsonable(
+        api.list_logs(runner.control.logs(spark), level="Info", limit=5)
+    )
+    assert len(logs) == 5
+    for entry in logs:
+        assert entry["message"] in page
+        assert entry["log_at"] in page
+    assert "level=Info" in page  # filter echoed in the heading
+
+
+def test_gui_escapes_html_in_messages():
+    """A log message (or error) containing markup must render inert —
+    server-rendered pages over user-supplied file contents are an XSS
+    surface the JSON API never had."""
+    from automated_data_pipeline_spark import web
+
+    page = web.render_logs(
+        [{"log_at": "t", "run_id": "r<1>", "step_name": None,
+          "level": "Error", "message": "<script>alert(1)</script>"}]
+    )
+    assert "<script>alert(1)</script>" not in page
+    assert "&lt;script&gt;" in page
+
+
 def test_invalid_content_length_is_client_error(served):
     """Negative Content-Length must not reach rfile.read(-N) (which
     blocks to EOF and hangs the handler thread); non-numeric is a 400,
