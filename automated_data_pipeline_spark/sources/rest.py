@@ -54,12 +54,46 @@ def _records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
 
 
 def http_get(url: str, headers: dict[str, str] | None = None) -> str:
-    """Default transport (urllib). Tests inject fakes instead."""
+    """Default GET transport (urllib). Tests inject fakes instead."""
     from urllib.request import Request, urlopen
 
     req = Request(url, headers=headers or {})
     with urlopen(req, timeout=REQUEST_TIMEOUT_S) as resp:  # pragma: no cover
         return resp.read().decode("utf-8")
+
+
+def http_post(
+    url: str, body: str, headers: dict[str, str] | None = None
+) -> str:
+    """Default POST transport (urllib) — exercised against a LIVE local
+    HTTP server in tests/test_rest_soap.py (same treatment the scraper
+    and the HTTP API got); external hosts simply fail with the normal
+    urllib error in an offline container."""
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url, data=body.encode("utf-8"), headers=headers or {}, method="POST"
+    )
+    with urlopen(req, timeout=REQUEST_TIMEOUT_S) as resp:
+        return resp.read().decode("utf-8")
+
+
+def soap_transport(soap_action: str = "") -> Callable[[str, str], str]:
+    """SOAP 1.1 transport: POST the envelope as text/xml with the
+    SOAPAction header (the wire format projectplan.md's SOAP source
+    implies). Returns a (url, envelope) -> response-body callable."""
+
+    def post(url: str, envelope: str) -> str:
+        return http_post(
+            url,
+            envelope,
+            headers={
+                "Content-Type": "text/xml; charset=utf-8",
+                "SOAPAction": f'"{soap_action}"',
+            },
+        )
+
+    return post
 
 
 def rest_json_source(
@@ -120,11 +154,13 @@ def soap_orders_source(
     """POST a SOAP envelope and flatten ``record_tag`` elements of the
     response body into rows (child element name -> column). Namespace
     prefixes are stripped; columns resolve case-insensitively onto the
-    canonical schema like every other source."""
+    canonical schema like every other source.
+
+    The default transport is the real urllib SOAP POST
+    (``soap_transport()``) — live-tested against a local stdlib HTTP
+    server; tests may still inject fakes for wire-free unit cases."""
     if transport is None:
-        raise NotImplementedError(
-            "SOAP transport requires network; inject a transport callable"
-        )
+        transport = soap_transport()
     body = transport(url, envelope)
     root = ET.fromstring(body)
     records = []
