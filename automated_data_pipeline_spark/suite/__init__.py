@@ -1,6 +1,6 @@
-"""The declared query suite: 113 named queries — every operator from
+"""The declared query suite: 121 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (108 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (116 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -173,9 +173,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import curation, events, extra, llm, parity
+    from . import curation, events, extra, llm, parity, round5
 
-    specs = parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS + curation.SPECS
+    specs = (
+        parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
+        + curation.SPECS + round5.SPECS
+    )
     prio = {n: i for i, n in enumerate(GATE_WINDOW)}
     head = [s for s in specs if s.name in prio]
     head.sort(key=lambda s: prio[s.name])

@@ -100,6 +100,15 @@ HEADLINE = [
     "video_frame_sample_features",
     "ewma_hourly_forecast",
     "split_leakage_audit",
+    # round-5 additions
+    "regional_cheapest_supplier",
+    "waiting_orders_suppliers",
+    "important_parts_by_nation",
+    "rolling_daily_zscore",
+    "hourly_heavy_hitters",
+    "quality_decile_report",
+    "token_budget_prefix",
+    "top_bigrams_per_lang",
 ]
 
 

@@ -302,12 +302,13 @@ def test_ivf_persisted_probe_collect_bounded_by_n_clusters(
     internal collect stayed <= n_clusters rows."""
     import os
 
-    from pyspark.sql import DataFrame
-
     from automated_data_pipeline_spark.operators import similarity
 
     sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # patch the CONCRETE DataFrame class (Spark 4's classic DataFrame
+    # overrides collect; patching the abstract base would be a no-op)
+    DataFrame = type(e)
     n_clusters = 8
     assigned, cent = similarity.ivf_index(e, n_clusters=n_clusters)
     path = str(tmp_path / "ivf")

@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 113
-DOCUMENTED_WITH_ORACLE = 108
+DOCUMENTED_TOTAL = 121
+DOCUMENTED_WITH_ORACLE = 116
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -49,7 +49,12 @@ ROTATED_OUT_R5 = frozenset({
 
 # Oracle-backed queries ADDED in round 5 (no driver row yet, by
 # construction; they queue for the r6 rotation).
-ADDED_IN_R5 = frozenset()
+ADDED_IN_R5 = frozenset({
+    "regional_cheapest_supplier", "waiting_orders_suppliers",
+    "important_parts_by_nation", "rolling_daily_zscore",
+    "hourly_heavy_hitters", "quality_decile_report",
+    "token_budget_prefix", "top_bigrams_per_lang",
+})
 
 
 def test_suite_counts_match_documentation():
