@@ -47,6 +47,12 @@ SHOWN = [
     ("idle_rich_customers_by_segment", "Q22 shape: broadcast scalar + LEFT ANTI existence join"),
     ("audio_feature_extract", "audio codec loop: two chained ArrowEvalPython/mapInPandas stages, no exchange"),
     ("video_frame_sample_features", "video loop: APNG build/sample/decode as three chained mapInPandas, zero exchanges"),
+    # round-5 additions
+    ("regional_cheapest_supplier", "Q2 shape: region-filtered supplier dim broadcast into ONE lineitem scan, WindowGroupLimit rank pushdown"),
+    ("waiting_orders_suppliers", "Q21 shape: one per-order conditional agg (no lineitem self-joins), supplier broadcast"),
+    ("important_parts_by_nation", "Q11 shape: per-nation window over the aggregated frame — parallel, never global"),
+    ("hourly_heavy_hitters", "per-window top-k: (hour,user) partial agg then per-hour rank window"),
+    ("token_budget_prefix", "two-phase ordered cumsum: range exchange + partition-keyed windows + broadcast offsets (no single-reducer window)"),
 ]
 
 
