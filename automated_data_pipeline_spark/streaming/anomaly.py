@@ -123,10 +123,7 @@ def read_anomalies(
     )
     var_num = F.col("cw") * F.col("ss") - F.col("s") * F.col("s")
     mean = F.col("s").cast("double") / F.col("cw")
-    sd = F.sqrt(
-        var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1))
-        / F.col("cw") * F.col("cw")
-    )
+    sd = F.sqrt(var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1)))
     z = F.when(
         (F.col("cw") >= max(2, int(min_history))) & (var_num > 0),
         F.round((F.col("n_events").cast("double") - mean) / sd, 4),

@@ -285,12 +285,12 @@ def important_parts_by_nation(spark, sf_dir):
     SELECT day, CAST(n_events AS BIGINT) AS n_events,
       CASE WHEN cw >= 2 AND cw * ss - s * s > 0 THEN
         round((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cw)
-              / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1)) / cw * cw), 4)
+              / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1))), 4)
       END AS z,
       coalesce(abs(
         CASE WHEN cw >= 2 AND cw * ss - s * s > 0 THEN
           round((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cw)
-                / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1)) / cw * cw), 4)
+                / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1))), 4)
         END) >= 2.0, false) AS is_anomaly
     FROM stats
     """,
@@ -319,10 +319,9 @@ def rolling_daily_zscore(spark, sf_dir):
     )
     var_num = F.col("cw") * F.col("ss") - F.col("s") * F.col("s")
     mean = F.col("s").cast("double") / F.col("cw")
-    sd = F.sqrt(
-        var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1))
-        / F.col("cw") * F.col("cw")
-    )
+    # sample variance = (n*ss - s^2) / (n*(n-1)); the operands are
+    # exact integers so the double ops are identical on both engines
+    sd = F.sqrt(var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1)))
     z = F.when(
         (F.col("cw") >= 2) & (var_num > 0),
         F.round((F.col("n_events").cast("double") - mean) / sd, 4),

@@ -475,3 +475,38 @@ def test_q_shape_plans_broadcast_dims(spark):
     widths = [n_fields(r) for r in
               re.findall(r"ReadSchema: struct<([^>]*)>", plan) if r]
     assert widths and max(widths) <= 3
+
+
+def test_round5_q_shape_plan_contracts(spark):
+    """Round-5 shapes keep their scale contracts: Q2's region-filtered
+    supplier dim broadcasts into ONE lineitem pass (the only hash
+    exchanges are the (part,supp) agg and the per-part rank window);
+    Q21 is a single per-order aggregation — the lineitem scan appears
+    ONCE (no EXISTS/NOT-EXISTS self-joins); Q11's share window
+    partitions by nation, never globally."""
+    import os
+    import re
+
+    from automated_data_pipeline_spark.suite import round5
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+    df = round5.regional_cheapest_supplier(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    df = round5.waiting_orders_suppliers(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # lineitem scanned once: a self-join formulation would scan it 2-3x
+    li_scans = len(re.findall(r"Scan parquet[^\n]*\n[^\n]*lineitem", plan)) or \
+        plan.count("lineitem.parquet")
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+
+    df = round5.important_parts_by_nation(spark, sf)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("n_name") for s in specs), specs
