@@ -256,10 +256,14 @@ def _make_handler(srv: PipelineApiServer):
                         ),
                     )
                 if len(parts) == 3 and parts[:2] == ["ui", "runs"]:
-                    detail = srv.run_detail(parts[2])
+                    # web.py percent-encodes ids in links; decode the
+                    # path segment or any id with reserved chars 404s
+                    # from its own link
+                    rid = urllib.parse.unquote(parts[2])
+                    detail = srv.run_detail(rid)
                     if detail is None:
                         return self._send_html(
-                            404, web.render_not_found(f"Run {parts[2]}")
+                            404, web.render_not_found(f"Run {rid}")
                         )
                     return self._send_html(
                         200, web.render_run_detail(detail)

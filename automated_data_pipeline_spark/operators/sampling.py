@@ -177,19 +177,35 @@ def ordered_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
-    totals = (
-        ranged.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_total"))
-        .collect()
-    )
+    totals_df = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_total"))
+    totals = totals_df.collect()
     by_pid = {r["_pid"]: r["_total"] for r in totals}
-    offsets, acc = [], 0
+    # offsets carry whatever type sum(value_col) produced (long for
+    # ints, double for floats, Decimal for decimals) — a hardcoded
+    # bigint schema would reject non-integer value columns
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType, DoubleType, FloatType, StructField, StructType,
+    )
+
+    sum_dt = totals_df.schema["_total"].dataType
+    if isinstance(sum_dt, DecimalType):
+        zero = Decimal(0)
+    elif isinstance(sum_dt, (DoubleType, FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
+    offsets, acc = [], zero
     for pid in sorted(by_pid):
         offsets.append((pid, acc))
-        acc += by_pid[pid]
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "_pid int, _offset bigint"
-    )
+        # sum() of an all-NULL partition is NULL; it contributes 0
+        acc = acc + (by_pid[pid] if by_pid[pid] is not None else zero)
+    off_schema = StructType([
+        StructField("_pid", ranged.schema["_pid"].dataType, False),
+        StructField("_offset", sum_dt, True),
+    ])
+    off_df = df.sparkSession.createDataFrame(offsets, off_schema)
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")))

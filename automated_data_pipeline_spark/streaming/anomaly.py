@@ -29,6 +29,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import anomaly_flag, trailing_zscore
+
 
 def batch_window_counts(
     batch_df: DataFrame,
@@ -36,9 +38,13 @@ def batch_window_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
 ) -> DataFrame:
-    """One micro-batch's per-window event counts, lineage-stamped."""
+    """One micro-batch's per-window event counts, lineage-stamped.
+    NULL timestamps are dropped — F.window(NULL) would otherwise emit
+    a window_start=NULL bucket that sorts FIRST in read_anomalies and
+    contaminates the earliest real windows' baselines."""
     return (
-        batch_df.groupBy(F.window(ts_col, window).alias("w"))
+        batch_df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.lit(int(batch_id)).alias("batch_id"),
@@ -121,18 +127,13 @@ def read_anomalies(
         F.sum("n_events").over(w).alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
     )
-    var_num = F.col("cw") * F.col("ss") - F.col("s") * F.col("s")
-    mean = F.col("s").cast("double") / F.col("cw")
-    sd = F.sqrt(var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1)))
-    z = F.when(
-        (F.col("cw") >= max(2, int(min_history))) & (var_num > 0),
-        F.round((F.col("n_events").cast("double") - mean) / sd, 4),
+    z = trailing_zscore(
+        F.col("n_events"), F.col("cw"), F.col("s"), F.col("ss"),
+        min_samples=min_history,
     )
     return stats.select(
         "window_start",
         "n_events",
         z.alias("z"),
-        F.coalesce(F.abs(z) >= float(z_threshold), F.lit(False)).alias(
-            "is_anomaly"
-        ),
+        anomaly_flag(z, z_threshold).alias("is_anomaly"),
     )

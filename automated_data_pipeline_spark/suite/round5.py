@@ -25,6 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.stats import anomaly_flag, portable_round, trailing_zscore
 from ..operators.sampling import ordered_cumsum
 from . import QuerySpec, load
 
@@ -225,9 +226,15 @@ def waiting_orders_suppliers(spark, sf_dir):
     )
     SELECT n_name, l_partkey,
       CAST(round(r, 2) AS DOUBLE) AS revenue,
-      round(CAST(r AS DOUBLE) / CAST(nation_total AS DOUBLE), 6) AS share
+      -- portable rounding (floor(x*1e6+0.5)/1e6): the share is a
+      -- rounded QUOTIENT and also the filter predicate — a .5-boundary
+      -- disagreement between the engines' round() would flip rows in
+      -- and out of the result set, not just drift a value
+      floor(CAST(r AS DOUBLE) / CAST(nation_total AS DOUBLE) * 1000000 + 0.5)
+        / 1000000 AS share
     FROM shared
-    WHERE round(CAST(r AS DOUBLE) / CAST(nation_total AS DOUBLE), 6) >= 0.002
+    WHERE floor(CAST(r AS DOUBLE) / CAST(nation_total AS DOUBLE) * 1000000 + 0.5)
+        / 1000000 >= 0.002
     """,
     "TPC-H Q11 shape: parts whose revenue share within their "
     "supplier's nation clears a threshold. The global scalar of Q11 "
@@ -253,7 +260,9 @@ def important_parts_by_nation(spark, sf_dir):
         )
     )
     total = F.sum("r").over(Window.partitionBy("n_name"))
-    share = F.round(F.col("r").cast("double") / total.cast("double"), 6)
+    share = portable_round(
+        F.col("r").cast("double") / total.cast("double"), 6
+    )
     return (
         rev.withColumn("share", share)
         .filter(F.col("share") >= 0.002)
@@ -280,26 +289,31 @@ def important_parts_by_nation(spark, sf_dir):
         sum(n_events) OVER w AS s,
         sum(n_events * n_events) OVER w AS ss
       FROM daily
-      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT day, n_events,
+        CASE WHEN cw >= 4 AND cw * ss - s * s > 0 THEN
+          floor(((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cw)
+                / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1))))
+                * 10000 + 0.5) / 10000
+        END AS z
+      FROM stats
     )
-    SELECT day, CAST(n_events AS BIGINT) AS n_events,
-      CASE WHEN cw >= 2 AND cw * ss - s * s > 0 THEN
-        round((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cw)
-              / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1))), 4)
-      END AS z,
-      coalesce(abs(
-        CASE WHEN cw >= 2 AND cw * ss - s * s > 0 THEN
-          round((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cw)
-                / sqrt(CAST(cw * ss - s * s AS DOUBLE) / (cw * (cw - 1))), 4)
-        END) >= 2.0, false) AS is_anomaly
-    FROM stats
+    SELECT day, CAST(n_events AS BIGINT) AS n_events, z,
+      coalesce(abs(z) >= 2.0, false) AS is_anomaly
+    FROM scored
     """,
-    "time-series anomaly flagging: per-day event volume vs its "
-    "trailing-7-day mean/stddev, |z| >= 2 flagged. Cross-engine-exact "
+    "time-series anomaly flagging: per-day event volume vs the "
+    "trailing 7 days EXCLUDING the day itself (a spike must not "
+    "inflate its own baseline — the inclusive frame caps |z| at "
+    "(h-1)/sqrt(h) and flags any blip over a flat baseline), |z| >= 2 "
+    "flagged, >= 4 trailing samples required (same warm-up contract "
+    "as the streaming twin streaming/anomaly.py). Cross-engine-exact "
     "by construction: the window carries only INTEGER sums (count, "
-    "sum, sum of squares — all exact), and mean/variance/z are derived "
-    "from them in identical double arithmetic, so no engine-specific "
-    "streaming-variance drift can leak in. Plan: the heavy step "
+    "sum, sum of squares — all exact), mean/variance/z derive from "
+    "them in identical double arithmetic, and the rounding is the "
+    "engine-portable floor(x*1e4+0.5)/1e4 form. Plan: the heavy step "
     "(events -> daily counts) is a distributed agg; the window then "
     "runs over one row per calendar day — bounded by the date range, "
     "not the data volume",
@@ -309,7 +323,7 @@ def rolling_daily_zscore(spark, sf_dir):
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy("day").rowsBetween(-7, -1)
     stats = daily.select(
         "day",
         "n_events",
@@ -317,20 +331,15 @@ def rolling_daily_zscore(spark, sf_dir):
         F.sum("n_events").over(w).alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
     )
-    var_num = F.col("cw") * F.col("ss") - F.col("s") * F.col("s")
-    mean = F.col("s").cast("double") / F.col("cw")
-    # sample variance = (n*ss - s^2) / (n*(n-1)); the operands are
-    # exact integers so the double ops are identical on both engines
-    sd = F.sqrt(var_num.cast("double") / (F.col("cw") * (F.col("cw") - 1)))
-    z = F.when(
-        (F.col("cw") >= 2) & (var_num > 0),
-        F.round((F.col("n_events").cast("double") - mean) / sd, 4),
+    z = trailing_zscore(
+        F.col("n_events"), F.col("cw"), F.col("s"), F.col("ss"),
+        min_samples=4,
     )
     return stats.select(
         "day",
         F.col("n_events").cast("bigint").alias("n_events"),
         z.alias("z"),
-        F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_anomaly"),
+        anomaly_flag(z).alias("is_anomaly"),
     )
 
 
@@ -386,9 +395,12 @@ def hourly_heavy_hitters(spark, sf_dir):
     f"""
     WITH {_QUALITY_CTE},
     cuts AS (
+      -- portable rounding on the interpolated cutpoints: the two
+      -- engines' quantile interpolation can differ in op ORDER, so
+      -- round through the shared floor(x*1e6+0.5)/1e6 form
       SELECT list_transform(
         quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-        x -> round(x, 6)) AS cs
+        x -> floor(x * 1000000 + 0.5) / 1000000) AS cs
       FROM q
     ),
     bucketed AS (
@@ -398,7 +410,8 @@ def hourly_heavy_hitters(spark, sf_dir):
     )
     SELECT decile,
       CAST(count(*) AS BIGINT) AS n_docs,
-      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+      floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+        AS avg_chars,
       min(quality) AS min_quality,
       max(quality) AS max_quality
     FROM bucketed GROUP BY decile
@@ -423,7 +436,7 @@ def quality_decile_report(spark, sf_dir):
         F.expr(
             "transform(percentile(quality, "
             "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)), "
-            "x -> round(x, 6))"
+            "x -> floor(x * 1000000 + 0.5) / 1000000)"
         ).alias("cs")
     ).first()["cs"]
     decile = F.lit(1)
@@ -434,7 +447,7 @@ def quality_decile_report(spark, sf_dir):
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
+            portable_round(
                 F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
             ).alias("avg_chars"),
             F.min("quality").alias("min_quality"),

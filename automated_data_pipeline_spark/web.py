@@ -103,7 +103,7 @@ def render_run_list(runs: list[dict]) -> str:
     rows = "".join(
         "<tr>"
         f"<td>{_esc(r.get('run_number'))}</td>"
-        f'<td><a href="/ui/runs/{urllib.parse.quote(str(r.get("run_id")))}">'
+        f'<td><a href="/ui/runs/{urllib.parse.quote(str(r.get("run_id")), safe="")}">'
         f"{_esc(r.get('run_id'))}</a></td>"
         f"<td>{_esc(r.get('pipeline_name'))}</td>"
         + _status_cell(r.get("status"))
@@ -150,7 +150,7 @@ def render_run_detail(detail: dict) -> str:
         "</tr>"
         for s in steps
     )
-    rid = urllib.parse.quote(str(detail.get("run_id")))
+    rid = urllib.parse.quote(str(detail.get("run_id")), safe="")
     body = (
         f"<h1>Run {_esc(detail.get('run_id'))}</h1><dl>{dl}</dl>"
         "<h2>Steps</h2>"
@@ -171,7 +171,7 @@ def render_logs(logs: list[dict], run_id=None, level=None) -> str:
     rows = "".join(
         "<tr>"
         f"<td>{_esc(r.get('log_at'))}</td>"
-        f'<td><a href="/ui/runs/{urllib.parse.quote(str(r.get("run_id")))}">'
+        f'<td><a href="/ui/runs/{urllib.parse.quote(str(r.get("run_id")), safe="")}">'
         f"{_esc(r.get('run_id'))}</a></td>"
         f"<td>{_esc(r.get('step_name'))}</td>"
         f"<td>{_esc(r.get('level'))}</td>"

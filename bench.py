@@ -426,8 +426,11 @@ def _noise_probe(spark, sf_dir: str) -> float:
     lineitem scan-count, min of 3 after one untimed warm run (the
     session's first-ever job pays codegen/scan-listing startup costs
     that aren't host noise; the probe itself must be noise-resistant
-    or it can't measure noise)."""
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    or it can't measure noise). Residual JIT warmup can still inflate
+    the START probe a bit (measured ~2x on a quiet host), so read the
+    ratio as an upper bound on noise, not an exact figure."""
+    for _ in range(3):
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     best = None
     for _ in range(3):
         t0 = time.time()
@@ -522,7 +525,13 @@ def main():
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)
-    assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
+    if len(line) >= 1500:
+        # NEVER abort here: an oversize line must degrade, not lose
+        # the round's bench evidence (the failure mode this compact
+        # format exists to prevent). Drop the per-query slice and keep
+        # the headline numbers.
+        out.pop("queries", None)
+        line = json.dumps(out)
     print(line)
 
 

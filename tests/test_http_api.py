@@ -268,6 +268,23 @@ def test_gui_logs_page_matches_dataframe_twin(spark, served):
     assert "level=Info" in page  # filter echoed in the heading
 
 
+def test_gui_run_link_roundtrips_reserved_char_ids(spark, served):
+    """A run id containing reserved URL characters must be reachable
+    from its own rendered link: web.py encodes with safe='' (so '/'
+    escapes too) and the /ui/runs route decodes the path segment."""
+    import urllib.parse
+
+    srv, runner = served
+    rid = "run with:odd/chars"
+    runner.control.start_run(pipeline_name="Odd", run_id=rid)
+    _, _, listing = _get_html(srv.port, "/")
+    enc = urllib.parse.quote(rid, safe="")
+    assert f'href="/ui/runs/{enc}"' in listing
+    status, _, page = _get_html(srv.port, f"/ui/runs/{enc}")
+    assert status == 200
+    assert "run with:odd/chars" in page
+
+
 def test_gui_escapes_html_in_messages():
     """A log message (or error) containing markup must render inert —
     server-rendered pages over user-supplied file contents are an XSS

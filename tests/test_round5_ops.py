@@ -62,6 +62,26 @@ def test_ordered_cumsum_empty_input(spark):
     assert ordered_cumsum(df, "v", [F.asc("id")]).count() == 0
 
 
+def test_ordered_cumsum_double_and_decimal_values(spark):
+    """The offsets frame must carry sum(value)'s own type — a
+    hardcoded bigint schema rejected double/decimal value columns."""
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 0.5).alias("v")
+    )
+    out = ordered_cumsum(df, "v", [F.asc("id")], num_partitions=4).collect()
+    rows = sorted(out, key=lambda r: r["id"])
+    acc = 0.0
+    for r in rows:
+        acc += r["v"]
+        assert abs(r["cum"] - acc) < 1e-9
+
+    dec = spark.range(0, 50).select(
+        F.col("id"), F.col("id").cast("decimal(10,2)").alias("v")
+    )
+    out = ordered_cumsum(dec, "v", [F.asc("id")], num_partitions=4).collect()
+    assert max(r["cum"] for r in out) == sum(range(50))
+
+
 def test_token_budget_prefix_is_maximal(spark):
     """selected must be exactly the maximal quality-first prefix: every
     selected row fits under the budget, and the first unselected row in
