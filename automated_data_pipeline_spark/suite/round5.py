@@ -43,7 +43,11 @@ def spec(name, oracle, doc=""):
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
 # DuckDB twin of functions.text.quality_score (same formula as the
-# doc_quality_score oracle in suite/llm.py)
+# doc_quality_score oracle in suite/llm.py — third SQL copy of the
+# contract in functions/text.py:101; kept literal because each oracle
+# must be a self-contained DuckDB string. Drift between the copies is
+# caught loudly: whichever query's copy lags the Spark formula fails
+# its own hash gate)
 _QUALITY_CTE = f"""
 w AS (SELECT doc_id, lang, text, n_chars, {_WORDS_SQL} AS ws FROM documents),
 c AS (
