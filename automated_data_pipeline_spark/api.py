@@ -58,11 +58,19 @@ def with_run_number_fallback(runs: DataFrame) -> DataFrame:
     """A5: synthesize run_number when missing — oldest run is #1
     (server.js:63-69 assigns list.length - i over a DESC list, i.e. the
     newest run gets the HIGHEST number; backfill db.js:30-34 is
-    row_number over created_at ASC — both mean oldest=1)."""
+    row_number over created_at ASC — both mean oldest=1).
+
+    ALL-OR-NOTHING like the reference (it falls back only when the
+    RunNumber column is absent entirely): a per-row coalesce over a
+    MIXED table could synthesize a positional number that collides
+    with a stored one (stored #2 next to positional #2). If any stored
+    number exists, rows pass through unchanged. The any-check is one
+    bounded take(1) on the control table (control-plane sized)."""
+    if runs.filter(F.col("run_number").isNotNull()).take(1):
+        return runs
     w = Window.orderBy(F.asc("created_at"), F.asc("run_id"))
     return runs.withColumn(
-        "run_number",
-        F.coalesce(F.col("run_number"), F.row_number().over(w).cast("long")),
+        "run_number", F.row_number().over(w).cast("long")
     )
 
 
@@ -122,7 +130,10 @@ def list_logs(
         df = df.filter(F.col("pipeline_name") == pipeline)
     if level is not None:
         df = df.filter(F.col("level") == level)
-    limit = min(limit, MAX_LOG_LIMIT)
+    # clamp BOTH ends: a user-supplied negative limit would reach
+    # DataFrame.limit(-1), which raises (a parseable query param must
+    # not become a 500)
+    limit = max(0, min(limit, MAX_LOG_LIMIT))
     return df.orderBy(F.desc("log_at"), F.desc("log_id")).limit(limit)
 
 

@@ -86,11 +86,35 @@ def compute_next_run(
     raise ValueError(f"unknown schedule_type: {schedule_type}")
 
 
+def _coerce_dt(v) -> datetime | None:
+    """Accept a datetime or its ISO string form (schedules persisted
+    through a JSON/control-table round-trip come back as strings; a
+    raw comparison would TypeError inside the poller and disable every
+    schedule, not just the malformed one)."""
+    if v is None or isinstance(v, datetime):
+        return v
+    if isinstance(v, str):
+        return datetime.fromisoformat(v)
+    raise TypeError(f"next_run_at must be datetime or ISO string, got {type(v)}")
+
+
 class ScheduleRunner:
     """Driver-side poller: fires due schedules against the pipeline
     runner, then stamps last_run_at and recomputes next_run_at
     (ScheduleRunner.java:60-71). Schedules are plain dicts held by the
-    caller (persist them wherever the control tables live)."""
+    caller (persist them wherever the control tables live).
+
+    Concurrency contract: ``run_due`` CLAIMS a due schedule under the
+    lock (advancing next_run_at before firing), so a manual run_due
+    racing the poller thread — or start() called twice — fires each
+    scheduled occurrence AT MOST ONCE. The reference stamps after the
+    run (single-threaded servlet context, ScheduleRunner.java:60-71);
+    claim-first is the same next-fire arithmetic, just race-safe.
+    A schedule whose recompute fails (malformed fields slipped past
+    add() via an explicit next_run_at) is DISABLED and recorded rather
+    than re-fired every tick."""
+
+    MAX_ERRORS = 200  # bounded: a forever-failing fire must not leak
 
     def __init__(
         self,
@@ -98,6 +122,8 @@ class ScheduleRunner:
         now_fn: Callable[[], datetime] = datetime.utcnow,
         poll_seconds: float = POLL_SECONDS,
     ):
+        from collections import deque
+
         self.fire = fire
         self.now_fn = now_fn
         self.poll_seconds = poll_seconds
@@ -105,18 +131,28 @@ class ScheduleRunner:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        self.errors: list[tuple[str, str]] = []  # (schedule_id, message)
+        # (schedule_id, message); deque so a hot failure can't grow
+        # driver memory without bound
+        self.errors = deque(maxlen=self.MAX_ERRORS)
 
     def add(self, schedule: dict) -> None:
         s = dict(schedule)
-        if s.get("next_run_at") is None:
-            s["next_run_at"] = compute_next_run(
-                s["schedule_type"],
-                s["run_at_time"],
-                self.now_fn(),
-                s.get("day_of_week"),
-                s.get("day_of_month"),
-            )
+        # ALWAYS validate by computing the next fire time — even when
+        # the caller supplies next_run_at explicitly. A malformed
+        # schedule must fail HERE (the caller's stack) instead of
+        # inside the poller tick after its first fire.
+        computed = compute_next_run(
+            s["schedule_type"],
+            s["run_at_time"],
+            self.now_fn(),
+            s.get("day_of_week"),
+            s.get("day_of_month"),
+        )
+        s["next_run_at"] = (
+            _coerce_dt(s.get("next_run_at"))
+            if s.get("next_run_at") is not None
+            else computed
+        )
         with self._lock:
             self.schedules[s["schedule_id"]] = s
 
@@ -124,34 +160,47 @@ class ScheduleRunner:
         """One poll tick (ScheduleRunner.java:36-58). Returns fired ids.
 
         A failing fire() must not kill the poller or hot-loop: the
-        error is recorded on ``self.errors`` and next_run_at STILL
-        advances (the reference's poll loop likewise survives a failed
-        run and retries at the next scheduled time, not every 60 s).
-        The snapshot under the lock keeps a concurrent add() from
-        breaking the iteration."""
+        error is recorded on ``self.errors`` and next_run_at has
+        ALREADY advanced at claim time (the reference's poll loop
+        likewise survives a failed run and retries at the next
+        scheduled time, not every 60 s)."""
         now = self.now_fn()
-        fired = []
+        claimed = []
         with self._lock:
-            due = [
-                s for s in self.schedules.values()
-                if s.get("enabled", True)
-                and s.get("next_run_at") is not None
-                and s["next_run_at"] <= now
-            ]
-        for s in due:
+            for s in self.schedules.values():
+                if not s.get("enabled", True):
+                    continue
+                try:
+                    nra = _coerce_dt(s.get("next_run_at"))
+                except (TypeError, ValueError) as e:
+                    s["enabled"] = False
+                    self.errors.append((s.get("schedule_id", "?"), str(e)))
+                    continue
+                if nra is None or nra > now:
+                    continue
+                # claim: advance before firing so a concurrent tick
+                # cannot double-fire this occurrence
+                s["last_run_at"] = now
+                try:
+                    s["next_run_at"] = compute_next_run(
+                        s["schedule_type"],
+                        s["run_at_time"],
+                        now,
+                        s.get("day_of_week"),
+                        s.get("day_of_month"),
+                    )
+                except Exception as e:  # noqa: BLE001 — never hot-loop
+                    s["enabled"] = False
+                    self.errors.append((s.get("schedule_id", "?"), str(e)))
+                    continue
+                claimed.append(s)
+        fired = []
+        for s in claimed:
             try:
                 self.fire(s)
                 fired.append(s["schedule_id"])
             except Exception as e:  # noqa: BLE001 — poller must survive
                 self.errors.append((s["schedule_id"], str(e)))
-            s["last_run_at"] = now
-            s["next_run_at"] = compute_next_run(
-                s["schedule_type"],
-                s["run_at_time"],
-                now,
-                s.get("day_of_week"),
-                s.get("day_of_month"),
-            )
         return fired
 
     def start(self) -> None:

@@ -76,7 +76,39 @@ def _resolved_exprs(df: DataFrame):
     return exprs
 
 
-def _json_is_multiline(path: str) -> bool:
+def _first_nonblank_line(spark: SparkSession | None, path: str) -> str | None:
+    """First non-blank line of a JSON input. Local plain files use a
+    direct read (no job); anything the local filesystem can't see —
+    object-store URIs, globs, compressed part files — falls back to
+    ONE tiny Spark text job (limit-pruned), so the sniff works on
+    every path the reader itself accepts instead of silently guessing.
+    """
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".json") and not f.startswith((".", "_"))
+        )
+        target = os.path.join(path, parts[0]) if parts else None
+    if target is not None and os.path.isfile(target):
+        try:
+            with open(target, "rb") as f:
+                for line in f:
+                    if line.strip():
+                        return line.strip().decode("utf-8", "replace")
+                return None
+        except OSError:
+            pass  # fall through to the Spark sniff
+    if spark is None:
+        return None
+    for r in spark.read.text(path).limit(50).collect():
+        v = (r["value"] or "").strip()
+        if v:
+            return v
+    return None
+
+
+def _json_is_multiline(path: str, spark: SparkSession | None = None) -> bool:
     """Sniff whether a JSON input is a whole-file document (array of
     objects / pretty-printed object -> Spark multiLine mode) or
     line-delimited JSONL (Spark's own JSON writer emits JSONL; reading
@@ -85,26 +117,10 @@ def _json_is_multiline(path: str) -> bool:
     non-blank line parses as a complete JSON value => JSONL."""
     import json as _json
 
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path)
-            if f.endswith(".json") and not f.startswith((".", "_"))
-        )
-        if not parts:
-            return True
-        target = os.path.join(path, parts[0])
-    try:
-        with open(target, "rb") as f:
-            first_line = f.readline().strip()
-            while not first_line:
-                nxt = f.readline()
-                if not nxt:
-                    return True
-                first_line = nxt.strip()
-    except OSError:
+    first_line = _first_nonblank_line(spark, path)
+    if first_line is None:
         return True
-    if first_line.startswith(b"["):
+    if first_line.startswith("["):
         return True  # array document (even a one-line one)
     try:
         _json.loads(first_line)
@@ -115,11 +131,12 @@ def _json_is_multiline(path: str) -> bool:
 
 def read_orders_json(spark: SparkSession, path: str) -> DataFrame:
     """S2+S3: JSON scan (array-of-objects or single object -> 1 row,
-    plus line-delimited JSONL — auto-sniffed) with raw-payload
+    plus line-delimited JSONL — auto-sniffed, including non-local /
+    glob / compressed paths via a Spark-side sniff) with raw-payload
     retention (`raw_payload` = the original record re-serialized,
     pull.js:50)."""
     reader = spark.read
-    if _json_is_multiline(path):
+    if _json_is_multiline(path, spark):
         reader = reader.option("multiLine", True)
     raw = reader.json(path)
     with_payload = raw.withColumn("raw_payload", F.to_json(F.struct(*raw.columns)))
@@ -188,11 +205,22 @@ def read_orders_file(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
     reference columnar additions for Spark-native upstreams). A
     directory (e.g. a Spark-written dataset of part files) dispatches
     on the extension of the data files inside. Returns
-    (frame, source_type)."""
-    lower = path.lower()
+    (frame, source_type). Compression suffixes are transparent: a
+    '.json.gz' / '.csv.bz2' part dispatches on the inner extension
+    (Spark's text-based readers decompress these natively)."""
+
+    def _data_ext(name: str) -> str:
+        base = name.lower()
+        for comp in (".gz", ".bz2", ".zst", ".snappy", ".deflate", ".lz4"):
+            if base.endswith(comp):
+                base = base[: -len(comp)]
+                break
+        return os.path.splitext(base)[1]
+
+    lower = _data_ext(path) or path.lower()
     if os.path.isdir(path):
         exts = {
-            os.path.splitext(f)[1].lower()
+            _data_ext(f)
             for f in os.listdir(path)
             if not f.startswith((".", "_"))
         }

@@ -123,25 +123,42 @@ def rest_json_source_distributed(
     mapInPandas (executor-side I/O — the 100 TB-scale variant of
     ``rest_json_source`` for crawl-style workloads). The transport is
     named (module:attr) rather than closed-over so nothing driver-local
-    ships to executors."""
+    ships to executors.
+
+    Per-URL errors are CAPTURED into the ``error`` column (body NULL),
+    never raised: on a 10k-URL crawl one dead endpoint must not fail
+    the task, trigger 4 whole-partition retries (re-fetching every
+    healthy URL alongside it), and then throw away every body already
+    fetched. Filter ``error IS NULL`` for the successes."""
     import importlib
 
     import pandas as pd
 
     if not urls:
-        return spark.createDataFrame([], "url string, body string")
+        return spark.createDataFrame([], "url string, body string, error string")
 
     def fetch(batches):
         mod, _, attr = transport_name.rpartition(".")
         fn = getattr(importlib.import_module(mod), attr)
         for pdf in batches:
-            bodies = [fn(u) for u in pdf["url"]]
-            yield pd.DataFrame({"url": pdf["url"], "body": bodies})
+            bodies, errors = [], []
+            for u in pdf["url"]:
+                try:
+                    bodies.append(fn(u))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — per-URL capture
+                    bodies.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"url": pdf["url"], "body": bodies, "error": errors}
+            )
 
     url_df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
         min(len(urls), spark.sparkContext.defaultParallelism)
     )
-    return url_df.mapInPandas(fetch, schema="url string, body string")
+    return url_df.mapInPandas(
+        fetch, schema="url string, body string, error string"
+    )
 
 
 def soap_orders_source(

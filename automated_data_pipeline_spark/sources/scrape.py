@@ -91,6 +91,34 @@ _VOID_TAGS = {
     "link", "meta", "param", "source", "track", "wbr",
 }
 
+# HTML5 implicit end tags (the subset real pages rely on): starting
+# tag X auto-closes an OPEN element whose tag is in the set. Without
+# this, '<ul><li>a<li>b</ul>' nests li2 INSIDE li1 (html.parser emits
+# no implicit end events) and innerText concatenates siblings —
+# diverging from the Chromium contract playwright_fetcher meets.
+_P_CLOSERS = {"p"}
+_IMPLICIT_CLOSERS = {
+    "li": {"li"},
+    "option": {"option"},
+    "optgroup": {"option", "optgroup"},
+    "tr": {"td", "th", "tr"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "thead": {"td", "th", "tr"},
+    "tbody": {"td", "th", "tr", "thead"},
+    "tfoot": {"td", "th", "tr", "tbody"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "p": _P_CLOSERS,
+    # block-level elements close an open <p>
+    **{t: _P_CLOSERS for t in (
+        "address", "article", "aside", "blockquote", "div", "dl",
+        "fieldset", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+        "h6", "header", "hr", "main", "nav", "ol", "pre", "section",
+        "table", "ul",
+    )},
+}
+
 
 def _parse_html(html: str) -> _Node:
     """Parse into a simple element tree (stdlib html.parser)."""
@@ -104,6 +132,13 @@ def _parse_html(html: str) -> _Node:
             self.stack = [root]
 
         def handle_starttag(self, tag, attrs):
+            closers = _IMPLICIT_CLOSERS.get(tag)
+            if closers:
+                # pop nearest-first: '<tr>' inside an open td pops the
+                # td then the tr; '<li>' inside a NESTED '<ul>' stops
+                # at the ul (not in the set), preserving the nesting
+                while len(self.stack) > 1 and self.stack[-1].tag in closers:
+                    self.stack.pop()
             node = _Node(tag, attrs)
             self.stack[-1].content.append(node)
             if tag not in _VOID_TAGS:

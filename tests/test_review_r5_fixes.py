@@ -1,0 +1,172 @@
+"""Regression tests for the round-5 adversarial-review findings on the
+sources / scheduler / api layer (the scheduler ones live in
+test_scheduler.py)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_html_parser_implicitly_closes_siblings(spark):
+    """'<ul><li>a<li>b</ul>' must yield sibling li elements with
+    innerText ['a','b'] — html.parser emits no implicit end events, so
+    without the HTML5 auto-close rules li2 nests inside li1 and
+    innerText concatenates ('a b'). Same for unclosed p/td/tr/dt."""
+    from automated_data_pipeline_spark.sources.scrape import (
+        _parse_html,
+        select_all,
+    )
+
+    root = _parse_html("<ul><li>a<li>b</ul>")
+    assert [n.inner_text() for n in select_all(root, "li")] == ["a", "b"]
+
+    root = _parse_html("<p>one<p>two<div>three</div>")
+    assert [n.inner_text() for n in select_all(root, "p")] == ["one", "two"]
+
+    root = _parse_html(
+        "<table><tr><td>1<td>2<tr><td>3<td>4</table>"
+    )
+    assert [n.inner_text() for n in select_all(root, "td")] == [
+        "1", "2", "3", "4",
+    ]
+    assert [n.inner_text() for n in select_all(root, "tr")] == ["1 2", "3 4"]
+
+    root = _parse_html("<dl><dt>k1<dd>v1<dt>k2<dd>v2</dl>")
+    assert [n.inner_text() for n in select_all(root, "dd")] == ["v1", "v2"]
+
+    # NESTED lists must keep nesting: the inner li stays inside the ul
+    root = _parse_html("<ul><li>a<ul><li>inner</ul><li>b</ul>")
+    texts = [n.inner_text() for n in select_all(root, "li")]
+    assert texts == ["a inner", "inner", "b"]
+
+
+def test_json_sniff_handles_compressed_parts(spark, tmp_path):
+    """A directory of gzip JSONL part files is invisible to the local
+    sniffer (no bare '.json' names); the Spark-side fallback must still
+    detect JSONL — multiLine=True on JSONL silently keeps one record
+    per file."""
+    from automated_data_pipeline_spark.sources.files import read_orders_json
+
+    d = tmp_path / "jsonl_gz"
+    d.mkdir()
+    rows = [
+        b'{"orderId": "ORD-1", "amount": "5.0"}\n',
+        b'{"orderId": "ORD-2", "amount": "6.0"}\n',
+        b'{"orderId": "ORD-3", "amount": "7.0"}\n',
+    ]
+    with gzip.open(d / "part-0.json.gz", "wb") as f:
+        f.writelines(rows[:2])
+    with gzip.open(d / "part-1.json.gz", "wb") as f:
+        f.writelines(rows[2:])
+
+    df = read_orders_json(spark, str(d))
+    got = {r["OrderId"] for r in df.collect()}
+    assert got == {"ORD-1", "ORD-2", "ORD-3"}, got
+
+
+def test_read_orders_file_dispatches_compressed_parts(spark, tmp_path):
+    """read_orders_file sees through compression suffixes: a directory
+    of '.json.gz' parts dispatches as JSON (it used to raise 'found
+    extensions [.gz]')."""
+    from automated_data_pipeline_spark.sources.files import read_orders_file
+
+    d = tmp_path / "gz_src"
+    d.mkdir()
+    with gzip.open(d / "part-0.json.gz", "wb") as f:
+        f.write(b'{"orderId": "ORD-9", "amount": "1.0"}\n')
+    df, source_type = read_orders_file(spark, str(d))
+    assert source_type == "JSON"
+    assert [r["OrderId"] for r in df.collect()] == ["ORD-9"]
+
+
+def test_distributed_fetch_captures_per_url_errors(spark):
+    """One dead URL in a crawl batch must not fail the job (Spark would
+    retry the whole partition 4x and then discard every fetched body);
+    it lands as an error row instead."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from automated_data_pipeline_spark.sources.rest import (
+        rest_json_source_distributed,
+    )
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/dead":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        urls = [f"{base}/a", f"{base}/dead", f"{base}/b"]
+        out = {r["url"]: r for r in
+               rest_json_source_distributed(spark, urls).collect()}
+        assert out[f"{base}/a"]["body"] == '{"ok": true}'
+        assert out[f"{base}/a"]["error"] is None
+        assert out[f"{base}/dead"]["body"] is None
+        assert "404" in out[f"{base}/dead"]["error"]
+        assert out[f"{base}/b"]["error"] is None
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_list_logs_clamps_negative_limit(spark):
+    from automated_data_pipeline_spark import api
+
+    logs = spark.createDataFrame(
+        [(1, "r1", "p", "Info", "m", None)],
+        "log_id long, run_id string, pipeline_name string, level string,"
+        " message string, log_at timestamp",
+    )
+    assert api.list_logs(logs, limit=-1).count() == 0  # not a crash
+    assert api.list_logs(logs, limit=5).count() == 1
+
+
+def test_run_number_fallback_is_all_or_nothing(spark):
+    """Reference parity (server.js:63-69): positional numbering only
+    when NO stored run_number exists — a per-row coalesce over a mixed
+    table synthesized numbers that collided with stored ones."""
+    from datetime import datetime
+
+    from automated_data_pipeline_spark.api import with_run_number_fallback
+
+    schema = "run_id string, run_number long, created_at timestamp"
+    mixed = spark.createDataFrame(
+        [
+            ("A", 1, datetime(2024, 1, 1)),
+            ("B", None, datetime(2024, 1, 2)),
+            ("C", 2, datetime(2024, 1, 3)),
+        ],
+        schema,
+    )
+    got = {r["run_id"]: r["run_number"]
+           for r in with_run_number_fallback(mixed).collect()}
+    # stored numbers untouched; the gap stays NULL (no collision with C)
+    assert got == {"A": 1, "B": None, "C": 2}
+
+    unnumbered = spark.createDataFrame(
+        [
+            ("A", None, datetime(2024, 1, 1)),
+            ("B", None, datetime(2024, 1, 2)),
+        ],
+        schema,
+    )
+    got = {r["run_id"]: r["run_number"]
+           for r in with_run_number_fallback(unnumbered).collect()}
+    assert got == {"A": 1, "B": 2}  # oldest = 1
