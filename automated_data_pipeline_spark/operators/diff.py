@@ -23,8 +23,28 @@ def snapshot_diff(
 ) -> DataFrame:
     """Full-outer join diff keyed on ``key``. Output: key, change_type
     ('inserted' | 'deleted' | 'changed' | 'unchanged'), plus old_/new_
-    prefixed compare columns. One shuffle per side on the key."""
-    compare_cols = compare_cols or [c for c in new.columns if c != key]
+    prefixed compare columns. One shuffle per side on the key.
+
+    ``compare_cols`` semantics: None (default) compares the non-key
+    columns present in BOTH snapshots — a schema-evolved snapshot
+    (column added in v+1) still diffs instead of crashing on the
+    missing column, with the added column excluded from change
+    detection. An EXPLICIT empty list means key-presence-only diff
+    (every matched key is 'unchanged'); explicit columns missing from
+    either side raise with a clear message."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c != key and c in set(old.columns)
+        ]
+    else:
+        missing = [
+            c for c in compare_cols
+            if c not in new.columns or c not in old.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"compare_cols not present in both snapshots: {missing}"
+            )
 
     def tagged(df: DataFrame, side: str) -> DataFrame:
         cols = [F.col(key)] + [
@@ -32,9 +52,17 @@ def snapshot_diff(
         ]
         # hash a JSON array, not concat_ws: concat_ws silently skips
         # NULLs (NULL vs '' would collide, and values could smuggle the
-        # separator); a JSON array keeps null entries and quotes values
-        fp = F.md5(
-            F.to_json(F.array(*[F.col(c).cast("string") for c in compare_cols]))
+        # separator); a JSON array keeps null entries and quotes values.
+        # Zero compare columns -> constant fingerprint (F.array() types
+        # as array<null>, which to_json rejects) = presence-only diff.
+        fp = (
+            F.md5(
+                F.to_json(
+                    F.array(*[F.col(c).cast("string") for c in compare_cols])
+                )
+            )
+            if compare_cols
+            else F.lit("∅")
         )
         return df.select(*cols, fp.alias(f"{side}_fp"))
 

@@ -91,7 +91,10 @@ def range_join_bands(
     """Join fact rows onto the band whose [lo, hi) interval contains
     ``value_col``. Bands are broadcast — a non-equi predicate against a
     broadcast side is a map-side scan per row, no shuffle."""
-    cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
+    # qualify the fact side too: an unqualified F.col(value_col) is
+    # AMBIGUOUS when the bands frame happens to carry a column of the
+    # same name (e.g. bands derived from the fact itself)
+    cond = (fact[value_col] >= bands[lo_col]) & (fact[value_col] < bands[hi_col])
     return fact.join(F.broadcast(bands), cond, "inner")
 
 
@@ -111,7 +114,17 @@ def interval_overlap_join(
     only at the first bin both intervals share). Turns the quadratic
     inequality join into a shuffle-hash equi-join whose cost is bounded
     by bin occupancy. Bounds columns are numeric (cast timestamps to
-    epoch seconds upstream)."""
+    epoch seconds upstream) and must be NON-NULL (a NULL bound makes
+    F.sequence NULL and explode silently DROPS the row — filter or
+    coalesce upstream; a silent vanish would read as 'no overlap').
+
+    Right-side columns whose names collide with left-side ones come
+    back prefixed ``r_`` so the output is selectable (two same-named
+    columns make every later reference AMBIGUOUS)."""
+    if bin_width <= 0:
+        # 0 would NULL every bin expression and silently return an
+        # empty join — a misconfiguration must be loud
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     on = on or []
 
     def binned(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
@@ -126,17 +139,24 @@ def interval_overlap_join(
 
     lb = binned(left, l_start, l_end, "l").alias("a")
     # rename the right side's shared key columns so the output carries
-    # each `on` key once (they're equal by the join condition anyway)
+    # each `on` key once (they're equal by the join condition anyway),
+    # and prefix any OTHER name collision with r_ so the output stays
+    # unambiguous (identically-named bounds like start/end are natural
+    # for interval tables)
     rb = binned(right, r_start, r_end, "r")
     for k in on:
         rb = rb.withColumnRenamed(k, f"_r_on_{k}")
+    collisions = (set(left.columns) & set(right.columns)) - set(on)
+    r_name = {c: (f"r_{c}" if c in collisions else c) for c in right.columns}
+    for c in sorted(collisions):
+        rb = rb.withColumnRenamed(c, r_name[c])
     rb = rb.alias("b")
     cond = F.col("a._bin") == F.col("b._bin")
     for k in on:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b._r_on_{k}"))
     # exact overlap: [l_start, l_end] ∩ [r_start, r_end] non-empty
-    cond = cond & (F.col(f"a.{l_start}") <= F.col(f"b.{r_end}"))
-    cond = cond & (F.col(f"b.{r_start}") <= F.col(f"a.{l_end}"))
+    cond = cond & (F.col(f"a.{l_start}") <= F.col(f"b.{r_name[r_end]}"))
+    cond = cond & (F.col(f"b.{r_name[r_start]}") <= F.col(f"a.{l_end}"))
     # dedup: count the pair only in the first shared bin
     cond = cond & (
         F.col("a._bin")

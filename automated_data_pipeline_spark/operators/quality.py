@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.stats import portable_round
+
 
 def rule_report(
     df: DataFrame, table: str, rules: list[tuple[str, Column]]
@@ -67,8 +69,15 @@ def rule_report(
             F.col("p.check_name").alias("check_name"),
             F.col("n_rows"),
             F.col("p.n_violations").alias("n_violations"),
+            # portable_round, not F.round: the rate is a rounded
+            # QUOTIENT crossing the strict oracle gate (see
+            # functions/stats.portable_round)
             F.when(F.col("n_rows") == 0, F.lit(0.0))
-            .otherwise(F.round(F.col("p.n_violations") / F.col("n_rows"), 6))
+            .otherwise(
+                portable_round(
+                    F.col("p.n_violations") / F.col("n_rows"), 6
+                )
+            )
             .cast("double")
             .alias("violation_rate"),
         )
@@ -98,7 +107,7 @@ def uniqueness_report(
         F.col("extra").cast("bigint").alias("n_violations"),
         # empty table: 0/0 raises under ANSI mode
         F.when(F.col("total") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("extra") / F.col("total"), 6))
+        .otherwise(portable_round(F.col("extra") / F.col("total"), 6))
         .cast("double")
         .alias("violation_rate"),
     )

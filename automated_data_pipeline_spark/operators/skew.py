@@ -19,6 +19,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: a content hash of every column.
+
+    NOT spark_partition_id() + monotonically_increasing_id(): both are
+    functions of the physical partition and row ORDER, which a partial
+    stage retry recomputes differently (the SPARK-23207 class of
+    corruption — a row's partial lands in two salt groups or none when
+    only some map tasks re-run). A content hash re-salts identically
+    on recomputation. Identical rows share a salt, which is harmless
+    for aggregation totals and join results; a pathologically
+    duplicated single row simply stays on one reducer — the same place
+    an id-less dataset would put it anyway."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(42)),
+        F.lit(n_salts),
+    ).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],
@@ -45,7 +63,7 @@ def salted_aggregate(
             merge_exprs.append(F.max(f"_p_{out}").alias(out))
         else:
             raise ValueError(f"non-algebraic aggregate: {fn}")
-    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
+    salted = df.withColumn("_salt", _row_salt(df, n_salts))
     partial = salted.groupBy(*key_cols, "_salt").agg(*partial_exprs)
     return partial.groupBy(*key_cols).agg(*merge_exprs)
 
@@ -74,10 +92,5 @@ def salted_join(
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    fact_salted = fact.withColumn(
-        "_salt",
-        F.pmod(
-            F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)
-        ).cast("int"),
-    )
+    fact_salted = fact.withColumn("_salt", _row_salt(fact, n_salts))
     return fact_salted.join(dim_salted, [key, "_salt"], how).drop("_salt")

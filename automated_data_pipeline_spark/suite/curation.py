@@ -383,7 +383,7 @@ def vocab_coverage(spark, sf_dir):
     """
     WITH o AS (
       SELECT 'orders' AS table_name, check_name, n_rows, n_violations,
-             CAST(round(n_violations * 1.0 / n_rows, 6) AS DOUBLE) AS violation_rate
+             CAST(floor(n_violations * 1.0 / n_rows * 1000000 + 0.5) / 1000000 AS DOUBLE) AS violation_rate
       FROM (
         SELECT unnest(['not_null(o_orderkey)', 'range(o_totalprice <= 400000)',
                        'fresh(o_orderdate >= 1993-01-01)']) AS check_name,
@@ -396,7 +396,7 @@ def vocab_coverage(spark, sf_dir):
     ),
     l AS (
       SELECT 'lineitem' AS table_name, check_name, n_rows, n_violations,
-             CAST(round(n_violations * 1.0 / n_rows, 6) AS DOUBLE) AS violation_rate
+             CAST(floor(n_violations * 1.0 / n_rows * 1000000 + 0.5) / 1000000 AS DOUBLE) AS violation_rate
       FROM (
         SELECT unnest(['range(l_discount in [0, 0.08])', 'positive(l_quantity)']) AS check_name,
                unnest([CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.08) AS BIGINT),
@@ -412,9 +412,9 @@ def vocab_coverage(spark, sf_dir):
              CAST((SELECT count(*) FROM lineitem)
                   - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
                   AS BIGINT) AS n_violations,
-             CAST(round(((SELECT count(*) FROM lineitem)
+             CAST(floor(((SELECT count(*) FROM lineitem)
                   - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))
-                  * 1.0 / (SELECT count(*) FROM lineitem), 6) AS DOUBLE) AS violation_rate
+                  * 1.0 / (SELECT count(*) FROM lineitem) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS violation_rate
     )
     SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM u
     """,

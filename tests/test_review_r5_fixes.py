@@ -170,3 +170,98 @@ def test_run_number_fallback_is_all_or_nothing(spark):
     got = {r["run_id"]: r["run_number"]
            for r in with_run_number_fallback(unnumbered).collect()}
     assert got == {"A": 1, "B": 2}  # oldest = 1
+
+
+def test_snapshot_diff_empty_and_evolved_schemas(spark):
+    from automated_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "k string, v int"
+    )
+    new = spark.createDataFrame(
+        [("k1", 9), ("k3", 3)], "k string, v int"
+    )
+    # explicit [] = key-presence-only: k1 matches on both sides so it
+    # is UNCHANGED even though v differs
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", compare_cols=[],
+                                  include_unchanged=True).collect()}
+    assert got == {"k1": "unchanged", "k2": "deleted", "k3": "inserted"}
+
+    # schema evolution: new snapshot adds a column; default compares
+    # the INTERSECTION instead of crashing on the missing column
+    new2 = spark.createDataFrame(
+        [("k1", 1, "x"), ("k2", 5, "y")], "k string, v int, extra string"
+    )
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new2, "k",
+                                  include_unchanged=True).collect()}
+    assert got == {"k1": "unchanged", "k2": "changed"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present in both"):
+        snapshot_diff(old, new2, "k", compare_cols=["extra"])
+
+
+def test_range_join_bands_with_colliding_column_name(spark):
+    from automated_data_pipeline_spark.operators.joins import range_join_bands
+
+    fact = spark.createDataFrame([(5.0,), (15.0,)], "amount double")
+    # bands frame ALSO carries an 'amount' reference column
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low", 1.0), (10.0, 20.0, "high", 2.0)],
+        "lo double, hi double, band string, amount double",
+    )
+    got = {r["band"] for r in range_join_bands(fact, bands, "amount").collect()}
+    assert got == {"low", "high"}
+
+
+def test_interval_overlap_join_guards_and_collisions(spark):
+    from automated_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 0, 10)], "name string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [("b", 5, 15)], "name string, start long, end long"
+    )
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_join(left, right, "start", "end", "start", "end", 0)
+    out = interval_overlap_join(
+        left, right, "start", "end", "start", "end", bin_width=8
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # colliding right-side columns come back r_-prefixed, all selectable
+    assert r["name"] == "a" and r["r_name"] == "b"
+    assert (r["start"], r["end"], r["r_start"], r["r_end"]) == (0, 10, 5, 15)
+
+
+def test_salted_aggregate_salt_is_deterministic_content_hash(spark):
+    """The salt must be a pure function of row CONTENT (a partition-
+    or order-derived salt re-salts differently on stage retry — the
+    SPARK-23207 corruption class). Same data, different partitioning
+    => identical salt assignment and identical totals."""
+    from automated_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(100)], "k string, i int, v double"
+    )
+    a = salted_aggregate(df.repartition(7), ["k"], {"total": ("v", "sum"), "n": ("*", "count")})
+    b = salted_aggregate(df.repartition(3), ["k"], {"total": ("v", "sum"), "n": ("*", "count")})
+    ra, rb = a.first(), b.first()
+    assert ra["total"] == rb["total"] == sum(float(i) for i in range(100))
+    assert ra["n"] == rb["n"] == 100
+    # and the salt expression itself is content-derived: identical
+    # frames produce identical per-salt partials regardless of layout
+    from automated_data_pipeline_spark.operators.skew import _row_salt
+
+    s1 = {(r["i"], r["_s"]) for r in
+          df.repartition(7).withColumn("_s", _row_salt(df, 8)).collect()}
+    s2 = {(r["i"], r["_s"]) for r in
+          df.repartition(3).withColumn("_s", _row_salt(df, 8)).collect()}
+    assert s1 == s2
