@@ -116,8 +116,14 @@ class ControlStore:
         a bare {run_id} merge base (wiping state to NULLs) and restart
         run numbering at 1, exactly what the disk fallback exists to
         prevent."""
+        # dot/underscore-prefixed entries are invisible to pyarrow's
+        # ParquetDataset (hidden-file convention) — counting a stale
+        # '.tmp-*.parquet' (crash between write_table and os.replace)
+        # here would make ParquetDataset fail on an effectively empty
+        # directory and brick the control plane
         if not os.path.isdir(directory) or not any(
-            f.endswith(".parquet") for f in os.listdir(directory)
+            f.endswith(".parquet") and not f.startswith((".", "_"))
+            for f in os.listdir(directory)
         ):
             return []
         ds = pq.ParquetDataset(directory)
@@ -153,6 +159,24 @@ class ControlStore:
                 mx = max(mx, row["run_number"])
         return mx + 1
 
+    def _claim_run_number(self) -> int:
+        """Allocate a fresh run number exclusively ACROSS processes: the
+        in-memory lock makes next_run_number atomic within one store,
+        but two store instances (scheduler-owned + HTTP-server-owned,
+        or two processes) could both read MAX=N and hand out N+1. An
+        O_EXCL claim file per number arbitrates — the loser advances
+        to the next free number (same discipline as TargetTable's
+        version claims; pyarrow ignores the underscore-prefixed
+        markers)."""
+        n = self.next_run_number()
+        while True:
+            claim = os.path.join(self.runs_dir, f"_claim_run_{n:09d}")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return n
+            except FileExistsError:
+                n += 1
+
     def start_run(
         self,
         pipeline_name: str = "OrdersPipeline",
@@ -179,7 +203,7 @@ class ControlStore:
         run_number = (
             existing["run_number"]
             if existing and existing.get("run_number") is not None
-            else self.next_run_number()
+            else self._claim_run_number()
         )
         created_at = (
             existing["created_at"]

@@ -52,6 +52,12 @@ class TargetTable:
         os.makedirs(path, exist_ok=True)
         self._pointer = os.path.join(path, "_LATEST")
         self._commit_lock = threading.Lock()
+        # serializes whole read-merge-commit cycles (see merge_lock use
+        # in PipelineRunner._step_migrate): two concurrent merges that
+        # both base on v=N would each publish a version missing the
+        # other's rows — last pointer wins and the earlier run's data
+        # silently vanishes while both report Success
+        self.merge_lock = threading.Lock()
 
     def latest_version(self) -> int | None:
         try:
@@ -126,12 +132,34 @@ class PipelineRunner:
         if cancelled:
             raise PipelineCancelledError(f"run {run_id} cancelled")
 
+    def _finalize_run(self, run_id: str, status: str, pipeline_name: str) -> None:
+        """Terminal run-status write with a timeout guard: once the
+        sweep has verdicted a run Failed-TimeOut-6Hours, a zombie
+        worker thread that later unblocks must NOT overwrite the
+        verdict the monitor already reported (with Success or
+        Cancelled). One bounded control read per run completion."""
+        current = (
+            self.control.runs(self.spark)
+            .filter(F.col("run_id") == run_id)
+            .select("status")
+            .take(1)
+        )
+        if current and current[0]["status"] == TIMEOUT_STATUS:
+            self.control.log(
+                run_id, "Warning",
+                f"Run already marked {TIMEOUT_STATUS}; late {status} "
+                "result discarded",
+                pipeline_name=pipeline_name,
+            )
+            return
+        self.control.update_run(run_id, status=status, finished_at=utcnow())
+
     def _finish_cancelled(self, run_id: str, step: int, pipeline_name: str) -> None:
         """Record the cancelled run and clear the flag so the same
         run_id can be retried (and the flag set doesn't grow forever)."""
         self.control.update_step(run_id, step, status="Failed",
                                  finished_at=utcnow(), error_message="Cancelled")
-        self.control.update_run(run_id, status="Cancelled", finished_at=utcnow())
+        self._finalize_run(run_id, "Cancelled", pipeline_name)
         self.control.log(run_id, "Warning", "Pipeline cancelled",
                          pipeline_name=pipeline_name)
         with self._lock:
@@ -188,8 +216,19 @@ class PipelineRunner:
         updates = stages.migrate_updates(transformed)
         obs = Observation()
         updates = updates.observe(obs, F.count(F.lit(1)).alias("n"))
-        merged = upsert.upsert_replace(self.target.read(self.spark), updates, key="order_id")
-        self.target.commit(merged)
+        # the WHOLE read-merge-commit is a critical section: without it
+        # two concurrent runs (HTTP trigger daemon threads + streaming
+        # trigger share one driver) both read v=N, merge independently,
+        # and the later pointer silently drops the earlier run's rows
+        # while both runs report Success. In-process serialization is
+        # the correct scope for local[N]; cross-process committers on
+        # one directory need a real transaction log (Delta), which the
+        # TargetTable docstring already documents.
+        with self.target.merge_lock:
+            merged = upsert.upsert_replace(
+                self.target.read(self.spark), updates, key="order_id"
+            )
+            self.target.commit(merged)
         return int(obs.get["n"])
 
     # ---- run loop (index.js:59-125) -------------------------------------
@@ -239,7 +278,7 @@ class PipelineRunner:
                         f"Step finished: {STEP_NAMES[i-1]} ({n} rows)",
                         pipeline_name=pipeline_name, step_number=i,
                         step_name=STEP_NAMES[i - 1])
-            ctl.update_run(run_id, status="Success", finished_at=utcnow())
+            self._finalize_run(run_id, "Success", pipeline_name)
             ctl.log(run_id, "Info", "Pipeline finished", pipeline_name=pipeline_name)
         except PipelineCancelledError:
             self._finish_cancelled(run_id, current, pipeline_name)
@@ -255,7 +294,7 @@ class PipelineRunner:
             else:
                 ctl.update_step(run_id, current, status="Failed", finished_at=utcnow(),
                                 error_message=str(exc)[:4000])
-                ctl.update_run(run_id, status="Failed", finished_at=utcnow())
+                self._finalize_run(run_id, "Failed", pipeline_name)
                 ctl.log(run_id, "Error",
                         f"Pipeline failed at {STEP_NAMES[current-1]}: {exc}",
                         pipeline_name=pipeline_name, step_number=current,
@@ -274,6 +313,14 @@ class PipelineRunner:
 
     # ---- timeout sweep (ST6, ApiServlet.java:382-433) -------------------
     def sweep_timeouts(self, now=None, timeout_hours: float = RUN_TIMEOUT_HOURS) -> int:
+        """Mark runs Running past the timeout as Failed-TimeOut-6Hours.
+        Beyond the status write, the sweep also (a) CANCELS the run's
+        Spark job group — a timed-out run's hung jobs must stop eating
+        the cluster, not just get relabeled — and (b) closes out its
+        still-Running/Pending step rows, so GET /runs/{id} doesn't show
+        a 'Running' step inside a timed-out run forever. The zombie
+        worker's own eventual completion is discarded by
+        ``_finalize_run``'s timeout guard."""
         now = now or utcnow()
         cutoff = now - timedelta(hours=timeout_hours)
         n = 0
@@ -283,7 +330,30 @@ class PipelineRunner:
             .select("run_id")
             .collect()
         )
+        stale_steps = {}
+        if rows:
+            ids = [r["run_id"] for r in rows]
+            for s in (
+                self.control.steps(self.spark)
+                .filter(
+                    F.col("run_id").isin(ids)
+                    & F.col("status").isin("Running", "Pending")
+                )
+                .select("run_id", "step_number")
+                .collect()
+            ):
+                stale_steps.setdefault(s["run_id"], []).append(s["step_number"])
         for r in rows:
-            self.control.update_run(r["run_id"], status=TIMEOUT_STATUS, finished_at=now)
+            rid = r["run_id"]
+            try:
+                self.spark.sparkContext.cancelJobGroup(rid)
+            except Exception:  # noqa: BLE001 — sweep must finish
+                pass
+            for step in stale_steps.get(rid, []):
+                self.control.update_step(
+                    rid, step, status="Failed", finished_at=now,
+                    error_message=TIMEOUT_STATUS,
+                )
+            self.control.update_run(rid, status=TIMEOUT_STATUS, finished_at=now)
             n += 1
         return n

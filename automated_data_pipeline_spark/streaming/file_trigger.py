@@ -1,39 +1,58 @@
 """File-drop trigger (SURVEY.md §2.8 ST1): new files in a landing
-directory fire the 4-stage pipeline per micro-batch.
+directory fire the 4-stage pipeline — ONE RUN PER FILE, the
+reference's own granularity (each upload spawns one pipeline run:
+python_code/api/server.js:172-200; ApiServlet.java:595-661).
 
-Reference behavior: upload saved to data/landing/ then pipeline spawned
-on it (python_code/api/server.js:172-200; ApiServlet.java:595-661).
-Spark-native: a Structured Streaming file source watches the directory;
-``foreachBatch`` runs the same stage transformations and control-table
-lifecycle as the batch runner — one run per micro-batch.
+Architecture: the Structured Streaming file source is used for
+DISCOVERY only (a wholetext text stream — one row per file, carrying
+its path), and each discovered file is ingested through the BATCH
+readers (``sources/files.read_orders_file``). This routing is what
+makes the stream path semantically identical to the upload path:
+
+- a schema-bound streaming CSV read binds columns BY POSITION
+  (enforceSchema ignores the header), so a reordered or camelCase
+  header silently swapped business keys; the batch reader resolves
+  the header case-insensitively BY NAME (pull.js:30-33 parity);
+- a streaming JSON read is always multiLine=false, so the reference's
+  documented upload format (a pretty-printed array of objects)
+  parsed to all-NULL rows that Extract silently dropped; the batch
+  reader sniffs JSONL vs whole-file per file.
 
 Checkpointing makes the trigger exactly-once per file across restarts
-(the reference gets at-most-once via filesystem moves).
+(the reference gets at-most-once via filesystem moves); a replayed
+micro-batch maps each file to the SAME deterministic run_id and skips
+files whose run already succeeded. A run cancelled mid-batch is
+recorded as Cancelled and its file is NOT retried (the checkpoint
+commits) — cancellation is a user verdict on that file, visible in
+the control tables, not a transient failure.
 """
 
 from __future__ import annotations
 
 import os
+import urllib.parse
+import urllib.request
 import uuid
 
 from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..runner import PipelineRunner
+from ..schemas import CANONICAL_INPUT_COLUMNS
 
+# Kept for callers that build upload frames directly; derived from the
+# canonical column list so the two can't drift.
 UPLOAD_SCHEMA = T.StructType(
-    [
-        T.StructField("OrderId", T.StringType()),
-        T.StructField("CustomerId", T.StringType()),
-        T.StructField("Amount", T.StringType()),
-        T.StructField("OrderDate", T.StringType()),
-    ]
+    [T.StructField(c, T.StringType()) for c in CANONICAL_INPUT_COLUMNS]
 )
 
 
-def batch_run_id(checkpoint_key: str, batch_id: int) -> str:
-    """Deterministic run id per (checkpoint, batch): foreachBatch is
-    at-least-once, so a replayed micro-batch must map to the SAME run."""
-    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"adp://{checkpoint_key}#{batch_id}"))
+def batch_run_id(checkpoint_key: str, batch_id: int, path: str = "") -> str:
+    """Deterministic run id per (checkpoint, batch, file): foreachBatch
+    is at-least-once, so a replayed micro-batch must map each file to
+    the SAME run."""
+    return str(
+        uuid.uuid5(uuid.NAMESPACE_URL, f"adp://{checkpoint_key}#{batch_id}#{path}")
+    )
 
 
 def run_batch_idempotent(
@@ -44,10 +63,12 @@ def run_batch_idempotent(
     source_type: str,
     pipeline_name: str,
 ) -> str | None:
-    """Run one micro-batch through the pipeline exactly once per
-    batch_id: a replay after a crash-between-run-and-checkpoint finds
-    the deterministic run_id already Succeeded and skips, instead of
-    appending a duplicate run (and duplicate stage rows)."""
+    """Run one micro-batch FRAME through the pipeline exactly once per
+    batch_id (the frame-level twin of the per-file path below, for
+    callers that already hold parsed rows): a replay after a
+    crash-between-run-and-checkpoint finds the deterministic run_id
+    already Succeeded and skips, instead of appending a duplicate run
+    (and duplicate stage rows)."""
     rid = batch_run_id(checkpoint_key, batch_id)
     existing = (
         runner.control.runs(runner.spark)
@@ -65,6 +86,15 @@ def run_batch_idempotent(
     return rid
 
 
+def _local_path(uri: str) -> str:
+    """input_file_name() yields a file: URI for local paths; give the
+    batch readers a plain path (other schemes pass through — Spark's
+    readers accept them directly)."""
+    if uri.startswith("file:"):
+        return urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
+    return uri
+
+
 def start_file_trigger(
     spark: SparkSession,
     runner: PipelineRunner,
@@ -75,33 +105,47 @@ def start_file_trigger(
 ):
     """Start the streaming trigger; returns the StreamingQuery.
 
-    Each discovered file's rows arrive as one micro-batch; the batch is
-    pushed through pull->extract->transform->migrate with full control-
-    table bookkeeping via ``runner.run(source_df=...)``.
+    Each discovered file becomes one pipeline run through the batch
+    readers (header-resolved, format-sniffed); the per-file run count
+    is bounded per micro-batch by the source's maxFilesPerTrigger.
+    A header-only file still produces its (0-row) run — the reference
+    records every upload. (A fully EMPTY file emits no text row and
+    stays invisible; the file source offers no hook for it.)
     """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unsupported stream format: {fmt} (.csv/.json only)")
     os.makedirs(landing_dir, exist_ok=True)
     checkpoint_dir = checkpoint_dir or os.path.join(
         runner.workdir, "checkpoints", "file_trigger"
     )
-    reader = spark.readStream.schema(UPLOAD_SCHEMA)
-    if fmt == "csv":
-        stream = reader.option("header", True).csv(landing_dir)
-    elif fmt == "json":
-        stream = reader.json(landing_dir)
-    else:
-        raise ValueError(f"unsupported stream format: {fmt} (.csv/.json only)")
+    stream = (
+        spark.readStream.option("wholetext", True)
+        .option("pathGlobFilter", f"*.{fmt}")
+        .text(landing_dir)
+        .select(F.input_file_name().alias("path"))
+    )
 
     def process_batch(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        run_batch_idempotent(
-            runner,
-            batch_df,
-            batch_id,
-            checkpoint_key=checkpoint_dir,
-            source_type=f"Stream-{fmt.upper()}",
-            pipeline_name=pipeline_name,
-        )
+        # file list is bounded by maxFilesPerTrigger — a driver-side
+        # loop over FILES (not rows), matching the reference's
+        # one-process-per-upload orchestration
+        paths = sorted({r["path"] for r in batch_df.select("path").collect()})
+        for p in paths:
+            rid = batch_run_id(checkpoint_dir, batch_id, p)
+            existing = (
+                runner.control.runs(runner.spark)
+                .filter(
+                    (F.col("run_id") == rid) & (F.col("status") == "Success")
+                )
+                .take(1)
+            )
+            if existing:
+                continue
+            runner.run(
+                source_path=_local_path(p),
+                pipeline_name=pipeline_name,
+                run_id=rid,
+            )
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -265,3 +265,166 @@ def test_salted_aggregate_salt_is_deterministic_content_hash(spark):
     s2 = {(r["i"], r["_s"]) for r in
           df.repartition(3).withColumn("_s", _row_salt(df, 8)).collect()}
     assert s1 == s2
+
+
+def test_file_trigger_resolves_headers_and_json_format(spark, tmp_path):
+    """The stream path must ingest exactly like the upload path: a
+    REORDERED camelCase CSV header still maps by name (the schema-bound
+    streaming read bound by POSITION and silently swapped business
+    keys), and a pretty-printed JSON array parses (streaming JSON is
+    always multiLine=false and yielded all-NULL rows). One run PER
+    FILE, reference granularity."""
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.streaming.file_trigger import (
+        start_file_trigger,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # reordered + camelCase header
+    with open(os.path.join(landing, "odd_header.csv"), "w") as f:
+        f.write("customerId,orderId,amount,orderDate\n"
+                "C-7,ORD-H1,25.00,2024-01-02\n")
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    q = start_file_trigger(spark, runner, landing)
+    q.awaitTermination(120)
+    target = {r["order_id"]: r for r in runner.target.read(spark).collect()}
+    assert set(target) == {"ORD-H1"}, "header bound by position, not name"
+    assert target["ORD-H1"]["customer_id"] == "C-7"
+
+    landing2 = str(tmp_path / "landing_json")
+    os.makedirs(landing2)
+    with open(os.path.join(landing2, "pretty.json"), "w") as f:
+        f.write('[\n  {"OrderId": "ORD-J1", "CustomerId": "C1",\n'
+                '   "Amount": "300.0", "OrderDate": "2024-01-05"},\n'
+                '  {"OrderId": "ORD-J2", "CustomerId": "C2",\n'
+                '   "Amount": "10.0", "OrderDate": "2024-01-06"}\n]\n')
+    runner2 = PipelineRunner(spark, str(tmp_path / "wh2"))
+    q = start_file_trigger(spark, runner2, landing2, fmt="json")
+    q.awaitTermination(120)
+    target = {r["order_id"]: r for r in runner2.target.read(spark).collect()}
+    assert set(target) == {"ORD-J1", "ORD-J2"}, "multiLine JSON lost"
+    assert target["ORD-J1"]["amount_category"] == "High"
+
+
+def test_file_trigger_one_run_per_file(spark, tmp_path):
+    from automated_data_pipeline_spark.runner import PipelineRunner
+    from automated_data_pipeline_spark.streaming.file_trigger import (
+        start_file_trigger,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in (1, 2):
+        with open(os.path.join(landing, f"f{i}.csv"), "w") as f:
+            f.write(f"OrderId,CustomerId,Amount,OrderDate\n"
+                    f"ORD-F{i},C{i},10.0,2024-01-0{i}\n")
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    q = start_file_trigger(spark, runner, landing)
+    q.awaitTermination(120)
+    runs = runner.control.runs(spark).collect()
+    assert len(runs) == 2 and all(r["status"] == "Success" for r in runs)
+    assert runner.target.read(spark).count() == 2
+
+
+def test_concurrent_migrates_do_not_lose_rows(spark, tmp_path):
+    """Two runs migrating concurrently must BOTH land in the published
+    target: without the merge lock, both base on v=N and the later
+    pointer silently drops the earlier run's rows while both report
+    Success."""
+    import threading as th
+
+    from automated_data_pipeline_spark.runner import PipelineRunner
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+
+    def mk(prefix, n):
+        return spark.createDataFrame(
+            [(f"{prefix}-{i}", f"C{i}", "10.0", "2024-01-01")
+             for i in range(n)],
+            "OrderId string, CustomerId string, Amount string, OrderDate string",
+        )
+
+    errs = []
+
+    def go(prefix):
+        try:
+            runner.run(source_df=mk(prefix, 20), source_type="Generated",
+                       pipeline_name=f"P-{prefix}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [th.Thread(target=go, args=(p,)) for p in ("AAA", "BBB")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    target = runner.target.read(spark)
+    got = {r["order_id"] for r in target.collect()}
+    assert len(got) == 40, f"lost rows: {40 - len(got)}"
+    assert {o.split('-')[0] for o in got} == {"AAA", "BBB"}
+
+
+def test_sweep_closes_steps_and_blocks_zombie_success(spark, tmp_path):
+    from datetime import timedelta
+
+    from automated_data_pipeline_spark.control import utcnow
+    from automated_data_pipeline_spark.runner import (
+        TIMEOUT_STATUS,
+        PipelineRunner,
+    )
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    rid = runner.control.start_run(pipeline_name="Stuck")
+    runner.control.update_run(
+        rid, status="Running", started_at=utcnow() - timedelta(hours=7)
+    )
+    runner.control.update_step(rid, 2, status="Running", started_at=utcnow())
+    assert runner.sweep_timeouts() == 1
+    runs = {r["run_id"]: r for r in runner.control.runs(spark).collect()}
+    assert runs[rid]["status"] == TIMEOUT_STATUS
+    steps = {
+        (s["run_id"], s["step_number"]): s["status"]
+        for s in runner.control.steps(spark).collect()
+    }
+    # the in-flight step AND the never-started ones are closed out
+    assert steps[(rid, 2)] == "Failed"
+    assert all(steps[(rid, i)] == "Failed" for i in (1, 3, 4))
+    # zombie thread finishing later must not overwrite the verdict
+    runner._finalize_run(rid, "Success", "Stuck")
+    runs = {r["run_id"]: r for r in runner.control.runs(spark).collect()}
+    assert runs[rid]["status"] == TIMEOUT_STATUS
+
+
+def test_control_survives_stale_tmp_file(spark, tmp_path):
+    """A crash between write_table(tmp) and os.replace leaves only a
+    '.tmp-*.parquet' in the control dir; the next read must see an
+    empty store, not a bricked ParquetDataset."""
+    from automated_data_pipeline_spark.control import ControlStore
+
+    store = ControlStore(str(tmp_path / "wh"))
+    os.makedirs(store.runs_dir, exist_ok=True)
+    with open(os.path.join(store.runs_dir, ".tmp-crashed.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert store.next_run_number() == 1  # not an exception
+    rid = store.start_run(pipeline_name="AfterCrash")
+    assert rid
+
+
+def test_run_numbers_unique_across_store_instances(spark, tmp_path):
+    """Two ControlStore instances over one workdir (scheduler-owned +
+    HTTP-server-owned, or two processes) must never hand out the same
+    run number — the O_EXCL claim files arbitrate."""
+    from automated_data_pipeline_spark.control import ControlStore
+
+    wd = str(tmp_path / "wh")
+    a, b = ControlStore(wd), ControlStore(wd)
+    ra = a.start_run(pipeline_name="A")
+    rb = b.start_run(pipeline_name="B")  # b's cache never saw ra
+    na = next(r["run_number"] for r in a.runs(spark).collect()
+              if r["run_id"] == ra)
+    nb = next(r["run_number"] for r in b.runs(spark).collect()
+              if r["run_id"] == rb)
+    assert na != nb, f"duplicate run_number {na}"
+    assert {na, nb} == {1, 2}
