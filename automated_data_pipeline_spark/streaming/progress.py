@@ -42,6 +42,7 @@ class StreamProgressTracker(StreamingQueryListener):
         self.pipeline_name = pipeline_name
         self._lock = threading.Lock()
         self._totals: dict[str, dict] = {}
+        self._finished: list[str] = []  # eviction order for terminated
 
     # -- listener callbacks ------------------------------------------
     def onQueryStarted(self, event):
@@ -56,8 +57,17 @@ class StreamProgressTracker(StreamingQueryListener):
         n = int(p.numInputRows or 0)
         with self._lock:
             cur = self._totals.setdefault(
-                qid, {"rows": 0, "batches": 0, "name": p.name}
+                qid, {"rows": 0, "batches": 0, "name": p.name,
+                      "last_batch": -1}
             )
+            # a restart from the same checkpoint REPLAYS the last
+            # uncommitted batch under the same (query id, batchId);
+            # folding it twice would overstate the cumulative rows.
+            # batchIds are monotone per checkpoint, so skip anything
+            # at or below the high-water mark.
+            if int(p.batchId) <= cur.get("last_batch", -1):
+                return
+            cur["last_batch"] = int(p.batchId)
             cur["rows"] += n
             cur["batches"] += 1
             rows, batches = cur["rows"], cur["batches"]
@@ -81,7 +91,19 @@ class StreamProgressTracker(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event):
-        pass
+        # keep at most the most recent MAX_FINISHED terminated entries:
+        # a long-lived session launching many short availableNow
+        # queries must not grow _totals without bound. Live queries are
+        # never evicted (they keep receiving progress events).
+        with self._lock:
+            qid = str(event.id)
+            if qid in self._totals:
+                self._finished.append(qid)
+                while len(self._finished) > self.MAX_FINISHED:
+                    old = self._finished.pop(0)
+                    self._totals.pop(old, None)
+
+    MAX_FINISHED = 256
 
     # -- monitoring surface ------------------------------------------
     def snapshot(self) -> dict[str, dict]:

@@ -428,3 +428,38 @@ def test_run_numbers_unique_across_store_instances(spark, tmp_path):
               if r["run_id"] == rb)
     assert na != nb, f"duplicate run_number {na}"
     assert {na, nb} == {1, 2}
+
+
+def test_progress_tracker_dedupes_replayed_batches():
+    """A restart from the same checkpoint replays the last uncommitted
+    batch under the same (query id, batchId); the cumulative total must
+    count it once. Terminated queries are evicted past the cap."""
+    from types import SimpleNamespace
+
+    from automated_data_pipeline_spark.streaming.progress import (
+        StreamProgressTracker,
+    )
+
+    t = StreamProgressTracker()
+
+    def ev(qid, batch, rows):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id=qid, name="q", batchId=batch, numInputRows=rows
+            )
+        )
+
+    t.onQueryProgress(ev("q1", 4, 100))
+    t.onQueryProgress(ev("q1", 5, 50))
+    t.onQueryProgress(ev("q1", 5, 50))  # replay after restart
+    snap = t.snapshot()["q1"]
+    assert snap["rows"] == 150 and snap["batches"] == 2
+
+    # eviction: terminated queries beyond the cap are dropped
+    for i in range(t.MAX_FINISHED + 10):
+        qid = f"dead-{i}"
+        t.onQueryProgress(ev(qid, 0, 1))
+        t.onQueryTerminated(SimpleNamespace(id=qid))
+    snap = t.snapshot()
+    assert "q1" in snap  # live query never evicted
+    assert len([k for k in snap if k.startswith("dead-")]) == t.MAX_FINISHED
