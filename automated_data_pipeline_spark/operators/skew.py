@@ -19,20 +19,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_salt(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: a content hash of every column.
+def _row_salt(df: DataFrame, n_salts: int, cols: list[str] | None = None) -> Column:
+    """Deterministic per-row salt: a content hash of ``cols`` (default
+    every column).
 
     NOT spark_partition_id() + monotonically_increasing_id(): both are
     functions of the physical partition and row ORDER, which a partial
     stage retry recomputes differently (the SPARK-23207 class of
     corruption — a row's partial lands in two salt groups or none when
     only some map tasks re-run). A content hash re-salts identically
-    on recomputation. Identical rows share a salt, which is harmless
-    for aggregation totals and join results; a pathologically
-    duplicated single row simply stays on one reducer — the same place
-    an id-less dataset would put it anyway."""
+    on recomputation. Rows identical in the hashed columns share a
+    salt, which is harmless for aggregation totals and join results —
+    but pass the row's UNIQUE ID columns when one exists: hashing one
+    narrow id is measurably cheaper than hashing a wide row (and
+    spreads true duplicates too)."""
+    cols = cols or df.columns
     return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(42)),
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(42)),
         F.lit(n_salts),
     ).cast("int")
 
@@ -42,6 +45,7 @@ def salted_aggregate(
     key_cols: list[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: ``aggs`` maps output name ->
     (input column, fn) with fn in {sum, count, min, max}. COUNT becomes
@@ -63,7 +67,7 @@ def salted_aggregate(
             merge_exprs.append(F.max(f"_p_{out}").alias(out))
         else:
             raise ValueError(f"non-algebraic aggregate: {fn}")
-    salted = df.withColumn("_salt", _row_salt(df, n_salts))
+    salted = df.withColumn("_salt", _row_salt(df, n_salts, salt_cols))
     partial = salted.groupBy(*key_cols, "_salt").agg(*partial_exprs)
     return partial.groupBy(*key_cols).agg(*merge_exprs)
 
@@ -74,6 +78,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe fact⋈dim equi-join: the dimension replicates n_salts
     ways, the fact salts uniformly, and the join key becomes
@@ -92,5 +97,5 @@ def salted_join(
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    fact_salted = fact.withColumn("_salt", _row_salt(fact, n_salts))
+    fact_salted = fact.withColumn("_salt", _row_salt(fact, n_salts, salt_cols))
     return fact_salted.join(dim_salted, [key, "_salt"], how).drop("_salt")

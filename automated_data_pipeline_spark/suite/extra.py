@@ -923,6 +923,7 @@ def salted_hot_key_agg(spark, sf_dir):
             "max_value": ("value", "max"),
         },
         n_salts=16,
+        salt_cols=["event_id"],
     )
     return out.select(
         "event_type",
@@ -959,7 +960,8 @@ def salted_join_priority_revenue(spark, sf_dir):
     od = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    j = skew.salted_join(li, od, "okey", n_salts=8)
+    j = skew.salted_join(li, od, "okey", n_salts=8,
+                         salt_cols=["okey", "price"])
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("price"), 2).cast("double").alias("revenue"),
