@@ -22,9 +22,16 @@ MEDIUM_THRESHOLD = 200
 
 
 def amount_category(c: Column) -> Column:
-    """F6: the Low/Medium/High bucketing rule."""
+    """F6: the Low/Medium/High bucketing rule.
+
+    NULL amounts bucket 'Low' — the JS reference coerces null/junk to
+    0 before bucketing (Number(null) === 0, extract.js:15), and the
+    stage wiring applies safe_amount's coalesce-to-0 first anyway.
+    Without the explicit branch, a NULL would fall through every
+    when() into otherwise('High') — the OPPOSITE end of the scale —
+    for any caller using the helper on un-coerced data."""
     return (
-        F.when(c < LOW_THRESHOLD, F.lit("Low"))
+        F.when(c.isNull() | (c < LOW_THRESHOLD), F.lit("Low"))
         .when(c < MEDIUM_THRESHOLD, F.lit("Medium"))
         .otherwise(F.lit("High"))
     )

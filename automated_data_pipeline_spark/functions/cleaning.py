@@ -49,6 +49,13 @@ def safe_date(c: Column) -> Column:
     accepts anything Date() parses then slices to yyyy-MM-dd; the Java
     impl requires strict ISO dates — canonical = ISO date or ISO
     timestamp prefix, NULL otherwise).
+
+    Known laxity, deliberate: Spark's date cast also accepts the bare
+    ``yyyy`` / ``yyyy-MM`` prefixes (-> Jan 1 / 1st), which matches
+    the JS reference (``new Date('2024')`` is valid) but is laxer than
+    the extract oracle's single ``TRY_CAST(.. AS DATE)``. The gate
+    fixtures only carry full-ISO or unparseable strings, where the two
+    agree; callers feeding partial dates get JS-reference behavior.
     """
     t = F.trim(c)
     return F.coalesce(

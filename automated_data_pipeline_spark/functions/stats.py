@@ -49,8 +49,16 @@ def trailing_zscore(
     2-sample baseline makes ordinary fluctuation a 2-sigma event) or
     zero variance. Sample variance = (cw*ss - s^2) / (cw*(cw-1)),
     computed on exact integers with one double derivation at the end.
+
+    The products run in decimal(38,0), not bigint: at real volumes
+    (n ~ 2e8 events/window over a 7-window baseline) cw*ss passes
+    int64's 9.2e18 ceiling and Spark's ANSI mode would raise
+    ARITHMETIC_OVERFLOW exactly when volume spikes — the event the
+    monitor exists to flag. Decimal keeps the arithmetic exact (the
+    oracle contract), and its DuckDB twin is a HUGEINT cast.
     """
-    var_num = cw * ss - s * s
+    dec = "decimal(38,0)"
+    var_num = cw.cast(dec) * ss.cast(dec) - s.cast(dec) * s.cast(dec)
     mean = s.cast("double") / cw
     sd = F.sqrt(var_num.cast("double") / (cw * (cw - 1)))
     return F.when(

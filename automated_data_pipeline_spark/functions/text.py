@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .stats import portable_round
+
 # deliberately small, fixed stopword lists (heuristic lang-id; public
 # common-word lists)
 STOPWORDS = {
@@ -93,9 +95,15 @@ def token_count_regex(c: Column) -> Column:
 
 
 def punct_ratio(c: Column) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+    r"""Fraction of non-letter, non-digit, non-space characters.
+
+    Unicode-aware (\pL letters / \pN digits — valid brace-free in
+    BOTH Java regex and RE2, so the DuckDB oracle spells it the same):
+    an ASCII-only class counted every accented/CJK character as
+    punctuation, silently scoring well-formed non-English documents
+    ~0.2 lower on the quality composite."""
     n = F.greatest(F.length(c), F.lit(1))
-    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / n
+    return F.length(F.regexp_replace(c, r"[\pL\pN\s]", "")) / n
 
 
 def quality_score(c: Column) -> Column:
@@ -110,7 +118,12 @@ def quality_score(c: Column) -> Column:
     sw_term = F.least(
         stopword_hits(ws, "en") / F.greatest(nw, F.lit(1)) * 5, F.lit(1.0)
     )
-    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 4)
+    # portable rounding (see stats.portable_round): the composite is
+    # built from quotients, and a .5-boundary value would round
+    # differently under Spark's BigDecimal vs DuckDB's float round
+    return portable_round(
+        0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 4
+    )
 
 
 def fingerprint(c: Column) -> Column:

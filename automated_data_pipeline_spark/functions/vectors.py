@@ -45,14 +45,20 @@ def sq_l2(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """RAW cosine — divides by the norm product with NO zero guard.
+    Spark 4 ANSI mode raises on x/0, so a single all-zero embedding
+    kills the job: production paths use ``cosine_rounded_safe``; this
+    stays exported only as the mathematical reference the safe
+    variant's tests compare against."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
-    """Cosine rounded for cross-engine determinism (float inputs, double
-    accumulation: last-bit divergence is possible engine-to-engine;
-    6 digits is far above the noise floor)."""
-    return F.round(cosine(a, b), digits)
+    """Alias of ``cosine_rounded_safe`` — kept for callers of the old
+    name; the unguarded form it used to be is exactly the ANSI
+    divide-by-zero footgun the safe variant exists to remove, so the
+    short name must not hand it back."""
+    return cosine_rounded_safe(a, b, digits)
 
 
 def cosine_rounded_safe(a: Column, b: Column, digits: int = 6) -> Column:
@@ -108,22 +114,34 @@ def int8_quantize(a: Column) -> Column:
     )
 
 
-def cosine_pandas_udf(dim_hint: int | None = None):
+def cosine_pandas_udf(digits: int = 6):
     """Arrow-batched cosine for WIDE vectors: the expression path
     (zip_with+aggregate) evaluates per element inside codegen, fine at
     64-dim; at 1024+-dim the vectorized numpy path wins on constant
-    factors. Returns a pandas_udf(cosine(a, b) -> double) computing
-    per-batch with stacked ndarrays."""
+    factors. Returns a pandas_udf(cosine(a, b) -> double).
+
+    Same degenerate-input contract as ``cosine_rounded_safe`` (this is
+    documented as its drop-in wide-vector replacement): a NULL vector
+    on either side yields NULL (np.stack over a Series containing None
+    would otherwise kill the Python worker — the single-bad-row
+    job-kill class the safe expression was built to prevent), a
+    zero-norm pair yields 0.0, and the result is rounded to ``digits``.
+    """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = np.stack(a.to_numpy())
-        bm = np.stack(b.to_numpy())
-        num = (am * bm).sum(axis=1)
-        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / den
+        mask = a.notna() & b.notna()
+        out = np.full(len(a), np.nan)
+        if mask.any():
+            am = np.stack(a[mask].to_numpy())
+            bm = np.stack(b[mask].to_numpy())
+            num = (am * bm).sum(axis=1)
+            den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+            vals = np.where(den == 0, 0.0,
+                            num / np.where(den == 0, 1.0, den))
+            out[mask.to_numpy()] = np.round(vals, digits)
+        # NaN positions (NULL inputs) become SQL NULL through Arrow
         return pd.Series(out)
 
     return _cos

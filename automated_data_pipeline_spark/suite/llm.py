@@ -312,16 +312,16 @@ def text_stats(spark, sf_dir):
     c AS (
       SELECT doc_id, lang,
         len(ws) AS nw,
-        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+        length(regexp_replace(text, '[\\pL\\pN\\s]', '', 'g')) * 1.0
           / greatest(length(text), 1) AS pr,
         len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
           / greatest(len(ws), 1) AS swr
       FROM w
     )
     SELECT doc_id, lang,
-      round(0.4 * least(nw / 100.0, 1.0)
+      floor((0.4 * least(nw / 100.0, 1.0)
           + 0.3 * (1.0 - least(pr * 5, 1.0))
-          + 0.3 * least(swr * 5, 1.0), 4) AS quality
+          + 0.3 * least(swr * 5, 1.0)) * 10000 + 0.5) / 10000 AS quality
     FROM c
     """,
     "composite quality score: length + punctuation + stopword terms",
@@ -873,7 +873,7 @@ _CURATION_SQL = f"""
     qc AS (
       SELECT doc_id,
         len(ws) AS nw,
-        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+        length(regexp_replace(text, '[\\pL\\pN\\s]', '', 'g')) * 1.0
           / greatest(length(text), 1) AS pr,
         len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
           / greatest(len(ws), 1) AS swr
@@ -881,9 +881,9 @@ _CURATION_SQL = f"""
     ),
     qual AS (
       SELECT doc_id,
-        round(0.4 * least(nw / 100.0, 1.0)
+        floor((0.4 * least(nw / 100.0, 1.0)
             + 0.3 * (1.0 - least(pr * 5, 1.0))
-            + 0.3 * least(swr * 5, 1.0), 4) AS quality
+            + 0.3 * least(swr * 5, 1.0)) * 10000 + 0.5) / 10000 AS quality
       FROM qc
     ),
     scored AS (
@@ -1341,13 +1341,13 @@ def embedding_int8_quantize(spark, sf_dir):
     ),
     qual AS (
       SELECT doc_id,
-        round(0.4 * least(len(ws) / 100.0, 1.0)
+        floor((0.4 * least(len(ws) / 100.0, 1.0)
             + 0.3 * (1.0 - least(
-                (SELECT length(regexp_replace(d2.text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                (SELECT length(regexp_replace(d2.text, '[\\pL\\pN\\s]', '', 'g')) * 1.0
                    / greatest(length(d2.text), 1)
                  FROM documents d2 WHERE d2.doc_id = w.doc_id) * 5, 1.0))
             + 0.3 * least(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
-                / greatest(len(ws), 1) * 5, 1.0), 4) AS quality
+                / greatest(len(ws), 1) * 5, 1.0)) * 10000 + 0.5) / 10000 AS quality
       FROM w
     ),
     ranked AS (

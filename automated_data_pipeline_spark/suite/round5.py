@@ -52,7 +52,7 @@ _QUALITY_CTE = f"""
 w AS (SELECT doc_id, lang, text, n_chars, {_WORDS_SQL} AS ws FROM documents),
 c AS (
   SELECT doc_id, lang, n_chars, len(ws) AS nw,
-    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+    length(regexp_replace(text, '[\\pL\\pN\\s]', '', 'g')) * 1.0
       / greatest(length(text), 1) AS pr,
     len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0
       / greatest(len(ws), 1) AS swr,
@@ -61,9 +61,9 @@ c AS (
 ),
 q AS (
   SELECT doc_id, lang, n_chars, nw, ws,
-    round(0.4 * least(nw / 100.0, 1.0)
+    floor((0.4 * least(nw / 100.0, 1.0)
         + 0.3 * (1.0 - least(pr * 5, 1.0))
-        + 0.3 * least(swr * 5, 1.0), 4) AS quality
+        + 0.3 * least(swr * 5, 1.0)) * 10000 + 0.5) / 10000 AS quality
   FROM c
 )
 """

@@ -463,3 +463,37 @@ def test_progress_tracker_dedupes_replayed_batches():
     snap = t.snapshot()
     assert "q1" in snap  # live query never evicted
     assert len([k for k in snap if k.startswith("dead-")]) == t.MAX_FINISHED
+
+
+def test_punct_ratio_is_unicode_aware_and_oracle_consistent(spark):
+    """Accented/CJK letters must NOT count as punctuation (the ASCII
+    class silently scored well-formed non-English docs ~0.2 lower),
+    and the \\pL\\pN class must mean the same thing in Spark's Java
+    regex and DuckDB's RE2 — the fixtures are ASCII-only, so this is
+    the only place the cross-engine unicode semantics are exercised."""
+    import duckdb
+
+    from automated_data_pipeline_spark.functions.text import punct_ratio
+
+    texts = [
+        "héllo wörld çà ñandú",      # latin + diacritics: no punct
+        "你好 世界",                  # CJK: no punct
+        "half! and... half?",        # real punctuation
+        "münchen (bayern), ü.a.!",   # mixed
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_vals = [
+        round(r["pr"], 6)
+        for r in df.select(punct_ratio(F.col("text")).alias("pr"))
+        .collect()
+    ]
+    assert spark_vals[0] == 0.0 and spark_vals[1] == 0.0
+    assert spark_vals[2] > 0.2
+    con = duckdb.connect()
+    duck_vals = [
+        round(con.execute(
+            "SELECT length(regexp_replace(?, '[\\pL\\pN\\s]', '', 'g')) * 1.0"
+            " / greatest(length(?), 1)", [t, t]).fetchone()[0], 6)
+        for t in texts
+    ]
+    assert spark_vals == duck_vals, (spark_vals, duck_vals)
