@@ -1,0 +1,120 @@
+"""Substring-level duplicate detection: find the maximal token spans
+of each document that also occur elsewhere in the corpus (in another
+document, or again in the same one).
+
+This is the span-level complement to the whole/near-document dedup in
+``operators/dedup.py``: document-level near-dup keeps one survivor per
+cluster, while span-level detection finds boilerplate (headers,
+license blocks, templated sentences) duplicated INSIDE otherwise
+unique documents — the operation "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022) performs with a suffix
+array. The distributed construction here replaces the suffix array
+with a hash-join, the standard Spark-first re-expression:
+
+1. shingle: every k-token window of every document, keyed by position
+   (one explode — rows ~ total tokens)
+2. seed: hash each shingle (``stable_hash64`` — engine-portable) and
+   keep positions whose shingle hash occurs >= 2 times globally (one
+   groupBy count with map-side partials + one equi-join back; the
+   duplicated-hash side is HAVING-filtered before the join, so at
+   100 TB it is the small side and broadcasts)
+3. merge: per document, merge overlapping/adjacent seed windows into
+   maximal spans (gaps-and-islands with a running-max-end window,
+   partitioned by doc — embarrassingly parallel, never a global sort)
+
+A span of ``s`` merged seeds covers s + k - 1 tokens; every token in
+an emitted span lies inside at least one duplicated k-gram.
+
+Determinism: positions and counts are integers; the shingle hash is
+md5-derived and replayed identically by the DuckDB oracle
+(suite/round5b.py dup_span_detect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_hash64, tokens
+
+
+def shingle_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, ghash) for every k-token window; pos is the 1-based
+    token index of the window start. Documents shorter than k tokens
+    emit nothing (the size guard also keeps ``sequence`` ascending —
+    sequence(1, n) with n < 1 would default to a DESCENDING step)."""
+    with_tokens = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ws")
+    ).filter(F.size("_ws") >= k)
+    shingles = with_tokens.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_ws) - {k - 1}), "
+                f"i -> struct(i AS pos, array_join(slice(_ws, i, {k}), ' ') AS g))"
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    return shingles.select(
+        id_col, "pos", stable_hash64(F.col("g")).alias("ghash")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Output: (id_col, span_start, span_end, span_tokens, n_seeds) with
+    token positions 1-based inclusive; span_tokens = span_end -
+    span_start + 1; n_seeds = number of duplicated k-gram windows
+    merged into the span."""
+    sh = shingle_positions(df, text_col, id_col, k)
+    dup_hashes = (
+        sh.groupBy("ghash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("ghash")
+    )
+    seeds = sh.join(dup_hashes, "ghash").select(
+        id_col, "pos", (F.col("pos") + F.lit(k - 1)).alias("end_pos")
+    )
+    # gaps-and-islands: a seed starts a new span iff it begins after
+    # the running max end of all previous seeds (+1 keeps abutting
+    # windows merged — the covered token range is contiguous)
+    prev_end = F.max("end_pos").over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = seeds.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") > F.coalesce(prev_end, F.lit(-(10 ** 9))) + 1, 1
+        ).otherwise(0),
+    )
+    island = F.sum("new_span").over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end_pos").alias("span_end"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.col("n_seeds").cast("bigint").alias("n_seeds"),
+        )
+    )

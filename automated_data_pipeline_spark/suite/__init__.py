@@ -173,11 +173,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import curation, events, extra, llm, parity, round5
+    from . import curation, events, extra, llm, parity, round5, round5b
 
     specs = (
         parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
-        + curation.SPECS + round5.SPECS
+        + curation.SPECS + round5.SPECS + round5b.SPECS
     )
     prio = {n: i for i, n in enumerate(GATE_WINDOW)}
     head = [s for s in specs if s.name in prio]

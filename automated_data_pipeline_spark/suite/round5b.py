@@ -1,0 +1,403 @@
+"""Round-5 (second wave) additions: the approximate-query layer
+(deterministic, oracle-exact KMV / HyperLogLog / Count-Min sketches —
+operators/sketches.py), substring-level duplicate-span detection
+(operators/spans.py), and typo-tolerant entity matching
+(operators/linkage.py).
+
+None of these exist in the reference (an ETL orchestrator); they are
+charter extensions. Every query follows the suite's cross-engine
+determinism conventions (suite/__init__.py docstring): md5-derived
+``stable_hash64`` replayed verbatim in the oracle SQL, exact-integer
+sketch state with one final double expression in identical op order,
+portable floor(x*10^n + 0.5) rounding, integer outputs cast to BIGINT
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import portable_round
+from ..operators import sketches as SK
+from ..operators.linkage import hamming1_pairs
+from ..operators.spans import duplicated_spans
+from . import QuerySpec, load
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name, oracle, doc=""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+# engine-portable stable_hash64 twin (functions/text.py:56)
+def _hash_sql(payload: str) -> str:
+    return f"CAST(concat('0x', substr(md5({payload}), 1, 15)) AS BIGINT)"
+
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+# the distinct-count item: one row per (user, calendar day) — the
+# "daily active user" unit both sketch queries estimate
+_ITEM_SQL = "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+
+KMV_K = 64
+HLL_P = 9
+_HLL_M = 1 << HLL_P
+_HLL_LOW = 60 - HLL_P
+_HLL_MASK = (1 << _HLL_LOW) - 1
+_TWO52 = 1 << 52
+# computed once in Python so Spark's lit() and the oracle's inlined
+# literal are the SAME double
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+CMS_D = 3
+CMS_W = 128
+SPAN_K = 8
+
+
+def _item_col():
+    return F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.to_date("ts").cast("string"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "kmv_distinct_user_days",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT event_type, {_hash_sql(_ITEM_SQL)} AS hv FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+        row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+      FROM items
+    ),
+    bottomk AS (
+      SELECT event_type, count(*) AS n_seen, max(hv) AS kth_hash
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(*) AS exact_distinct FROM items
+      GROUP BY event_type
+    ),
+    est AS (
+      SELECT b.event_type, b.n_seen, e.exact_distinct,
+        CASE WHEN b.n_seen < {KMV_K} THEN b.n_seen
+             ELSE CAST(floor({float(KMV_K - 1)} /
+                  (CAST(b.kth_hash AS DOUBLE) / {SK.HASH_SPACE}) + 0.5)
+                  AS BIGINT)
+        END AS kmv_est
+      FROM bottomk b JOIN exact e USING (event_type)
+    )
+    SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      CAST(kmv_est AS BIGINT) AS kmv_est,
+      floor(CAST(abs(kmv_est - exact_distinct) AS DOUBLE) / exact_distinct
+            * 10000 + 0.5) / 10000 AS rel_err
+    FROM est
+    """,
+    "KMV (bottom-k) distinct sketch, k=64: estimated distinct "
+    "user-days per event type vs the exact count, with the relative "
+    "error. The 100 TB story: COUNT(DISTINCT) needs a full shuffle of "
+    "every key; the bottom-k sketch is mergeable O(k) state per group "
+    "(partial bottom-ks combine associatively — pytest-asserted), and "
+    "the estimate derives from ONE integer (the k-th smallest md5 "
+    "hash), so the DuckDB oracle reproduces it bit-for-bit — unlike "
+    "approx_count_distinct, whose HLL++ internals are engine-private. "
+    "Plan: distinct-reduce on (type, hash) with map-side partials, "
+    "then a rank window over at most |distinct| rows per group",
+)
+def kmv_distinct_user_days(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    items = e.select(
+        "event_type", SK.stable_hash64(_item_col()).alias("hv")
+    ).distinct()
+    sk = SK.kmv_sketch(
+        e.select("event_type", _item_col().alias("item")),
+        F.col("item"),
+        ["event_type"],
+        k=KMV_K,
+    )
+    est = SK.kmv_estimate(sk, ["event_type"], k=KMV_K)
+    exact = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    joined = est.join(exact, "event_type")
+    return joined.select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        "kmv_est",
+        portable_round(
+            F.abs(F.col("kmv_est") - F.col("exact_distinct")).cast("double")
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "hll_distinct_user_days",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_hash_sql(_ITEM_SQL)} AS hv FROM events
+    ),
+    reg AS (
+      SELECT event_type, hv >> {_HLL_LOW} AS bucket,
+        max(CASE WHEN (hv & {_HLL_MASK}) > 0
+            THEN {_HLL_LOW} - length(bin(hv & {_HLL_MASK})) + 1
+            ELSE {_HLL_LOW + 1} END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n_buckets,
+        sum((CAST(1 AS BIGINT) << (52 - rho))) AS present_sum
+      FROM reg GROUP BY 1
+    ),
+    raw AS (
+      SELECT event_type, n_buckets,
+        {_HLL_ALPHA_M2!r} /
+          (CAST(present_sum + ({_HLL_M} - n_buckets) * {_TWO52} AS DOUBLE)
+           / {float(_TWO52)}) AS raw_est,
+        {_HLL_M} - n_buckets AS zeros
+      FROM agg
+    ),
+    est AS (
+      SELECT event_type, n_buckets,
+        CAST(floor(CASE WHEN raw_est <= {2.5 * _HLL_M} AND zeros > 0
+             THEN {float(_HLL_M)} * ln({float(_HLL_M)} / CAST(zeros AS DOUBLE))
+             ELSE raw_est END + 0.5) AS BIGINT) AS hll_est
+      FROM raw
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT hv) AS exact_distinct FROM h
+      GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+      CAST(hll_est AS BIGINT) AS hll_est,
+      CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+      floor(CAST(abs(hll_est - x.exact_distinct) AS DOUBLE)
+            / x.exact_distinct * 10000 + 0.5) / 10000 AS rel_err
+    FROM est e JOIN exact x USING (event_type)
+    """,
+    "HyperLogLog distinct sketch, p=9 (512 registers): estimated "
+    "distinct user-days per event type. Cross-engine exact by "
+    "construction: registers are integer max-of-leading-zero-runs "
+    "(via length(bin(x)) — the same primitive in both engines), the "
+    "harmonic-mean denominator is an EXACT INTEGER sum of 2^(52-rho) "
+    "contributions (so float summation ORDER cannot differ), and the "
+    "raw-vs-linear-counting branch is one shared double expression. "
+    "Plan: one groupBy (type, bucket) with map-side MAX partials — "
+    "512 rows per group of mergeable state (union + MAX, "
+    "pytest-asserted), the textbook 100 TB distinct-count design",
+)
+def hll_distinct_user_days(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type", SK.stable_hash64(_item_col()).alias("hv")
+    )
+    regs = SK.hll_registers(
+        e.select("event_type", _item_col().alias("item")),
+        F.col("item"),
+        ["event_type"],
+        p=HLL_P,
+    )
+    est = SK.hll_estimate(regs, ["event_type"], p=HLL_P)
+    exact = hashed.groupBy("event_type").agg(
+        F.countDistinct("hv").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_buckets",
+        "hll_est",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        portable_round(
+            F.abs(F.col("hll_est") - F.col("exact_distinct")).cast("double")
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "cms_heavy_users",
+    f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    seeds AS (SELECT unnest(range({CMS_D})) AS seed),
+    cell AS (
+      SELECT s.seed,
+        {_hash_sql("CAST(s.seed AS VARCHAR) || ':' || ev.item")} % {CMS_W}
+          AS bucket,
+        count(*) AS total
+      FROM ev, seeds s GROUP BY 1, 2
+    ),
+    truec AS (SELECT item, count(*) AS true_count FROM ev GROUP BY 1),
+    probe AS (
+      SELECT t.item, s.seed,
+        {_hash_sql("CAST(s.seed AS VARCHAR) || ':' || t.item")} % {CMS_W}
+          AS bucket
+      FROM truec t, seeds s
+    ),
+    est AS (
+      SELECT p.item, min(c.total) AS cms_est
+      FROM probe p JOIN cell c USING (seed, bucket) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT CAST(t.item AS BIGINT) AS user_id,
+        CAST(t.true_count AS BIGINT) AS true_count,
+        CAST(e.cms_est AS BIGINT) AS cms_est,
+        CAST(e.cms_est - t.true_count AS BIGINT) AS overcount,
+        row_number() OVER (
+          ORDER BY e.cms_est DESC, CAST(t.item AS BIGINT) ASC
+        ) AS rnk
+      FROM truec t JOIN est e USING (item)
+    )
+    SELECT * FROM ranked WHERE rnk <= 10
+    """,
+    "Count-Min frequency sketch, d=3 x w=128: top-10 users by "
+    "ESTIMATED event count, with the true count and the (always >= 0) "
+    "collision overcount alongside — the fixed-memory heavy-hitter "
+    "design for streams whose key space dwarfs memory. All state is "
+    "integer (bucket sums, min-of-3), so the oracle replays it "
+    "exactly. Plan: the sketch is one groupBy over d x w = 384 cells "
+    "(mergeable by cell-wise SUM — pytest-asserted) and is BROADCAST "
+    "into the probe join; the rank window runs over the probe set, "
+    "never the raw stream",
+)
+def cms_heavy_users(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    items = e.select(F.col("user_id").cast("string").alias("item"))
+    sketch = SK.cms_sketch(items, F.col("item"), d=CMS_D, w=CMS_W)
+    true_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    est = SK.cms_estimate(sketch, true_counts, "item", d=CMS_D, w=CMS_W)
+    joined = true_counts.join(est, "item").select(
+        F.col("item").cast("bigint").alias("user_id"),
+        F.col("true_count").cast("bigint").alias("true_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+    w = Window.orderBy(F.desc("cms_est"), F.asc("user_id"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "dup_span_detect",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+        {_hash_sql(f"list_aggregate(ws[i:i+{SPAN_K - 1}], 'string_agg', ' ')")}
+          AS ghash
+      FROM w, unnest(range(1, len(ws) - {SPAN_K} + 2)) t(i)
+      WHERE len(ws) >= {SPAN_K}
+    ),
+    dup AS (SELECT ghash FROM sh GROUP BY ghash HAVING count(*) >= 2),
+    seeds AS (
+      SELECT sh.doc_id, sh.pos, sh.pos + {SPAN_K - 1} AS end_pos
+      FROM sh JOIN dup USING (ghash)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, end_pos,
+        CASE WHEN pos > coalesce(max(end_pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1000000000) + 1
+        THEN 1 ELSE 0 END AS new_span
+      FROM seeds
+    ),
+    isl AS (
+      SELECT doc_id, pos, end_pos,
+        sum(new_span) OVER (
+          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+        ) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+      CAST(min(pos) AS BIGINT) AS span_start,
+      CAST(max(end_pos) AS BIGINT) AS span_end,
+      CAST(max(end_pos) - min(pos) + 1 AS BIGINT) AS span_tokens,
+      CAST(count(*) AS BIGINT) AS n_seeds
+    FROM isl GROUP BY doc_id, island
+    """,
+    f"substring-level dedup (Lee et al. 2022, suffix array replaced "
+    f"by a distributed hash-join): the maximal token spans of each "
+    f"document whose every token lies inside a {SPAN_K}-gram that "
+    f"occurs >= 2 times in the corpus — the boilerplate/templated-"
+    f"sentence signal document-level near-dup cannot see. Plan "
+    f"(operators/spans.py): shingle explode -> one groupBy count on "
+    f"the shingle hash (map-side partials, HAVING-filtered to the "
+    f"duplicated minority BEFORE the join-back) -> per-doc "
+    f"gaps-and-islands windows, partitioned by doc_id — "
+    f"embarrassingly parallel, no global sort",
+)
+def dup_span_detect(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return duplicated_spans(d, "text", "doc_id", k=SPAN_K)
+
+
+# --------------------------------------------------------------------
+_SUPP_NAME_LEN = 18  # 'Supplier#' + 9 digits (fixture format)
+
+
+@spec(
+    "fuzzy_supplier_match",
+    f"""
+    WITH s AS (
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE length(s_name) = {_SUPP_NAME_LEN}
+    ),
+    v AS (
+      SELECT s_suppkey, s_name, i AS mpos,
+        substr(s_name, 1, i - 1) || '§' || substr(s_name, i + 1) AS mkey
+      FROM s, unnest(range(1, {_SUPP_NAME_LEN + 1})) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.s_suppkey AS s1_suppkey, b.s_suppkey AS s2_suppkey,
+        a.s_name AS s1_name, b.s_name AS s2_name
+      FROM v a JOIN v b
+        ON a.mpos = b.mpos AND a.mkey = b.mkey
+        AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT s1_suppkey, s2_suppkey, s1_name, s2_name,
+      CAST(levenshtein(s1_name, s2_name) AS INT) AS dist
+    FROM cand WHERE levenshtein(s1_name, s2_name) <= 1
+    """,
+    "typo-tolerant entity matching: supplier pairs whose names differ "
+    "in at most one character, via masked-position blocking "
+    "(operators/linkage.py — the SymSpell/FastSS symmetric-delete "
+    "idea): each 18-char name emits 18 one-position-masked variants; "
+    "Hamming<=1 pairs MUST collide on the variant masked at their "
+    "differing position, so the (position, masked-key) equi-join "
+    "yields exactly the candidate set — no quadratic pass, and no hot "
+    "blocks on the shared 'Supplier#' / zero-pad prefix that "
+    "half-split pigeonhole blocking would collapse into. levenshtein "
+    "(same semantics both engines) verifies candidates",
+)
+def fuzzy_supplier_match(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    pairs = hamming1_pairs(
+        s, "s_name", "s_suppkey", length=_SUPP_NAME_LEN
+    )
+    return pairs.select(
+        F.col("id_1").alias("s1_suppkey"),
+        F.col("id_2").alias("s2_suppkey"),
+        F.col("key_1").alias("s1_name"),
+        F.col("key_2").alias("s2_name"),
+        "dist",
+    )

@@ -109,6 +109,12 @@ HEADLINE = [
     "quality_decile_report",
     "token_budget_prefix",
     "top_bigrams_per_lang",
+    # round-5 second wave: sketches, span dedup, fuzzy matching
+    "kmv_distinct_user_days",
+    "hll_distinct_user_days",
+    "cms_heavy_users",
+    "dup_span_detect",
+    "fuzzy_supplier_match",
 ]
 
 

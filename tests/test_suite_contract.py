@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 121
-DOCUMENTED_WITH_ORACLE = 116
+DOCUMENTED_TOTAL = 126
+DOCUMENTED_WITH_ORACLE = 121
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -54,6 +54,9 @@ ADDED_IN_R5 = frozenset({
     "important_parts_by_nation", "rolling_daily_zscore",
     "hourly_heavy_hitters", "quality_decile_report",
     "token_budget_prefix", "top_bigrams_per_lang",
+    # second wave: sketches, span dedup, fuzzy entity matching
+    "kmv_distinct_user_days", "hll_distinct_user_days",
+    "cms_heavy_users", "dup_span_detect", "fuzzy_supplier_match",
 })
 
 
