@@ -63,21 +63,41 @@ def shingle_positions(
 
 
 def duplicated_spans(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
     Output: (id_col, span_start, span_end, span_tokens, n_seeds) with
     token positions 1-based inclusive; span_tokens = span_end -
     span_start + 1; n_seeds = number of duplicated k-gram windows
-    merged into the span."""
-    sh = shingle_positions(df, text_col, id_col, k)
+    merged into the span.
+
+    Plan shape: the input is hash-spread on ``id_col`` first — the
+    tokenize+md5 shingle work is the CPU-heavy step, and a small
+    single-row-group file would otherwise serialize it through one
+    task (at 100 TB the many input splits make this exchange a cheap
+    even-out; it ALSO pre-partitions by doc so the island windows
+    plan with no further Exchange). With ``broadcast_dups`` (default)
+    the HAVING-filtered duplicated-hash side — the small minority of
+    shingles — broadcasts into the seed join, preserving that doc
+    partitioning; pass False if boilerplate is so pervasive the dup
+    set itself is huge, and the join falls back to a shuffle."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    sh = shingle_positions(spread, text_col, id_col, k)
     dup_hashes = (
         sh.groupBy("ghash")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= 2)
         .select("ghash")
     )
+    if broadcast_dups:
+        dup_hashes = F.broadcast(dup_hashes)
     seeds = sh.join(dup_hashes, "ghash").select(
         id_col, "pos", (F.col("pos") + F.lit(k - 1)).alias("end_pos")
     )
