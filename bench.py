@@ -386,6 +386,55 @@ def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
+    """Incremental distinct-count maintenance: the events table split
+    into 4 json micro-batches (the 4th replaying the 1st), merged into
+    the persistent HLL register store; asserts the replay left the
+    estimate unchanged (the algebraic exactly-once property) and the
+    estimate tracks the true per-type distinct user count."""
+    from automated_data_pipeline_spark.streaming.incremental_sketch import (
+        HllSketchStore,
+        start_incremental_hll,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="adp-bench-inchll-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    parts = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    _write_flat(parts[0], "b3.json")  # replay shard
+    store = HllSketchStore(os.path.join(work, "hll"), ["event_type"], p=9)
+    t0 = time.time()
+    q = start_incremental_hll(
+        spark, src, store, os.path.join(work, "ckpt"),
+        item_expr=F.col("user_id").cast("string"),
+        schema="user_id bigint, event_type string",
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    est = {r["event_type"]: r["hll_est"]
+           for r in store.estimate(spark).collect()}
+    true = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for g, t in true.items():
+        assert abs(est[g] - t) / t < 0.15, f"hll drift on {g}: {est[g]} vs {t}"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
     """Incremental NEAR-dup throughput: 3 json micro-batch shards of the
     documents table, the 3rd repeating the 1st (a full shard of
@@ -484,6 +533,7 @@ def main():
     timings["stream_stateful_sessionize"] = min2(bench_stream_stateful_sessionize)
     timings["stream_incremental_dedup"] = min2(bench_stream_incremental_dedup)
     timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
+    timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
 
     probe_end = _noise_probe(spark, SF_DIR)
 

@@ -510,3 +510,46 @@ def test_round5_q_shape_plan_contracts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("n_name") for s in specs), specs
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """At 100 TB a selective dim filter should not force a full fact
+    shuffle: Spark's runtime bloom-filter injection builds a bloom
+    sketch of the filtered creation side and semi-filters the fact
+    scan BEFORE the join shuffle. The production thresholds
+    (applicationSideScanSizeThreshold=10GB) are sized for real
+    clusters, so this test lowers them to prove the mechanism and pin
+    the confs a 100 TB deployment relies on."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("cat")
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 7)
+        joined = fact.join(dim, "k")
+        plan = _formatted_plan(joined)
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and the result is still exact: ids ≡ 7 (mod 50) in [0, 10000)
+        assert joined.count() == 200
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
