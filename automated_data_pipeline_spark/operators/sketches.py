@@ -57,8 +57,12 @@ def kmv_sketch(
     partials, then a per-group rank window over the already-distinct
     hashes (bounded output: k rows per group). Merge two sketches by
     unioning and re-applying the same bottom-k."""
+    # NULL items are excluded (not countable): a NULL hash would
+    # corrupt the bottom-k — Spark windows sort NULLS FIRST while
+    # DuckDB sorts them last, so the engines would even disagree
     hashed = (
-        df.select(*group_cols, stable_hash64(item_col).alias("hv"))
+        df.filter(item_col.isNotNull())
+        .select(*group_cols, stable_hash64(item_col).alias("hv"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy(F.asc("hv"))
@@ -110,7 +114,7 @@ def hll_registers(
     spelled identically in the DuckDB oracle."""
     low_bits = 60 - p
     mask = (1 << low_bits) - 1
-    hashed = df.select(
+    hashed = df.filter(item_col.isNotNull()).select(
         *group_cols, stable_hash64(item_col).alias("hv")
     )
     bucket = F.expr(f"shiftright(hv, {low_bits})")
@@ -182,7 +186,9 @@ def cms_sketch(
     bucket per row. d*w rows total (kilobytes — always broadcastable).
     Merging two sketches = union + groupBy SUM."""
     weight = F.lit(1) if weight_col is None else F.col(weight_col)
-    base = df.select(item_col.alias("_item"), weight.alias("_w"))
+    base = df.filter(item_col.isNotNull()).select(
+        item_col.alias("_item"), weight.alias("_w")
+    )
     rows = base.select(
         F.explode(F.array(*[F.lit(s) for s in range(d)])).alias("seed"),
         "_item",

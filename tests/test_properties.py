@@ -392,3 +392,71 @@ def test_hamming_block_join_is_pigeonhole_lossless(spark, hashes):
             if d <= 6:
                 want.add((i, j, d))
     assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="AB", min_size=3, max_size=3),
+        min_size=2, max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_hamming1_pairs_property(spark, keys):
+    """Masked-position blocking == brute-force Hamming<=1 pairs, on a
+    dense 2-letter alphabet where collisions/dups/near-misses abound."""
+    from automated_data_pipeline_spark.operators.linkage import hamming1_pairs
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "rid long, key string"
+    )
+    got = {
+        (r["id_1"], r["id_2"], r["dist"])
+        for r in hamming1_pairs(df, "key", "rid", length=3).collect()
+    }
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            d = sum(1 for x, y in zip(keys[i], keys[j]) if x != y)
+            if d <= 1:
+                expected.add((i, j, d))
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_duplicated_spans_property(spark, docs):
+    """Span cover == brute-force 'token lies inside a duplicated
+    k-gram' set, on tiny-alphabet corpora where within-doc repetition,
+    overlapping seeds, and doc-straddling duplicates all occur."""
+    from automated_data_pipeline_spark.operators.spans import duplicated_spans
+
+    k = 3
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = duplicated_spans(df, "text", "doc_id", k=k).collect()
+    covered = {
+        (r["doc_id"], t)
+        for r in rows
+        for t in range(r["span_start"], r["span_end"] + 1)
+    }
+    grams: dict[tuple, list] = {}
+    for d, ws in enumerate(docs):
+        for i in range(len(ws) - k + 1):
+            grams.setdefault(tuple(ws[i:i + k]), []).append((d, i + 1))
+    expected = set()
+    for occ in grams.values():
+        if len(occ) >= 2:
+            for d, pos in occ:
+                for t in range(pos, pos + k):
+                    expected.add((d, t))
+    assert covered == expected

@@ -194,3 +194,21 @@ def test_cms_bucket_matches_python_reference(spark):
         hv = int(hashlib.md5(f"{s}:probe".encode()).hexdigest()[:15], 16)
         expected.add((s, hv % 128))
     assert got == expected
+
+
+def test_null_items_excluded_from_all_sketches(spark):
+    """NULL items are not countable: they must not occupy a bottom-k
+    slot (Spark's NULLS-FIRST window order would rank them #1), an HLL
+    bucket, or a CMS cell."""
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "g string, item string"
+    )
+    kmv = SK.kmv_sketch(df, F.col("item"), ["g"], k=8)
+    assert kmv.filter(F.col("hv").isNull()).count() == 0
+    assert SK.kmv_estimate(kmv, ["g"], k=8).first()["kmv_est"] == 2
+    regs = SK.hll_registers(df, F.col("item"), ["g"], p=9)
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    assert regs.count() == 2
+    cms = SK.cms_sketch(df, F.col("item"), d=2, w=32)
+    assert cms.filter(F.col("bucket").isNull()).count() == 0
+    assert cms.agg(F.sum("total")).first()[0] == 4  # 2 items x 2 seeds
