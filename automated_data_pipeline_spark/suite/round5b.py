@@ -401,3 +401,270 @@ def fuzzy_supplier_match(spark, sf_dir):
         F.col("key_2").alias("s2_name"),
         "dist",
     )
+
+
+# --------------------------------------------------------------------
+def _hll_level_sql(key_sql: str, level: str) -> str:
+    """DuckDB twin of one rollup level of sketches.hll_estimate over
+    the shared `reg` register CTE: re-merge registers under ``key_sql``
+    (per-bucket MAX — identity at the finest level, the actual rollup
+    at coarser ones), then the estimate expression. One generator so
+    the three levels cannot drift apart."""
+    return f"""
+    SELECT '{level}' AS level, key,
+      CAST(n_buckets AS BIGINT) AS n_buckets,
+      CAST(floor(CASE WHEN raw_est <= {2.5 * _HLL_M} AND zeros > 0
+           THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(zeros AS DOUBLE))
+           ELSE raw_est END + 0.5) AS BIGINT) AS hll_est
+    FROM (
+      SELECT key, count(*) AS n_buckets,
+        {_HLL_ALPHA_M2!r} /
+          (CAST(sum((CAST(1 AS BIGINT) << (52 - rho)))
+                + ({_HLL_M} - count(*)) * {_TWO52} AS DOUBLE)
+           / {float(_TWO52)!r}) AS raw_est,
+        {_HLL_M} - count(*) AS zeros
+      FROM (
+        SELECT {key_sql} AS key, bucket, max(rho) AS rho
+        FROM reg GROUP BY 1, 2
+      ) GROUP BY key
+    )
+    """
+
+
+@spec(
+    "hll_rollup_user_days",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        {_hash_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, day, hv >> {_HLL_LOW} AS bucket,
+        max(CASE WHEN (hv & {_HLL_MASK}) > 0
+            THEN {_HLL_LOW} - length(bin(hv & {_HLL_MASK})) + 1
+            ELSE {_HLL_LOW + 1} END) AS rho
+      FROM h GROUP BY 1, 2, 3
+    )
+    {_hll_level_sql("event_type || '/' || day", "type_day")}
+    UNION ALL
+    {_hll_level_sql("event_type", "type")}
+    UNION ALL
+    {_hll_level_sql("'all'", "all")}
+    """,
+    "the re-aggregation property that makes sketches the 100 TB rollup "
+    "design: the events table is sketched ONCE into per-(type, day) "
+    "HLL registers, and the per-type and global distinct-user "
+    "estimates derive purely by MERGING those registers (per-bucket "
+    "MAX) — no second scan, no distinct re-count; a full "
+    "rollup/cube over COUNT(DISTINCT), which is NOT re-aggregable "
+    "exactly, becomes kilobytes of mergeable state. Output: one row "
+    "per (level, key) with the register count and estimate — the "
+    "DuckDB oracle replays every level bit-for-bit",
+)
+def hll_rollup_user_days(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    regs = SK.hll_registers(
+        base, F.col("item"), ["event_type", "day"], p=HLL_P
+    )
+    by_type = regs.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    global_regs = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    lvl_td = SK.hll_estimate(regs, ["event_type", "day"], p=HLL_P).select(
+        F.lit("type_day").alias("level"),
+        F.concat(F.col("event_type"), F.lit("/"), F.col("day")).alias("key"),
+        "n_buckets",
+        "hll_est",
+    )
+    lvl_t = SK.hll_estimate(by_type, ["event_type"], p=HLL_P).select(
+        F.lit("type").alias("level"),
+        F.col("event_type").alias("key"),
+        "n_buckets",
+        "hll_est",
+    )
+    lvl_all = SK.hll_estimate(
+        global_regs.withColumn("_g", F.lit("all")), ["_g"], p=HLL_P
+    ).select(
+        F.lit("all").alias("level"),
+        F.col("_g").alias("key"),
+        "n_buckets",
+        "hll_est",
+    )
+    return lvl_td.unionByName(lvl_t).unionByName(lvl_all)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "kmv_overlap_types",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT event_type, {_hash_sql(_ITEM_SQL)} AS hv FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv, row_number() OVER (
+          PARTITION BY event_type ORDER BY hv ASC) AS rn
+        FROM items
+      ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM sk) a,
+           (SELECT DISTINCT event_type FROM sk) b
+      WHERE a.event_type < b.event_type
+    ),
+    u AS (
+      SELECT p.type_a, p.type_b, s.hv,
+        max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+        max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY type_a, type_b ORDER BY hv ASC) AS rn
+      FROM u
+    ),
+    agg AS (
+      SELECT type_a, type_b, count(*) AS n_seen, max(hv) AS kth_hash,
+        sum(in_a * in_b) AS inter_k
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT type_a, type_b, n_seen, inter_k,
+        CASE WHEN n_seen < {KMV_K} THEN n_seen
+             ELSE CAST(floor({float(KMV_K - 1)} /
+                  (CAST(kth_hash AS DOUBLE) / {SK.HASH_SPACE}) + 0.5)
+                  AS BIGINT)
+        END AS est_union
+      FROM agg
+    ),
+    exact_i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        count(*) AS exact_inter
+      FROM items a JOIN items b
+        ON a.hv = b.hv AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM items GROUP BY 1)
+    SELECT e.type_a, e.type_b,
+      CAST(e.est_union AS BIGINT) AS est_union,
+      CAST(sa.n + sb.n - coalesce(x.exact_inter, 0) AS BIGINT)
+        AS exact_union,
+      CAST(floor(CAST(e.inter_k * e.est_union AS DOUBLE) / e.n_seen + 0.5)
+        AS BIGINT) AS est_intersection,
+      CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_intersection,
+      floor(CAST(e.inter_k AS DOUBLE) / e.n_seen * 10000 + 0.5) / 10000
+        AS jaccard_est
+    FROM est e
+    JOIN sizes sa ON sa.event_type = e.type_a
+    JOIN sizes sb ON sb.event_type = e.type_b
+    LEFT JOIN exact_i x
+      ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+    "sketch SET ALGEBRA (the theta-sketch/KMV estimators of Beyer et "
+    "al. 2007): for every pair of event types, the union, "
+    "intersection, and Jaccard of their distinct user-day SETS "
+    "estimated purely from the two k=64 bottom-k sketches — the "
+    "audience-overlap question, answered from kilobytes instead of a "
+    "join of two full key sets. Union = bottom-k of the merged "
+    "sketches; intersection = (co-membership fraction in the merged "
+    "bottom-k) x union estimate; exact columns alongside for the "
+    "measured error. All sketch state is integer; the oracle replays "
+    "every estimate bit-for-bit. Plan: after the one distinct-reduce "
+    "scan, EVERYTHING operates on k-row-per-group sketch frames",
+)
+def kmv_overlap_types(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    items = e.select(
+        "event_type", SK.stable_hash64(_item_col()).alias("hv")
+    ).distinct()
+    sk = SK.kmv_sketch(
+        e.select("event_type", _item_col().alias("item")),
+        F.col("item"),
+        ["event_type"],
+        k=KMV_K,
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    left = pairs.join(
+        sk.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "hv",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    right = pairs.join(
+        sk.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "hv",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    union = (
+        left.unionByName(right)
+        .groupBy("type_a", "type_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.asc("hv"))
+    ranked = union.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("hv").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_k"),
+    )
+    est_union = F.when(F.col("n_seen") < KMV_K, F.col("n_seen")).otherwise(
+        F.floor(
+            F.lit(float(KMV_K - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(SK.HASH_SPACE))
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    est = agg.withColumn("est_union", est_union)
+    exact_i = (
+        items.select(F.col("event_type").alias("type_a"), "hv")
+        .join(items.select(F.col("event_type").alias("type_b"), "hv"), "hv")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(
+            sizes.select(F.col("event_type").alias("type_a"),
+                         F.col("n").alias("n_a")), "type_a")
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"),
+                         F.col("n").alias("n_b")), "type_b")
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("est_union").cast("bigint").alias("est_union"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce(F.col("exact_inter"), F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+            F.floor(
+                (F.col("inter_k") * F.col("est_union")).cast("double")
+                / F.col("n_seen")
+                + F.lit(0.5)
+            ).cast("bigint").alias("est_intersection"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+            portable_round(
+                F.col("inter_k").cast("double") / F.col("n_seen"), 4
+            ).alias("jaccard_est"),
+        )
+    )

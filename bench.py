@@ -115,6 +115,8 @@ HEADLINE = [
     "cms_heavy_users",
     "dup_span_detect",
     "fuzzy_supplier_match",
+    "hll_rollup_user_days",
+    "kmv_overlap_types",
 ]
 
 

@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 126
-DOCUMENTED_WITH_ORACLE = 121
+DOCUMENTED_TOTAL = 128
+DOCUMENTED_WITH_ORACLE = 123
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -57,6 +57,7 @@ ADDED_IN_R5 = frozenset({
     # second wave: sketches, span dedup, fuzzy entity matching
     "kmv_distinct_user_days", "hll_distinct_user_days",
     "cms_heavy_users", "dup_span_detect", "fuzzy_supplier_match",
+    "hll_rollup_user_days", "kmv_overlap_types",
 })
 
 
