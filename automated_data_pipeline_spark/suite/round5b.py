@@ -469,9 +469,13 @@ def hll_rollup_user_days(spark, sf_dir):
         F.to_date("ts").cast("string").alias("day"),
         F.col("user_id").cast("string").alias("item"),
     )
+    # materialize the (≤ groups × 512-row) register frame so the three
+    # rollup levels derive from ONE events scan — the whole point of
+    # the sketch rollup; localCheckpoint (not persist) per the repo's
+    # cache-hygiene contract
     regs = SK.hll_registers(
         base, F.col("item"), ["event_type", "day"], p=HLL_P
-    )
+    ).localCheckpoint(eager=True)
     by_type = regs.groupBy("event_type", "bucket").agg(
         F.max("rho").alias("rho")
     )
