@@ -12,6 +12,20 @@ mirroring the reference's Express server route-for-route
                                "file" or raw body + ?filename=), save to
                                the landing dir, start the pipeline in a
                                background thread, 201 {runId, ...}
+- POST /pipeline/upload      — save to the landing dir WITHOUT running,
+                               200 {path} (ApiServlet.java:283-326)
+- POST /runs/{id}/cancel     — cooperative cancel: 404 unknown, 400 not
+                               Running, 200 {ok} and the worker stamps
+                               Cancelled (ApiServlet.java:509-539)
+- GET/POST/PUT/DELETE /schedules[/{id}] — schedule CRUD over an
+                               attached ScheduleRunner: multipart add
+                               (fields + source file saved to landing)
+                               or JSON with sourcePath; PUT merges and
+                               revalidates/recomputes next_run_at;
+                               (ApiServlet.java:197-365)
+- GET/POST /admin/check-running-status — run the 6 h timeout sweep now,
+                               {runningChecked, markedTimeout,
+                               runIdsMarked} (ApiServlet.java:404-434)
 
 Browser GUI (web.py renders, this module routes — the counterpart of
 the reference's React pages / JSPs: RunList.jsx, RunDetail.jsx,
@@ -21,6 +35,11 @@ Logs.jsx, run-detail.jsp with its 2 s auto-refresh):
 - GET  /ui/runs/{id}         — HTML run detail + steps (+ meta-refresh
                                2 s while Running), 404 page if missing
 - GET  /ui/logs              — HTML logs table (?runId=&level=&limit=)
+- GET  /ui/manual-run        — manual-run.jsp counterpart (trigger form)
+- GET  /ui/schedules         — schedules.jsp counterpart (add form +
+                               table + enable/disable/delete actions)
+- GET  /ui/admin             — admin.jsp counterpart (timeout-sweep
+                               button)
 
 Design notes:
 - stdlib only (ThreadingHTTPServer): the engine charter is "no new
@@ -86,6 +105,7 @@ class PipelineApiServer:
         control,
         runner=None,
         landing_dir: str | None = None,
+        scheduler=None,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
@@ -93,6 +113,7 @@ class PipelineApiServer:
         self.control = control
         self.runner = runner
         self.landing_dir = landing_dir
+        self.scheduler = scheduler
         self._httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self)
         )
@@ -185,6 +206,160 @@ class PipelineApiServer:
             "file": os.path.basename(saved),
         }
 
+    # -- schedules (ApiServlet.java:197-365; schedules.jsp) -----------
+    def _schedule_jsonable(self, s: dict) -> dict:
+        out = {}
+        for k, v in s.items():
+            if isinstance(v, datetime):
+                out[k] = v.isoformat(sep=" ", timespec="seconds")
+            else:
+                out[k] = v
+        return out
+
+    def list_schedules(self) -> list[dict]:
+        if self.scheduler is None:
+            return []
+        with self.scheduler._lock:
+            rows = [dict(s) for s in self.scheduler.schedules.values()]
+        rows.sort(
+            key=lambda s: str(s.get("created_at") or ""), reverse=True
+        )
+        return [self._schedule_jsonable(s) for s in rows]
+
+    def get_schedule(self, sid: str) -> dict | None:
+        if self.scheduler is None:
+            return None
+        with self.scheduler._lock:
+            s = self.scheduler.schedules.get(sid)
+            return self._schedule_jsonable(dict(s)) if s else None
+
+    def create_schedule(self, fields: dict, file=None) -> dict:
+        """POST /schedules: reference parity takes name/scheduleType/
+        runAtTime/dayOfWeek/dayOfMonth plus a source file saved to the
+        landing dir (ApiServlet.java:223-326); JSON bodies may pass
+        source_path directly instead of a file. Validation happens in
+        ScheduleRunner.add (compute_next_run raises on malformed
+        fields -> 400)."""
+        import uuid
+
+        source_path = fields.get("source_path") or fields.get("sourcePath")
+        if file is not None:
+            fname, payload = file
+            api.validate_upload(fname, len(payload))
+            ext = os.path.splitext(fname)[1].lower() or ".csv"
+            os.makedirs(self.landing_dir, exist_ok=True)
+            source_path = os.path.join(
+                self.landing_dir,
+                f"schedule_{int(time.time() * 1000)}_{uuid.uuid4().hex[:8]}{ext}",
+            )
+            with open(source_path, "wb") as f:
+                f.write(payload)
+        now = datetime.utcnow()
+
+        def as_int(v):
+            return None if v in (None, "") else int(v)
+
+        s = {
+            "schedule_id": str(uuid.uuid4()),
+            "name": fields.get("name") or "Unnamed schedule",
+            "schedule_type": fields.get("schedule_type")
+            or fields.get("scheduleType") or "daily",
+            "run_at_time": fields.get("run_at_time")
+            or fields.get("runAtTime") or "09:00",
+            "day_of_week": as_int(
+                fields.get("day_of_week", fields.get("dayOfWeek"))
+            ),
+            "day_of_month": as_int(
+                fields.get("day_of_month", fields.get("dayOfMonth"))
+            ),
+            "source_path": source_path,
+            "enabled": True,
+            "created_at": now,
+            "updated_at": now,
+            "last_run_at": None,
+        }
+        self.scheduler.add(s)  # validates; raises on malformed fields
+        return self.get_schedule(s["schedule_id"])
+
+    def update_schedule(self, sid: str, fields: dict) -> bool:
+        """PUT /schedules/{id}: merge the provided fields and
+        re-validate/recompute next_run_at through ScheduleRunner.add
+        (the reference's updateSchedule likewise recomputes NextRunAt).
+        Returns False if the schedule doesn't exist."""
+        with self.scheduler._lock:
+            cur = self.scheduler.schedules.get(sid)
+            if cur is None:
+                return False
+            merged = dict(cur)
+        key_map = {
+            "name": "name", "scheduleType": "schedule_type",
+            "schedule_type": "schedule_type", "runAtTime": "run_at_time",
+            "run_at_time": "run_at_time", "dayOfWeek": "day_of_week",
+            "day_of_week": "day_of_week", "dayOfMonth": "day_of_month",
+            "day_of_month": "day_of_month", "sourcePath": "source_path",
+            "source_path": "source_path", "enabled": "enabled",
+        }
+        for k, v in fields.items():
+            if k in key_map and v is not None:
+                merged[key_map[k]] = v
+        merged["updated_at"] = datetime.utcnow()
+        merged.pop("next_run_at", None)  # force recompute+revalidate
+        self.scheduler.add(merged)
+        return True
+
+    def delete_schedule(self, sid: str) -> bool:
+        with self.scheduler._lock:
+            return self.scheduler.schedules.pop(sid, None) is not None
+
+    # -- admin + cancel (ApiServlet.java:380-434, 509-539) ------------
+    def check_running_status(self) -> dict:
+        """GET/POST /admin/check-running-status: run the 6 h timeout
+        sweep now; response shape mirrors checkRunningStatus()."""
+        marked = self.runner.sweep_timeouts()
+        return {
+            "runningChecked": True,
+            "markedTimeout": len(marked),
+            "runIdsMarked": marked,
+        }
+
+    def cancel_run(self, run_id: str) -> tuple[int, dict]:
+        """POST /runs/{id}/cancel: 404 unknown, 400 not Running, else
+        request cooperative cancellation (flag + cancelJobGroup); the
+        worker thread stamps the Cancelled status/steps — unlike the
+        reference's immediate UPDATE, the status flips when the run
+        actually stops, which is the honest ordering."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.control.runs(self.spark)
+            .filter(F.col("run_id") == run_id)
+            .select("status")
+            .collect()
+        )
+        if not rows:
+            return 404, {"error": "Run not found"}
+        status = rows[0]["status"]
+        if status != "Running":
+            return 400, {"error": f"Run is not running (status: {status})"}
+        self.runner.cancel(run_id)
+        return 200, {"ok": True, "message": "Cancellation requested"}
+
+    def upload_file(self, filename: str, payload: bytes) -> dict:
+        """POST /pipeline/upload: save to landing WITHOUT triggering a
+        run; returns the saved path (ApiServlet.java:283-326)."""
+        import uuid
+
+        api.validate_upload(filename, len(payload))
+        ext = os.path.splitext(filename)[1].lower() or ".csv"
+        os.makedirs(self.landing_dir, exist_ok=True)
+        saved = os.path.join(
+            self.landing_dir,
+            f"upload_{int(time.time() * 1000)}_{uuid.uuid4().hex[:8]}{ext}",
+        )
+        with open(saved, "wb") as f:
+            f.write(payload)
+        return {"path": os.path.abspath(saved)}
+
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "PipelineApiServer":
         self._thread = threading.Thread(
@@ -200,22 +375,39 @@ class PipelineApiServer:
             self._thread.join(timeout=5)
 
 
-def parse_multipart_file(content_type: str, body: bytes):
-    """Extract (filename, payload) of the ``file`` form field from a
-    multipart/form-data body using the stdlib email parser. Returns
-    None when no file part is present."""
+def parse_multipart_form(content_type: str, body: bytes):
+    """Parse a multipart/form-data body with the stdlib email parser
+    into (fields: dict[str, str], file: (filename, payload) | None) —
+    the ``file`` form field becomes the file, every other field a
+    string (the shape ApiServlet.java:236-263 reads for schedule
+    creation)."""
     msg = BytesParser(policy=email_default_policy).parsebytes(
         b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
     )
+    fields: dict[str, str] = {}
+    file = None
     if not msg.is_multipart():
-        return None
+        return fields, None
     for part in msg.iter_parts():
         disp = part.get("Content-Disposition", "")
-        if 'name="file"' in disp:
+        m_name = re.search(r'name="([^"]*)"', disp)
+        name = m_name.group(1) if m_name else ""
+        if name == "file":
             m = re.search(r'filename="([^"]*)"', disp)
             fname = m.group(1) if m else "upload.csv"
-            return fname, part.get_payload(decode=True) or b""
-    return None
+            file = (fname, part.get_payload(decode=True) or b"")
+        elif name:
+            payload = part.get_payload(decode=True) or b""
+            fields[name] = payload.decode("utf-8", "replace")
+    return fields, file
+
+
+def parse_multipart_file(content_type: str, body: bytes):
+    """Extract (filename, payload) of the ``file`` form field from a
+    multipart/form-data body. Returns None when no file part is
+    present."""
+    _fields, file = parse_multipart_form(content_type, body)
+    return file
 
 
 def _make_handler(srv: PipelineApiServer):
@@ -268,6 +460,14 @@ def _make_handler(srv: PipelineApiServer):
                     return self._send_html(
                         200, web.render_run_detail(detail)
                     )
+                if parts == ["ui", "manual-run"]:
+                    return self._send_html(200, web.render_manual_run())
+                if parts == ["ui", "schedules"]:
+                    return self._send_html(
+                        200, web.render_schedules(srv.list_schedules())
+                    )
+                if parts == ["ui", "admin"]:
+                    return self._send_html(200, web.render_admin())
                 if parts == ["ui", "logs"]:
                     try:
                         limit = int(q.get("limit", api.DEFAULT_LOG_LIMIT))
@@ -311,77 +511,196 @@ def _make_handler(srv: PipelineApiServer):
                             q.get("level"), limit,
                         ),
                     )
+                if parts == ["schedules"]:
+                    return self._send(200, srv.list_schedules())
+                if len(parts) == 2 and parts[0] == "schedules":
+                    s = srv.get_schedule(parts[1])
+                    if s is None:
+                        return self._send(
+                            404, {"error": "Schedule not found"}
+                        )
+                    return self._send(200, s)
+                if parts == ["admin", "check-running-status"]:
+                    if srv.runner is None:
+                        return self._send(
+                            500, {"error": "runner not configured"}
+                        )
+                    return self._send(200, srv.check_running_status())
                 return self._send(404, {"error": "Not found"})
             except Exception as e:  # mirror server.js catch-all 500
                 return self._send(500, {"error": str(e)})
 
+        def _read_body_guarded(self):
+            """Read the request body with the Content-Length guards
+            shared by every write endpoint. Returns the bytes, or None
+            after an error response has been sent."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._send(400, {"error": "invalid Content-Length header"})
+                return None
+            if length < 0:
+                # rfile.read(-N) would block reading to EOF and hang
+                # this handler thread until the client gives up
+                self._send(400, {"error": "invalid Content-Length header"})
+                return None
+            # multer parity (server.js:25 limits.fileSize): refuse
+            # oversize uploads from the header, BEFORE buffering the
+            # body — a 10 GB POST must not reach driver memory.
+            # Multipart framing overhead is ~1 KB; exact payload
+            # size is re-checked post-parse by validate_upload.
+            if length > api.UPLOAD_MAX_BYTES + 4096:
+                # drain and DISCARD in small chunks (memory stays
+                # bounded) so the client can finish sending and
+                # receive the 400 instead of a broken pipe
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self._send(
+                    400,
+                    {"error": f"file too large: request body {length} "
+                              f"bytes > {api.UPLOAD_MAX_BYTES} byte cap"},
+                )
+                return None
+            return self.rfile.read(length) if length else b""
+
+        def _extract_upload(self, u, body):
+            """(filename, payload) from a multipart body or a raw body
+            + ?filename=; sends the 400 and returns None otherwise."""
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                got = parse_multipart_file(ctype, body)
+                if got is not None:
+                    return got
+            else:
+                q = dict(urllib.parse.parse_qsl(u.query))
+                fname = q.get("filename")
+                if fname and body:
+                    return fname, body
+            self._send(
+                400,
+                {"error": 'No file uploaded. Use form field '
+                          '"file" with a CSV or JSON file.'},
+            )
+            return None
+
         def do_POST(self):
             try:
                 u = urllib.parse.urlsplit(self.path)
-                if u.path != "/pipeline/trigger":
-                    return self._send(404, {"error": "Not found"})
-                if srv.runner is None or srv.landing_dir is None:
-                    return self._send(
-                        500, {"error": "trigger not configured"}
-                    )
-                try:
-                    length = int(self.headers.get("Content-Length", 0))
-                except (TypeError, ValueError):
-                    return self._send(
-                        400, {"error": "invalid Content-Length header"}
-                    )
-                if length < 0:
-                    # rfile.read(-N) would block reading to EOF and hang
-                    # this handler thread until the client gives up
-                    return self._send(
-                        400, {"error": "invalid Content-Length header"}
-                    )
-                # multer parity (server.js:25 limits.fileSize): refuse
-                # oversize uploads from the header, BEFORE buffering the
-                # body — a 10 GB POST must not reach driver memory.
-                # Multipart framing overhead is ~1 KB; exact payload
-                # size is re-checked post-parse by validate_upload.
-                if length > api.UPLOAD_MAX_BYTES + 4096:
-                    # drain and DISCARD in small chunks (memory stays
-                    # bounded) so the client can finish sending and
-                    # receive the 400 instead of a broken pipe
-                    remaining = length
-                    while remaining > 0:
-                        chunk = self.rfile.read(min(remaining, 1 << 20))
-                        if not chunk:
-                            break
-                        remaining -= len(chunk)
-                    return self._send(
-                        400,
-                        {"error": f"file too large: request body {length} "
-                                  f"bytes > {api.UPLOAD_MAX_BYTES} byte cap"},
-                    )
-                body = self.rfile.read(length) if length else b""
-                ctype = self.headers.get("Content-Type", "")
-                if ctype.startswith("multipart/form-data"):
-                    got = parse_multipart_file(ctype, body)
+                parts = [p for p in u.path.split("/") if p]
+                body = self._read_body_guarded()
+                if body is None:
+                    return
+                if u.path == "/pipeline/trigger":
+                    if srv.runner is None or srv.landing_dir is None:
+                        return self._send(
+                            500, {"error": "trigger not configured"}
+                        )
+                    got = self._extract_upload(u, body)
                     if got is None:
+                        return
+                    try:
+                        out = srv.trigger(*got)
+                    except ValueError as ve:
+                        return self._send(400, {"error": str(ve)})
+                    return self._send(201, out)
+                if u.path == "/pipeline/upload":
+                    if srv.landing_dir is None:
                         return self._send(
-                            400,
-                            {"error": 'No file uploaded. Use form field '
-                                      '"file" with a CSV or JSON file.'},
+                            500, {"error": "upload not configured"}
                         )
-                    fname, payload = got
-                else:
-                    q = dict(urllib.parse.parse_qsl(u.query))
-                    fname = q.get("filename")
-                    payload = body
-                    if not fname or not payload:
+                    got = self._extract_upload(u, body)
+                    if got is None:
+                        return
+                    try:
+                        return self._send(200, srv.upload_file(*got))
+                    except ValueError as ve:
+                        return self._send(400, {"error": str(ve)})
+                if u.path == "/schedules":
+                    if srv.scheduler is None:
                         return self._send(
-                            400,
-                            {"error": 'No file uploaded. Use form field '
-                                      '"file" with a CSV or JSON file.'},
+                            500, {"error": "schedules not configured"}
                         )
-                try:
-                    out = srv.trigger(fname, payload)
-                except ValueError as ve:
-                    return self._send(400, {"error": str(ve)})
-                return self._send(201, out)
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("multipart/form-data"):
+                        fields, file = parse_multipart_form(ctype, body)
+                    else:
+                        fields = json.loads(body) if body else {}
+                        file = None
+                    try:
+                        created = srv.create_schedule(fields, file)
+                    except (ValueError, KeyError) as ve:
+                        return self._send(400, {"error": str(ve)})
+                    return self._send(201, created)
+                if u.path == "/admin/check-running-status":
+                    if srv.runner is None:
+                        return self._send(
+                            500, {"error": "runner not configured"}
+                        )
+                    return self._send(200, srv.check_running_status())
+                if (
+                    len(parts) == 3
+                    and parts[0] == "runs"
+                    and parts[2] == "cancel"
+                ):
+                    if srv.runner is None:
+                        return self._send(
+                            500, {"error": "runner not configured"}
+                        )
+                    code, out = srv.cancel_run(
+                        urllib.parse.unquote(parts[1])
+                    )
+                    return self._send(code, out)
+                return self._send(404, {"error": "Not found"})
+            except Exception as e:
+                return self._send(500, {"error": str(e)})
+
+        def do_PUT(self):
+            try:
+                u = urllib.parse.urlsplit(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                body = self._read_body_guarded()
+                if body is None:
+                    return
+                if len(parts) == 2 and parts[0] == "schedules":
+                    if srv.scheduler is None:
+                        return self._send(
+                            500, {"error": "schedules not configured"}
+                        )
+                    fields = json.loads(body) if body else {}
+                    try:
+                        ok = srv.update_schedule(parts[1], fields)
+                    except (ValueError, KeyError) as ve:
+                        return self._send(400, {"error": str(ve)})
+                    if not ok:
+                        return self._send(
+                            404, {"error": "Schedule not found"}
+                        )
+                    return self._send(200, {"ok": True})
+                return self._send(404, {"error": "Not found"})
+            except Exception as e:
+                return self._send(500, {"error": str(e)})
+
+        def do_DELETE(self):
+            try:
+                parts = [
+                    p for p in urllib.parse.urlsplit(self.path).path.split("/")
+                    if p
+                ]
+                if len(parts) == 2 and parts[0] == "schedules":
+                    if srv.scheduler is None:
+                        return self._send(
+                            500, {"error": "schedules not configured"}
+                        )
+                    if not srv.delete_schedule(parts[1]):
+                        return self._send(
+                            404, {"error": "Schedule not found"}
+                        )
+                    return self._send(200, {"ok": True})
+                return self._send(404, {"error": "Not found"})
             except Exception as e:
                 return self._send(500, {"error": str(e)})
 

@@ -312,8 +312,10 @@ class PipelineRunner:
         return run_id
 
     # ---- timeout sweep (ST6, ApiServlet.java:382-433) -------------------
-    def sweep_timeouts(self, now=None, timeout_hours: float = RUN_TIMEOUT_HOURS) -> int:
-        """Mark runs Running past the timeout as Failed-TimeOut-6Hours.
+    def sweep_timeouts(self, now=None, timeout_hours: float = RUN_TIMEOUT_HOURS) -> list[str]:
+        """Mark runs Running past the timeout as Failed-TimeOut-6Hours;
+        returns the run_ids marked (ApiServlet.java:404-434 returns the
+        same list from /admin/check-running-status).
         Beyond the status write, the sweep also (a) CANCELS the run's
         Spark job group — a timed-out run's hung jobs must stop eating
         the cluster, not just get relabeled — and (b) closes out its
@@ -323,7 +325,7 @@ class PipelineRunner:
         ``_finalize_run``'s timeout guard."""
         now = now or utcnow()
         cutoff = now - timedelta(hours=timeout_hours)
-        n = 0
+        marked: list[str] = []
         rows = (
             self.control.runs(self.spark)
             .filter((F.col("status") == "Running") & (F.col("started_at") < F.lit(cutoff)))
@@ -355,5 +357,5 @@ class PipelineRunner:
                     error_message=TIMEOUT_STATUS,
                 )
             self.control.update_run(rid, status=TIMEOUT_STATUS, finished_at=now)
-            n += 1
-        return n
+            marked.append(rid)
+        return marked

@@ -70,7 +70,9 @@ def _page(title: str, body: str, refresh_sec: int | None = None) -> str:
         '<meta charset="utf-8">'
         f"<title>{_html.escape(title)}</title>{meta}"
         f"<style>{_STYLE}</style></head><body>"
-        '<nav><a href="/">Runs</a><a href="/ui/logs">Logs</a></nav>'
+        '<nav><a href="/">Runs</a><a href="/ui/manual-run">Manual Run</a>'
+        '<a href="/ui/schedules">Schedules</a><a href="/ui/logs">Logs</a>'
+        '<a href="/ui/admin">Admin</a></nav>'
         f"{body}</body></html>"
     )
 
@@ -197,3 +199,116 @@ def render_logs(logs: list[dict], run_id=None, level=None) -> str:
 
 def render_not_found(what: str) -> str:
     return _page("Not found", f"<h1>404</h1><p>{_esc(what)} not found</p>")
+
+
+def render_manual_run() -> str:
+    """manual-run.jsp counterpart: a form POSTing multipart to
+    /pipeline/trigger (the same endpoint the JSON API uses). The
+    response is the trigger JSON; the page links back to the runs
+    table where the new Running row appears."""
+    body = (
+        "<h1>Trigger pipeline manually</h1>"
+        '<form method="post" action="/pipeline/trigger" '
+        'enctype="multipart/form-data">'
+        "<p><label>CSV or JSON file "
+        '<input type="file" name="file" accept=".csv,.json" required>'
+        "</label></p>"
+        '<p><button type="submit">Run pipeline</button></p>'
+        "</form>"
+        '<p><a href="/">&larr; Back to runs</a> (the triggered run '
+        "appears there as Running)</p>"
+    )
+    return _page("Manual Run", body)
+
+
+def render_schedules(schedules: list[dict]) -> str:
+    """schedules.jsp counterpart: add form + schedules table with
+    enable/disable and delete actions. The JSON API verbs are PUT and
+    DELETE (reference parity), which HTML forms cannot send, so the
+    action buttons use the same tiny fetch() calls the JSP uses."""
+    rows = "".join(
+        "<tr>"
+        f"<td>{_esc(s.get('name'))}</td>"
+        f"<td>{_esc(s.get('schedule_type'))}</td>"
+        f"<td>{_esc(s.get('run_at_time'))}</td>"
+        f"<td>{_esc(s.get('day_of_week'))}</td>"
+        f"<td>{_esc(s.get('day_of_month'))}</td>"
+        f"<td>{'yes' if s.get('enabled') else 'no'}</td>"
+        f"<td>{_esc(s.get('last_run_at'))}</td>"
+        f"<td>{_esc(s.get('next_run_at'))}</td>"
+        f"<td>"
+        f"<button onclick=\"toggleSchedule('{_esc(s.get('schedule_id'))}',"
+        f" {'false' if s.get('enabled') else 'true'})\">"
+        f"{'Disable' if s.get('enabled') else 'Enable'}</button> "
+        f"<button onclick=\"deleteSchedule('{_esc(s.get('schedule_id'))}')\">"
+        "Delete</button>"
+        "</td></tr>"
+        for s in schedules
+    )
+    body = (
+        "<h1>Schedules</h1>"
+        "<h2>Add schedule</h2>"
+        '<form method="post" action="/schedules" '
+        'enctype="multipart/form-data">'
+        '<p><label>Name <input type="text" name="name" required></label> '
+        "<label>Type "
+        '<select name="scheduleType">'
+        '<option value="daily">Daily</option>'
+        '<option value="weekly">Weekly</option>'
+        '<option value="monthly">Monthly</option>'
+        "</select></label> "
+        '<label>Run at <input type="time" name="runAtTime" value="09:00">'
+        "</label> "
+        '<label>Day of week (weekly) <input type="number" name="dayOfWeek"'
+        ' min="0" max="6"></label> '
+        '<label>Day of month (monthly) <input type="number"'
+        ' name="dayOfMonth" min="1" max="31"></label> '
+        '<label>File <input type="file" name="file" accept=".csv,.json"'
+        " required></label> "
+        '<button type="submit">Add</button></p>'
+        "</form>"
+        "<table><thead><tr><th>Name</th><th>Type</th><th>Run at</th>"
+        "<th>DoW</th><th>DoM</th><th>Enabled</th><th>Last run</th>"
+        "<th>Next run</th><th>Actions</th></tr></thead>"
+        f"<tbody>{rows}</tbody></table>"
+        f"<p>{len(schedules)} schedules</p>"
+        "<script>"
+        "function toggleSchedule(id, enabled) {"
+        "  fetch('/schedules/' + encodeURIComponent(id), {"
+        "    method: 'PUT', headers: {'Content-Type': 'application/json'},"
+        "    body: JSON.stringify({enabled: enabled})"
+        "  }).then(function() { location.reload(); });"
+        "}"
+        "function deleteSchedule(id) {"
+        "  fetch('/schedules/' + encodeURIComponent(id), {method: 'DELETE'})"
+        "    .then(function() { location.reload(); });"
+        "}"
+        "</script>"
+    )
+    return _page("Schedules", body)
+
+
+def render_admin() -> str:
+    """admin.jsp counterpart: the 6 h running-status check button; the
+    result of POST /admin/check-running-status renders in place."""
+    body = (
+        "<h1>Admin</h1>"
+        "<h2>Running status check (6h timeout)</h2>"
+        "<p>Mark every run that has been Running for more than 6 hours "
+        "as <strong>Failed-TimeOut-6Hours</strong> (also cancels its "
+        "Spark job group and closes its stale step rows).</p>"
+        '<p><button id="checkBtn">Check running status now</button></p>'
+        '<pre id="result"></pre>'
+        "<script>"
+        "document.getElementById('checkBtn').addEventListener('click',"
+        " function() {"
+        "  fetch('/admin/check-running-status', {method: 'POST'})"
+        "    .then(function(r) { return r.json(); })"
+        "    .then(function(b) {"
+        "      document.getElementById('result').textContent ="
+        "        JSON.stringify(b, null, 2);"
+        "    });"
+        "});"
+        "</script>"
+    )
+    return _page("Admin", body)

@@ -76,11 +76,11 @@ def test_timeout_sweep(spark, workdir):
     # a run left Running for >6h gets swept; a fresh Running run doesn't
     stale = runner.control.start_run(pipeline_name="Stuck")
     fresh = runner.control.start_run(pipeline_name="FreshRunning")
-    n = runner.sweep_timeouts(now=utcnow() + timedelta(hours=7))
+    n = len(runner.sweep_timeouts(now=utcnow() + timedelta(hours=7)))
     # both are older than 7h-6h=1h? no: stale+fresh started 'now', cutoff
     # = now+7h-6h = start+1h -> both swept. Re-check with a tight now:
     assert n == 2
-    n2 = runner.sweep_timeouts(now=utcnow())
+    n2 = len(runner.sweep_timeouts(now=utcnow()))
     assert n2 == 0  # nothing Running anymore
     statuses = {
         r["run_id"]: r["status"] for r in runner.control.runs(spark).collect()

@@ -315,3 +315,215 @@ def test_invalid_content_length_is_client_error(served):
         resp = conn.getresponse()
         assert resp.status == 400, bad
         conn.close()
+
+
+# ---------------------------------------------------------------------
+# Schedules / admin / cancel / upload (ApiServlet.java:60-175 parity)
+# ---------------------------------------------------------------------
+def _req(port, path, method, data=None, content_type="application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=data,
+        headers={"Content-Type": content_type} if data is not None else {},
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def served_full(spark, workdir):
+    """Server wired with runner AND scheduler (fire recorded, not
+    executed — schedule CRUD is the surface under test)."""
+    from automated_data_pipeline_spark.scheduler import ScheduleRunner
+
+    runner = PipelineRunner(spark, workdir)
+    fired = []
+    sched = ScheduleRunner(fire=fired.append, poll_seconds=3600)
+    srv = PipelineApiServer(
+        spark,
+        runner.control,
+        runner=runner,
+        landing_dir=f"{workdir}/landing",
+        scheduler=sched,
+    ).start()
+    yield srv, runner, sched, fired
+    srv.stop()
+
+
+def test_schedule_crud_roundtrip(served_full):
+    srv, _runner, sched, _fired = served_full
+    code, created = _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({
+            "name": "Daily sync", "scheduleType": "daily",
+            "runAtTime": "09:30", "sourcePath": "/tmp/x.csv",
+        }).encode(),
+    )
+    assert code == 201
+    sid = created["schedule_id"]
+    assert created["enabled"] is True
+    assert created["next_run_at"]  # validated + computed at add time
+
+    code, lst = _req(srv.port, "/schedules", "GET")
+    assert code == 200 and [s["schedule_id"] for s in lst] == [sid]
+
+    code, one = _req(srv.port, f"/schedules/{sid}", "GET")
+    assert code == 200 and one["run_at_time"] == "09:30"
+
+    # PUT: disable + retime; next_run_at recomputes for the new time
+    code, body = _req(
+        srv.port, f"/schedules/{sid}", "PUT",
+        json.dumps({"enabled": False, "runAtTime": "23:45"}).encode(),
+    )
+    assert code == 200 and body == {"ok": True}
+    code, one = _req(srv.port, f"/schedules/{sid}", "GET")
+    assert one["enabled"] is False and one["run_at_time"] == "23:45"
+    assert "23:45" in one["next_run_at"]
+
+    code, _ = _req(srv.port, f"/schedules/{sid}", "DELETE")
+    assert code == 200
+    code, _ = _req(srv.port, f"/schedules/{sid}", "GET")
+    assert code == 404
+    code, _ = _req(srv.port, f"/schedules/{sid}", "DELETE")
+    assert code == 404
+
+
+def test_schedule_multipart_create_saves_source_file(served_full):
+    srv, _runner, sched, _fired = served_full
+    boundary = "XBOUNDX"
+    parts = []
+    for name, val in [
+        ("name", "Weekly load"), ("scheduleType", "weekly"),
+        ("runAtTime", "08:15"), ("dayOfWeek", "2"),
+    ]:
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="{name}"\r\n\r\n{val}\r\n'
+        )
+    parts.append(
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="orders.csv"\r\n\r\nOrderId,Amount\nA,1\n\r\n'
+    )
+    body = ("".join(parts) + f"--{boundary}--\r\n").encode()
+    code, created = _req(
+        srv.port, "/schedules", "POST", body,
+        content_type=f"multipart/form-data; boundary={boundary}",
+    )
+    assert code == 201, created
+    assert created["schedule_type"] == "weekly"
+    assert created["day_of_week"] == 2
+    import os
+
+    assert os.path.exists(created["source_path"])
+    with open(created["source_path"]) as f:
+        assert "OrderId" in f.read()
+
+
+def test_schedule_malformed_is_400(served_full):
+    srv, *_ = served_full
+    code, body = _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({"name": "bad", "runAtTime": "99:99"}).encode(),
+    )
+    assert code == 400 and "error" in body
+    code, lst = _req(srv.port, "/schedules", "GET")
+    assert lst == []
+
+
+def test_admin_check_running_status_marks_stale_runs(spark, served_full):
+    from datetime import timedelta
+
+    from automated_data_pipeline_spark.control import utcnow
+
+    srv, runner, *_ = served_full
+    stale = runner.control.start_run(pipeline_name="Stuck")
+    runner.control.update_run(
+        stale, started_at=utcnow() - timedelta(hours=7)
+    )
+    fresh = runner.control.start_run(pipeline_name="Fresh")
+
+    code, body = _req(srv.port, "/admin/check-running-status", "POST", b"")
+    assert code == 200
+    assert body["runningChecked"] is True
+    assert body["markedTimeout"] == 1
+    assert body["runIdsMarked"] == [stale]
+    statuses = {
+        r["run_id"]: r["status"]
+        for r in runner.control.runs(spark).collect()
+    }
+    assert statuses[stale] == "Failed-TimeOut-6Hours"
+    assert statuses[fresh] == "Running"
+    # GET works too (admin.jsp loads it on click via GET or POST)
+    code, body = _req(srv.port, "/admin/check-running-status", "GET")
+    assert code == 200 and body["markedTimeout"] == 0
+
+
+def test_cancel_endpoint_contract(spark, served_full):
+    from automated_data_pipeline_spark.runner import PipelineCancelledError
+
+    srv, runner, *_ = served_full
+    code, body = _req(srv.port, "/runs/nope/cancel", "POST", b"")
+    assert code == 404
+
+    done = runner.run(
+        source_df=generate_orders(spark, 5),
+        source_type="Generated",
+        pipeline_name="Done",
+    )
+    code, body = _req(srv.port, f"/runs/{done}/cancel", "POST", b"")
+    assert code == 400 and "not running" in body["error"].lower()
+
+    running = runner.control.start_run(pipeline_name="Hanging")
+    code, body = _req(srv.port, f"/runs/{running}/cancel", "POST", b"")
+    assert code == 200 and body["ok"] is True
+    with pytest.raises(PipelineCancelledError):
+        runner._check_cancelled(running)
+
+
+def test_upload_endpoint_saves_without_running(served_full):
+    import os
+
+    srv, runner, *_ = served_full
+    code, body = _req(
+        srv.port, "/pipeline/upload?filename=orders.csv", "POST",
+        b"OrderId,Amount\nA,1\n", content_type="text/csv",
+    )
+    assert code == 200 and os.path.exists(body["path"])
+    # upload alone must NOT start a run (that's /pipeline/trigger)
+    assert runner.control.runs(srv.spark).count() == 0
+    code, body = _req(
+        srv.port, "/pipeline/upload?filename=evil.exe", "POST",
+        b"MZ", content_type="application/octet-stream",
+    )
+    assert code == 400
+
+
+def test_gui_admin_schedules_manualrun_pages(served_full):
+    srv, *_ = served_full
+    _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({
+            "name": "Nightly <sync>", "scheduleType": "daily",
+            "runAtTime": "01:00", "sourcePath": "/tmp/x.csv",
+        }).encode(),
+    )
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/ui/manual-run"
+    ) as r:
+        page = r.read().decode()
+    assert 'action="/pipeline/trigger"' in page and 'type="file"' in page
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/ui/schedules"
+    ) as r:
+        page = r.read().decode()
+    assert "Nightly &lt;sync&gt;" in page  # escaped
+    assert "toggleSchedule" in page and "deleteSchedule" in page
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/ui/admin"
+    ) as r:
+        page = r.read().decode()
+    assert "check-running-status" in page

@@ -381,7 +381,7 @@ def test_sweep_closes_steps_and_blocks_zombie_success(spark, tmp_path):
         rid, status="Running", started_at=utcnow() - timedelta(hours=7)
     )
     runner.control.update_step(rid, 2, status="Running", started_at=utcnow())
-    assert runner.sweep_timeouts() == 1
+    assert len(runner.sweep_timeouts()) == 1
     runs = {r["run_id"]: r for r in runner.control.runs(spark).collect()}
     assert runs[rid]["status"] == TIMEOUT_STATUS
     steps = {
