@@ -219,3 +219,29 @@ class ScheduleRunner:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def pipeline_fire(runner, pipeline_name_prefix: str = "ScheduledPipeline"):
+    """Production fire callback: run the 4-stage pipeline against the
+    schedule's saved source file (ScheduleRunner.java:50-51 calls
+    PipelineRunner.startPipelineRun(sourcePath) the same way). The
+    pipeline name carries the schedule name so GET /runs attributes
+    the run to its schedule.
+
+    A schedule without a source_path raises — the poller records it on
+    ``ScheduleRunner.errors`` and (by the claim-first contract) does
+    NOT hot-loop the broken schedule."""
+
+    def fire(schedule: dict) -> str:
+        source = schedule.get("source_path")
+        if not source:
+            raise ValueError(
+                f"schedule {schedule.get('schedule_id')} has no source_path"
+            )
+        name = schedule.get("name") or schedule.get("schedule_id") or "?"
+        return runner.run(
+            source_path=source,
+            pipeline_name=f"{pipeline_name_prefix}:{name}",
+        )
+
+    return fire

@@ -527,3 +527,67 @@ def test_gui_admin_schedules_manualrun_pages(served_full):
     ) as r:
         page = r.read().decode()
     assert "check-running-status" in page
+
+
+def test_http_created_schedule_fires_the_pipeline(spark, workdir):
+    """End-to-end schedule wiring: a schedule created over HTTP (with
+    its source file) actually drives the 4-stage pipeline when due —
+    the reference's runDueSchedules -> startPipelineRun(sourcePath)
+    loop (ScheduleRunner.java:36-58)."""
+    from datetime import datetime, timedelta
+
+    from automated_data_pipeline_spark.scheduler import (
+        ScheduleRunner,
+        pipeline_fire,
+    )
+
+    clock = {"now": datetime(2026, 3, 1, 8, 0)}
+    runner = PipelineRunner(spark, workdir)
+    sched = ScheduleRunner(
+        fire=pipeline_fire(runner),
+        now_fn=lambda: clock["now"],
+        poll_seconds=3600,
+    )
+    srv = PipelineApiServer(
+        spark, runner.control, runner=runner,
+        landing_dir=f"{workdir}/landing", scheduler=sched,
+    ).start()
+    try:
+        boundary = "XBOUNDX"
+        csv = "OrderId,OrderDate,CustomerName,Amount,Status\n" + "".join(
+            f"S-{i:03d},2026-03-01,Cust {i},{10 * (i + 1)}.00,Completed\n"
+            for i in range(8)
+        )
+        body = (
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="name"\r\n\r\nMorning load\r\n'
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="scheduleType"\r\n\r\ndaily\r\n'
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="runAtTime"\r\n\r\n09:00\r\n'
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="file"; filename="sched.csv"\r\n\r\n{csv}\r\n'
+            f"--{boundary}--\r\n"
+        ).encode()
+        code, created = _req(
+            srv.port, "/schedules", "POST", body,
+            content_type=f"multipart/form-data; boundary={boundary}",
+        )
+        assert code == 201, created
+
+        assert sched.run_due() == []  # 08:00 — not due yet
+        clock["now"] = datetime(2026, 3, 1, 9, 1)
+        assert sched.run_due() == [created["schedule_id"]]
+
+        runs = runner.control.runs(spark).collect()
+        assert len(runs) == 1
+        assert runs[0]["pipeline_name"] == "ScheduledPipeline:Morning load"
+        assert runs[0]["status"] == "Success"
+        assert runner.target.read(spark).count() == 8
+        # next occurrence claimed: tomorrow 09:00
+        code, one = _req(
+            srv.port, f"/schedules/{created['schedule_id']}", "GET"
+        )
+        assert one["next_run_at"].startswith("2026-03-02 09:00")
+    finally:
+        srv.stop()
