@@ -259,8 +259,8 @@ def render_schedules(schedules: list[dict]) -> str:
         "</select></label> "
         '<label>Run at <input type="time" name="runAtTime" value="09:00">'
         "</label> "
-        '<label>Day of week (weekly) <input type="number" name="dayOfWeek"'
-        ' min="0" max="6"></label> '
+        '<label>Day of week (weekly, 1=Mon..7=Sun) <input type="number"'
+        ' name="dayOfWeek" min="1" max="7"></label> '
         '<label>Day of month (monthly) <input type="number"'
         ' name="dayOfMonth" min="1" max="31"></label> '
         '<label>File <input type="file" name="file" accept=".csv,.json"'
