@@ -565,3 +565,263 @@ def top_bigrams_per_lang(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", F.col("n").cast("bigint").alias("n"), "rnk")
     )
+
+
+# --------------------------------------------------------------------
+# Late-round-5 additions: five more canonical TPC-H query shapes
+# (Q6/Q8/Q15/Q18 and a Q4 adaptation) over the fixture star schema.
+# --------------------------------------------------------------------
+@spec(
+    "promo_discount_revenue_band",
+    """
+    SELECT
+      CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2)
+           AS DOUBLE) AS revenue_delta,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: the what-if revenue delta of dropping a discount "
+    "band for a year — a pure scan-filter-aggregate. Plan: every "
+    "predicate pushes to the parquet scan (shipdate min/max prune row "
+    "groups at scale), decimal-exact product sum, single partial/final "
+    "agg — the cheapest possible shape, included as the pushdown "
+    "sentinel for the family",
+)
+def promo_discount_revenue_band(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,10)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "nation_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr, n2.n_name AS supp_nation,
+        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)) AS vol
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    )
+    SELECT yr,
+      floor(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+            / CAST(sum(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        AS mkt_share,
+      CAST(round(sum(vol), 2) AS DOUBLE) AS total_volume
+    FROM base GROUP BY yr
+    """,
+    "TPC-H Q8 shape: NATION_7's share of the ASIA-market revenue per "
+    "order year. Plan: the four dimension joins (customer, nation x2, "
+    "region, supplier) all BROADCAST into the single fact pass, the "
+    "region filter prunes before the share math, and the share is one "
+    "IEEE division of two exact decimal sums (engine-portable floor "
+    "rounding — a .5 disagreement would corrupt the output value, so "
+    "the shared form matters)",
+)
+def nation_market_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,10)"
+            ).alias("vol"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(zero)
+    )
+    den = F.sum("vol")
+    return base.groupBy("yr").agg(
+        portable_round(num.cast("double") / den.cast("double"), 6).alias(
+            "mkt_share"
+        ),
+        F.round(den, 2).cast("double").alias("total_volume"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "top_supplier_by_quarter",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+          AS total
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+      CAST(round(r.total, 2) AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+    "TPC-H Q15 shape: the quarter's top revenue supplier(s) — the "
+    "classic view + scalar-subquery formulation, kept EXACT by "
+    "comparing decimal totals (ties all surface; a double max-equality "
+    "would be engine-lottery). Plan: one filtered fact agg, the "
+    "one-row max broadcast back over the tiny per-supplier frame",
+)
+def top_supplier_by_quarter(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("total")
+        )
+    )
+    top = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+        sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        AS total_price,
+      CAST(b.qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "TPC-H Q18 shape: large-volume orders (total quantity > 300) with "
+    "their customers. Plan: the HAVING-filtered per-order agg is the "
+    "small side and BROADCASTS into orders; at 100 TB the first agg's "
+    "map-side partials carry the load and only qualifying orderkeys "
+    "cross the join",
+)
+def large_volume_orders(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "order_priority_late_check",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape (adapted to the fixture's columns: the "
+    "commit-vs-receipt lateness becomes ship > order + 45 days): "
+    "order-priority counts of quarter orders with at least one late "
+    "line — the canonical EXISTS -> LEFT SEMI JOIN translation. Plan: "
+    "the quarter filter pushes into the orders scan FIRST, the semi "
+    "join shuffles only qualifying orderkeys, and no lineitem column "
+    "survives past the join",
+)
+def order_priority_late_check(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )

@@ -117,6 +117,11 @@ HEADLINE = [
     "fuzzy_supplier_match",
     "hll_rollup_user_days",
     "kmv_overlap_types",
+    "promo_discount_revenue_band",
+    "nation_market_share",
+    "top_supplier_by_quarter",
+    "large_volume_orders",
+    "order_priority_late_check",
 ]
 
 
