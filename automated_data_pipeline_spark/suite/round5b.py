@@ -672,3 +672,93 @@ def kmv_overlap_types(spark, sf_dir):
             ).alias("jaccard_est"),
         )
     )
+
+
+# --------------------------------------------------------------------
+CV_FOLDS = 4  # forward-chaining folds; 5 equal-duration slices
+
+
+@spec(
+    "temporal_cv_folds",
+    f"""
+    WITH b AS (
+      SELECT epoch_us(min(ts)) AS mn,
+             epoch_us(max(ts)) - epoch_us(min(ts)) + 1 AS span
+      FROM events
+    ),
+    sliced AS (
+      SELECT CAST(((epoch_us(e.ts) - b.mn) * {CV_FOLDS + 1}) // b.span
+             AS BIGINT) AS slice
+      FROM events e, b
+    ),
+    per_slice AS (
+      SELECT slice, count(*) AS n FROM sliced GROUP BY slice
+    ),
+    cum AS (
+      SELECT slice, n,
+        sum(n) OVER (ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS n_before
+      FROM per_slice
+    ),
+    folds AS (SELECT unnest(range(1, {CV_FOLDS + 1})) AS fold)
+    SELECT f.fold,
+      CAST(coalesce(c.n_before, 0) AS BIGINT) AS n_train,
+      CAST(coalesce(c.n, 0) AS BIGINT) AS n_test,
+      CAST(b.mn + (b.span * f.fold) // {CV_FOLDS + 1} AS BIGINT)
+        AS train_end_us,
+      CAST(b.mn + (b.span * (f.fold + 1)) // {CV_FOLDS + 1} AS BIGINT)
+        AS test_end_us
+    FROM folds f
+    CROSS JOIN b
+    LEFT JOIN cum c ON c.slice = f.fold
+    """,
+    "forward-chaining temporal cross-validation: the event range is "
+    "cut into 5 equal-DURATION slices; fold i trains on everything "
+    "before slice i and tests on slice i — the split that never leaks "
+    "the future into training, which a random split always does for "
+    "time-series. Cross-engine exact by construction: slice "
+    "assignment is pure int64 arithmetic on epoch microseconds "
+    "(((us - mn) * 5) integer-div span — no float percentile "
+    "interpolation, whose ulp-at-1e15 differences could flip "
+    "boundary events between engines). Plan: one scan -> 5-row slice "
+    "agg with map-side partials; the fold table derives from those 5 "
+    "rows",
+)
+def temporal_cv_folds(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    b = e.agg(
+        F.unix_micros(F.min("ts")).alias("mn"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")) + 1).alias(
+            "span"
+        ),
+    )
+    k1 = CV_FOLDS + 1
+    sliced = e.crossJoin(F.broadcast(b)).select(
+        F.expr(f"((unix_micros(ts) - mn) * {k1}) div span").alias("slice")
+    )
+    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_slice.select(
+        "slice", "n", F.sum("n").over(w).alias("n_before")
+    )
+    folds = spark.range(1, k1).select(F.col("id").alias("fold"))
+    return (
+        folds.crossJoin(F.broadcast(b))
+        .join(F.broadcast(cum), folds.fold == cum.slice, "left")
+        .select(
+            "fold",
+            F.coalesce(F.col("n_before"), F.lit(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_test"),
+            F.expr(f"CAST(mn + (span * fold) div {k1} AS BIGINT)").alias(
+                "train_end_us"
+            ),
+            F.expr(
+                f"CAST(mn + (span * (fold + 1)) div {k1} AS BIGINT)"
+            ).alias("test_end_us"),
+        )
+    )

@@ -122,6 +122,7 @@ HEADLINE = [
     "top_supplier_by_quarter",
     "large_volume_orders",
     "order_priority_late_check",
+    "temporal_cv_folds",
 ]
 
 

@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 133
-DOCUMENTED_WITH_ORACLE = 128
+DOCUMENTED_TOTAL = 134
+DOCUMENTED_WITH_ORACLE = 129
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -61,7 +61,7 @@ ADDED_IN_R5 = frozenset({
     # late wave: five more canonical TPC-H shapes
     "promo_discount_revenue_band", "nation_market_share",
     "top_supplier_by_quarter", "large_volume_orders",
-    "order_priority_late_check",
+    "order_priority_late_check", "temporal_cv_folds",
 })
 
 
