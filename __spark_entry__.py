@@ -2,14 +2,14 @@
 
 - ``entry(spark)``: flagship 4-stage dataflow (Pull->Extract->Transform
   semantics) + category revenue rollup over sf0.001.
-- ``queries()``: 121 named queries — every implemented operator from
+- ``queries()``: 134 named queries — every implemented operator from
   SURVEY.md §2 (parity), event-time analytics, temporal/OLAP extensions,
   and the LLM-pipeline family (dedup, similarity, text analysis,
   multimodal) — see automated_data_pipeline_spark/suite/ and the
   coverage matrix in README.md. The first 50 (the driver's gate window,
   suite.GATE_WINDOW) all carry oracles; tests/test_suite_contract.py
   asserts the counts and the window composition.
-- ``oracle_sql()``: DuckDB twins for 116 of them — including the SimHash
+- ``oracle_sql()``: DuckDB twins for 129 of them — including the SimHash
   band join (pigeonhole-exact vs the quadratic spec), the RHP-LSH
   queries (deterministic md5-derived hyperplanes re-derived in SQL),
   and the mapInPandas featurization (integer byte-bucket accumulators

@@ -282,15 +282,10 @@ class PipelineApiServer:
         return self.get_schedule(s["schedule_id"])
 
     def update_schedule(self, sid: str, fields: dict) -> bool:
-        """PUT /schedules/{id}: merge the provided fields and
-        re-validate/recompute next_run_at through ScheduleRunner.add
-        (the reference's updateSchedule likewise recomputes NextRunAt).
-        Returns False if the schedule doesn't exist."""
-        with self.scheduler._lock:
-            cur = self.scheduler.schedules.get(sid)
-            if cur is None:
-                return False
-            merged = dict(cur)
+        """PUT /schedules/{id}: merge the provided fields atomically
+        and revalidate/recompute next_run_at (the reference's
+        updateSchedule likewise recomputes NextRunAt). Returns False
+        if the schedule doesn't exist."""
         key_map = {
             "name": "name", "scheduleType": "schedule_type",
             "schedule_type": "schedule_type", "runAtTime": "run_at_time",
@@ -299,13 +294,16 @@ class PipelineApiServer:
             "day_of_month": "day_of_month", "sourcePath": "source_path",
             "source_path": "source_path", "enabled": "enabled",
         }
-        for k, v in fields.items():
-            if k in key_map and v is not None:
-                merged[key_map[k]] = v
-        merged["updated_at"] = datetime.utcnow()
-        merged.pop("next_run_at", None)  # force recompute+revalidate
-        self.scheduler.add(merged)
-        return True
+        mapped = {
+            key_map[k]: v
+            for k, v in fields.items()
+            if k in key_map and v is not None
+        }
+        mapped["updated_at"] = datetime.utcnow()
+        # the merge happens atomically inside the scheduler lock — a
+        # lock-released read-merge-add here let two concurrent PUTs
+        # silently drop each other's fields
+        return self.scheduler.update(sid, mapped)
 
     def delete_schedule(self, sid: str) -> bool:
         with self.scheduler._lock:
@@ -625,14 +623,16 @@ def _make_handler(srv: PipelineApiServer):
                             500, {"error": "schedules not configured"}
                         )
                     ctype = self.headers.get("Content-Type", "")
-                    if ctype.startswith("multipart/form-data"):
-                        fields, file = parse_multipart_form(ctype, body)
-                    else:
-                        fields = json.loads(body) if body else {}
-                        file = None
                     try:
+                        if ctype.startswith("multipart/form-data"):
+                            fields, file = parse_multipart_form(ctype, body)
+                        else:
+                            fields = json.loads(body) if body else {}
+                            file = None
                         created = srv.create_schedule(fields, file)
                     except (ValueError, KeyError) as ve:
+                        # includes JSONDecodeError (a ValueError): a
+                        # malformed body is the client's fault, not 500
                         return self._send(400, {"error": str(ve)})
                     return self._send(201, created)
                 if u.path == "/admin/check-running-status":
@@ -670,8 +670,8 @@ def _make_handler(srv: PipelineApiServer):
                         return self._send(
                             500, {"error": "schedules not configured"}
                         )
-                    fields = json.loads(body) if body else {}
                     try:
+                        fields = json.loads(body) if body else {}
                         ok = srv.update_schedule(parts[1], fields)
                     except (ValueError, KeyError) as ve:
                         return self._send(400, {"error": str(ve)})

@@ -147,7 +147,15 @@ def interval_overlap_join(
     for k in on:
         rb = rb.withColumnRenamed(k, f"_r_on_{k}")
     collisions = (set(left.columns) & set(right.columns)) - set(on)
-    r_name = {c: (f"r_{c}" if c in collisions else c) for c in right.columns}
+    # the disambiguating prefix must not itself produce a name that
+    # already exists on either side (left holding both `start` and
+    # `r_start` would yield TWO r_start columns — exactly the
+    # ambiguity the rename exists to prevent); escalate until unique
+    taken = set(left.columns) | set(right.columns)
+    prefix = "r_"
+    while any(f"{prefix}{c}" in taken for c in collisions):
+        prefix = "r" + prefix
+    r_name = {c: (f"{prefix}{c}" if c in collisions else c) for c in right.columns}
     for c in sorted(collisions):
         rb = rb.withColumnRenamed(c, r_name[c])
     rb = rb.alias("b")

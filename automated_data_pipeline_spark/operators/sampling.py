@@ -255,3 +255,69 @@ def chunk_documents(
         F.size("_chunk").alias("n_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def forward_chain_folds(
+    df: DataFrame, ts_col: str, n_folds: int = 4
+) -> DataFrame:
+    """Forward-chaining temporal CV folds: the [min, max] time range is
+    cut into ``n_folds + 1`` equal-DURATION slices; fold i (1-based)
+    trains on every row strictly before slice i and tests on slice i —
+    the split that cannot leak the future into training.
+
+    Slice assignment is pure int64 arithmetic on epoch microseconds
+    (((us - mn) * (k+1)) integer-div span) — deliberately NOT float
+    percentile interpolation, whose ulp-scale differences at 1e15
+    magnitudes could flip boundary rows between engines (the suite
+    twin temporal_cv_folds replays this exactly in DuckDB SQL).
+
+    Output per fold: (fold, n_train, n_test, train_end_us,
+    test_end_us). ``n_train`` sums every slice BEFORE the fold — a
+    fold whose own test slice is empty still reports its full
+    training count. Plan: one scan -> (k+1)-row slice agg with
+    map-side partials; everything after runs on k+1 rows."""
+    k1 = n_folds + 1
+    b = df.agg(
+        F.unix_micros(F.min(ts_col)).alias("mn"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)) + 1
+        ).alias("span"),
+    )
+    sliced = df.crossJoin(F.broadcast(b)).select(
+        F.expr(f"((unix_micros({ts_col}) - mn) * {k1}) div span").alias(
+            "slice"
+        )
+    )
+    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    folds = spark.range(1, k1).select(F.col("id").alias("fold"))
+    train = (
+        folds.join(
+            F.broadcast(per_slice), per_slice["slice"] < folds["fold"], "left"
+        )
+        .groupBy("fold")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_train"))
+    )
+    test = (
+        folds.join(
+            F.broadcast(per_slice), per_slice["slice"] == folds["fold"], "left"
+        )
+        .groupBy("fold")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_test"))
+    )
+    return (
+        folds.crossJoin(F.broadcast(b))
+        .join(train, "fold")
+        .join(test, "fold")
+        .select(
+            "fold",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.expr(f"CAST(mn + (span * fold) div {k1} AS BIGINT)").alias(
+                "train_end_us"
+            ),
+            F.expr(
+                f"CAST(mn + (span * (fold + 1)) div {k1} AS BIGINT)"
+            ).alias("test_end_us"),
+        )
+    )

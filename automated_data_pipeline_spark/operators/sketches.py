@@ -112,6 +112,8 @@ def hll_registers(
     Merging two register tables = union + groupBy MAX (associative).
     The bit-length comes from length(bin(x)) — integer-exact and
     spelled identically in the DuckDB oracle."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll precision p must be in [4, 16], got {p}")
     low_bits = 60 - p
     mask = (1 << low_bits) - 1
     hashed = df.filter(item_col.isNotNull()).select(
@@ -143,21 +145,28 @@ def hll_estimate(
 
     Output: group_cols..., n_buckets (bigint), hll_est (bigint,
     rounded via floor(x+0.5))."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll precision p must be in [4, 16], got {p}")
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    two52 = 1 << 52
+    # exponent base = max rho = (60 - p) + 1, so the contribution
+    # shift is always >= 0 (a hardcoded 52 breaks for p != 9: Java
+    # masks shiftleft by a NEGATIVE count to 1<<63 and silently
+    # corrupts the sum). For p=9 this IS 52, matching the oracle SQL.
+    exp = 61 - p
+    two_e = 1 << exp
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - rho)")).alias(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {exp} - rho)")).alias(
             "present_sum"
         ),
     )
     sum_int = F.col("present_sum") + (F.lit(m) - F.col("n_buckets")) * F.lit(
-        two52
+        two_e
     )
     raw = (
         F.lit(alpha * m * m)
-        / (sum_int.cast("double") / F.lit(float(two52)))
+        / (sum_int.cast("double") / F.lit(float(two_e)))
     )
     zeros = F.lit(m) - F.col("n_buckets")
     est = F.when(

@@ -57,8 +57,15 @@ def compute_next_run(
             candidate += timedelta(days=1)
         return candidate
     if schedule_type == "weekly":
-        if not day_of_week:
+        if day_of_week is None:
             raise ValueError("weekly schedule requires day_of_week (1=Mon..7=Sun)")
+        if not 1 <= int(day_of_week) <= 7:
+            # range-check here (not just in the HTML form, which is
+            # client-side only): (8 - isoweekday) % 7 would otherwise
+            # SILENTLY fold an out-of-range day onto an arbitrary one
+            raise ValueError(
+                f"day_of_week must be 1=Mon..7=Sun, got {day_of_week}"
+            )
         days_ahead = (day_of_week - (now.isoweekday())) % 7
         candidate = datetime.combine(
             now.date() + timedelta(days=days_ahead), at, tzinfo=now.tzinfo
@@ -67,8 +74,14 @@ def compute_next_run(
             candidate += timedelta(days=7)
         return candidate
     if schedule_type == "monthly":
-        if not day_of_month:
+        if day_of_month is None:
             raise ValueError("monthly schedule requires day_of_month")
+        if not 1 <= int(day_of_month) <= 31:
+            # 29-31 clamp to month length (reference parity); beyond 31
+            # is out of the domain entirely
+            raise ValueError(
+                f"day_of_month must be 1..31, got {day_of_month}"
+            )
         year, month = now.year, now.month
         day = _clamp_day(year, month, day_of_month)
         candidate = datetime.combine(
@@ -155,6 +168,29 @@ class ScheduleRunner:
         )
         with self._lock:
             self.schedules[s["schedule_id"]] = s
+
+    def update(self, schedule_id: str, fields: dict) -> bool:
+        """Atomic read-merge-validate-write under the runner lock (a
+        lock-released merge would let two concurrent updates silently
+        drop each other's fields). Recomputes/validates next_run_at
+        through the same path as add(); raises ValueError on malformed
+        fields WITHOUT touching the stored schedule. Returns False if
+        the schedule doesn't exist."""
+        with self._lock:
+            cur = self.schedules.get(schedule_id)
+            if cur is None:
+                return False
+            merged = dict(cur)
+            merged.update(fields)
+            merged["next_run_at"] = compute_next_run(
+                merged["schedule_type"],
+                merged["run_at_time"],
+                self.now_fn(),
+                merged.get("day_of_week"),
+                merged.get("day_of_month"),
+            )
+            self.schedules[schedule_id] = merged
+            return True
 
     def run_due(self) -> list[str]:
         """One poll tick (ScheduleRunner.java:36-58). Returns fired ids.

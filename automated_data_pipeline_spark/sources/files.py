@@ -90,6 +90,16 @@ def _first_nonblank_line(spark: SparkSession | None, path: str) -> str | None:
             if f.endswith(".json") and not f.startswith((".", "_"))
         )
         target = os.path.join(path, parts[0]) if parts else None
+    # compressed files MUST take the Spark sniff: a direct read would
+    # return the compression magic bytes as the "first line", fail to
+    # parse, and misclassify gzipped JSONL as multiline (silently
+    # keeping one record per file); spark.read.text decompresses
+    if target is not None and target.lower().endswith(
+        (".gz", ".bz2", ".zst", ".xz", ".deflate", ".lz4", ".snappy")
+    ):
+        target = None
+        if spark is None:
+            return None
     if target is not None and os.path.isfile(target):
         try:
             with open(target, "rb") as f:

@@ -118,6 +118,12 @@ def start_file_trigger(
     checkpoint_dir = checkpoint_dir or os.path.join(
         runner.workdir, "checkpoints", "file_trigger"
     )
+    # wholetext discovery: ONE row per file (a line-mode stream would
+    # surface every line of a large upload as a discovery row just to
+    # extract its path). The single-row buffering this costs is
+    # bounded by the upload caps (api.validate_upload: 10 MB CSV /
+    # 100 MB JSON) — files can only enter the landing dir through the
+    # capped upload/trigger endpoints.
     stream = (
         spark.readStream.option("wholetext", True)
         .option("pathGlobFilter", f"*.{fmt}")
@@ -141,11 +147,22 @@ def start_file_trigger(
             )
             if existing:
                 continue
-            runner.run(
-                source_path=_local_path(p),
-                pipeline_name=pipeline_name,
-                run_id=rid,
-            )
+            try:
+                runner.run(
+                    source_path=_local_path(p),
+                    pipeline_name=pipeline_name,
+                    run_id=rid,
+                )
+            except Exception:  # noqa: BLE001 — one bad upload must not
+                # kill the trigger: runner.run has already recorded the
+                # Failed run + step rows before re-raising, and
+                # re-raising HERE would fail the micro-batch before its
+                # checkpoint commit — the same file would replay on
+                # every restart and permanently wedge the stream while
+                # later uploads starve. The reference records one
+                # failed run per bad upload and keeps serving
+                # (server.js catch around the child process).
+                continue
 
     return (
         stream.writeStream.foreachBatch(process_batch)

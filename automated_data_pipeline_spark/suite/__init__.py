@@ -1,6 +1,6 @@
-"""The declared query suite: 121 named queries — every operator from
+"""The declared query suite: 134 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (116 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (129 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):

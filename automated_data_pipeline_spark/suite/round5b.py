@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.stats import portable_round
 from ..operators import sketches as SK
 from ..operators.linkage import hamming1_pairs
+from ..operators.sampling import forward_chain_folds
 from ..operators.spans import duplicated_spans
 from . import QuerySpec, load
 
@@ -694,23 +695,31 @@ CV_FOLDS = 4  # forward-chaining folds; 5 equal-duration slices
     per_slice AS (
       SELECT slice, count(*) AS n FROM sliced GROUP BY slice
     ),
-    cum AS (
-      SELECT slice, n,
-        sum(n) OVER (ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND 1 PRECEDING) AS n_before
-      FROM per_slice
+    folds AS (SELECT unnest(range(1, {CV_FOLDS + 1})) AS fold),
+    -- n_train sums slices strictly BEFORE the fold (NOT a cumulative
+    -- column carried on the test-slice row: a fold whose own slice is
+    -- empty must still report its full training count)
+    train AS (
+      SELECT f.fold, coalesce(sum(p.n), 0) AS n_train
+      FROM folds f LEFT JOIN per_slice p ON p.slice < f.fold
+      GROUP BY f.fold
     ),
-    folds AS (SELECT unnest(range(1, {CV_FOLDS + 1})) AS fold)
+    test AS (
+      SELECT f.fold, coalesce(sum(p.n), 0) AS n_test
+      FROM folds f LEFT JOIN per_slice p ON p.slice = f.fold
+      GROUP BY f.fold
+    )
     SELECT f.fold,
-      CAST(coalesce(c.n_before, 0) AS BIGINT) AS n_train,
-      CAST(coalesce(c.n, 0) AS BIGINT) AS n_test,
+      CAST(t.n_train AS BIGINT) AS n_train,
+      CAST(x.n_test AS BIGINT) AS n_test,
       CAST(b.mn + (b.span * f.fold) // {CV_FOLDS + 1} AS BIGINT)
         AS train_end_us,
       CAST(b.mn + (b.span * (f.fold + 1)) // {CV_FOLDS + 1} AS BIGINT)
         AS test_end_us
     FROM folds f
     CROSS JOIN b
-    LEFT JOIN cum c ON c.slice = f.fold
+    JOIN train t ON t.fold = f.fold
+    JOIN test x ON x.fold = f.fold
     """,
     "forward-chaining temporal cross-validation: the event range is "
     "cut into 5 equal-DURATION slices; fold i trains on everything "
@@ -726,39 +735,4 @@ CV_FOLDS = 4  # forward-chaining folds; 5 equal-duration slices
 )
 def temporal_cv_folds(spark, sf_dir):
     e = load(spark, sf_dir, "events")
-    b = e.agg(
-        F.unix_micros(F.min("ts")).alias("mn"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")) + 1).alias(
-            "span"
-        ),
-    )
-    k1 = CV_FOLDS + 1
-    sliced = e.crossJoin(F.broadcast(b)).select(
-        F.expr(f"((unix_micros(ts) - mn) * {k1}) div span").alias("slice")
-    )
-    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        Window.orderBy("slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = per_slice.select(
-        "slice", "n", F.sum("n").over(w).alias("n_before")
-    )
-    folds = spark.range(1, k1).select(F.col("id").alias("fold"))
-    return (
-        folds.crossJoin(F.broadcast(b))
-        .join(F.broadcast(cum), folds.fold == cum.slice, "left")
-        .select(
-            "fold",
-            F.coalesce(F.col("n_before"), F.lit(0))
-            .cast("bigint")
-            .alias("n_train"),
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_test"),
-            F.expr(f"CAST(mn + (span * fold) div {k1} AS BIGINT)").alias(
-                "train_end_us"
-            ),
-            F.expr(
-                f"CAST(mn + (span * (fold + 1)) div {k1} AS BIGINT)"
-            ).alias("test_end_us"),
-        )
-    )
+    return forward_chain_folds(e, "ts", n_folds=CV_FOLDS)

@@ -125,3 +125,31 @@ def test_json_reader_handles_jsonl_and_document_forms(spark, tmp_path):
     one.write_text('{\n  "OrderId": "ORD-X",\n  "Amount": 5.0\n}\n')
     got = files.read_orders_json(spark, str(one)).collect()
     assert len(got) == 1 and got[0]["OrderId"] == "ORD-X"
+
+
+def test_gzipped_jsonl_sniffs_as_jsonl_and_reads_all_rows(spark, tmp_path):
+    """A .json.gz JSONL file must NOT be sniffed by reading raw
+    compressed bytes (the gzip magic parsed as a 'first line' made the
+    sniff answer multiLine=True, silently keeping ONE record per
+    file); the compressed suffix routes to the Spark text sniff, which
+    decompresses."""
+    import gzip
+
+    from automated_data_pipeline_spark.sources.files import (
+        _json_is_multiline,
+        read_orders_json,
+    )
+
+    p = tmp_path / "orders.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(5):
+            f.write(
+                '{"OrderId": "G-%03d", "Amount": "%d.00", '
+                '"Status": "Completed"}\n' % (i, 10 * (i + 1))
+            )
+    assert _json_is_multiline(str(p), spark) is False
+    df = read_orders_json(spark, str(p))
+    assert df.count() == 5
+    assert {r["OrderId"] for r in df.collect()} == {
+        f"G-{i:03d}" for i in range(5)
+    }

@@ -591,3 +591,53 @@ def test_http_created_schedule_fires_the_pipeline(spark, workdir):
         assert one["next_run_at"].startswith("2026-03-02 09:00")
     finally:
         srv.stop()
+
+
+def test_schedule_malformed_json_and_bad_dow_are_400(served_full):
+    srv, *_ = served_full
+    code, body = _req(srv.port, "/schedules", "POST", b"not json at all")
+    assert code == 400 and "error" in body
+    code, body = _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({"name": "w", "scheduleType": "weekly",
+                    "runAtTime": "09:00", "dayOfWeek": 8,
+                    "sourcePath": "/tmp/x.csv"}).encode(),
+    )
+    assert code == 400 and "1=Mon..7=Sun" in body["error"]
+    # PUT with malformed JSON on an existing schedule is also 400
+    code, created = _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({"name": "ok", "scheduleType": "daily",
+                    "runAtTime": "09:00", "sourcePath": "/tmp/x.csv"}).encode(),
+    )
+    assert code == 201
+    code, body = _req(
+        srv.port, f"/schedules/{created['schedule_id']}", "PUT", b"{broken",
+    )
+    assert code == 400
+
+
+def test_concurrent_schedule_updates_do_not_lose_fields(served_full):
+    """Two racing PUTs touching DIFFERENT fields must both land (the
+    merge happens under the scheduler lock, not read-merge-write with
+    the lock released)."""
+    import threading
+
+    srv, _runner, sched, _fired = served_full
+    _code, created = _req(
+        srv.port, "/schedules", "POST",
+        json.dumps({"name": "base", "scheduleType": "daily",
+                    "runAtTime": "09:00", "sourcePath": "/tmp/x.csv"}).encode(),
+    )
+    sid = created["schedule_id"]
+
+    def put(payload):
+        for _ in range(25):
+            _req(srv.port, f"/schedules/{sid}", "PUT",
+                 json.dumps(payload).encode())
+
+    t1 = threading.Thread(target=put, args=({"enabled": False},))
+    t2 = threading.Thread(target=put, args=({"name": "renamed"},))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    _code, one = _req(srv.port, f"/schedules/{sid}", "GET")
+    assert one["enabled"] is False and one["name"] == "renamed"

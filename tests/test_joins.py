@@ -105,3 +105,25 @@ def test_snapshot_diff_null_vs_value_not_unchanged(spark):
     new = spark.createDataFrame([(1, None, "x"), (2, None, "y")], "k int, a string, b string")
     out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()}
     assert out == {1: "changed", 2: "unchanged"}  # NULL shifts don't collide
+
+
+def test_interval_overlap_join_prefix_escalates_on_r_collision(spark):
+    """A left side already carrying an r_<name> column must not end up
+    with two identically-named columns after the disambiguating
+    rename — the prefix escalates until unique."""
+    left = spark.createDataFrame(
+        [(1, 0, 10, "x")], ["lid", "start", "end", "r_start"]
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 7)], ["rid", "start", "end"]
+    )
+    out = joins.interval_overlap_join(
+        left, right, "start", "end", "start", "end", bin_width=16
+    )
+    names = out.columns
+    assert len(names) == len(set(names)), f"duplicate columns: {names}"
+    rows = out.collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
+    # every column reachable without AMBIGUOUS_REFERENCE
+    for c in names:
+        out.select(c).collect()

@@ -212,3 +212,25 @@ def test_null_items_excluded_from_all_sketches(spark):
     cms = SK.cms_sketch(df, F.col("item"), d=2, w=32)
     assert cms.filter(F.col("bucket").isNull()).count() == 0
     assert cms.agg(F.sum("total")).first()[0] == 4  # 2 items x 2 seeds
+
+
+def test_hll_works_for_non_default_precision(spark):
+    """p != 9 must not corrupt the estimate: the contribution exponent
+    derives from p (a hardcoded 52 made shiftleft(1, 52-rho) negative
+    for p=8, which Java masks to 1<<63). Also pins the p bounds."""
+    import pytest as _pytest
+
+    for p in (6, 8, 11):
+        n = 6000
+        df = _items_df(spark, n)
+        regs = SK.hll_registers(df, F.col("item"), ["g"], p=p)
+        est = SK.hll_estimate(regs, ["g"], p=p).first()["hll_est"]
+        sigma = 1.04 / (1 << p) ** 0.5
+        assert abs(est - n) / n < 4 * sigma, f"p={p}: {est} vs {n}"
+    with _pytest.raises(ValueError):
+        SK.hll_registers(_items_df(spark, 5), F.col("item"), ["g"], p=3)
+    with _pytest.raises(ValueError):
+        SK.hll_estimate(
+            SK.hll_registers(_items_df(spark, 5), F.col("item"), ["g"], p=9),
+            ["g"], p=17,
+        )

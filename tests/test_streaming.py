@@ -586,3 +586,45 @@ def test_stream_stream_left_join_emits_delayed_nulls(spark, tmp_path):
         if not r["l_purchase_id"].startswith("s")
     }
     assert rows == {"p1": "c1", "p2": None}
+
+
+def test_file_trigger_survives_a_failing_upload(spark, tmp_path, workdir):
+    """A deterministically-failing upload must not wedge the stream:
+    the other file in the same drop still processes and a later drop
+    still triggers. (Before the fix, the re-raise failed the
+    micro-batch before its checkpoint commit — the bad file replayed
+    on every restart and starved all later uploads.)"""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for name, oid in [("aaa_bad.csv", "ORD-B1"), ("good.csv", "ORD-G1")]:
+        with open(os.path.join(landing, name), "w") as f:
+            f.write(
+                "OrderId,CustomerId,Amount,OrderDate\n"
+                f"{oid},C1,25.00,2024-01-02\n"
+            )
+    runner = PipelineRunner(spark, workdir)
+    orig_run = runner.run
+
+    def flaky_run(source_path=None, **kw):
+        if "aaa_bad" in (source_path or ""):
+            raise RuntimeError("boom: corrupt upload")
+        return orig_run(source_path=source_path, **kw)
+
+    runner.run = flaky_run
+    q = start_file_trigger(spark, runner, landing)
+    q.awaitTermination(120)
+    assert q.exception() is None, f"stream died: {q.exception()}"
+    target = {r["order_id"] for r in runner.target.read(spark).collect()}
+    assert target == {"ORD-G1"}
+
+    # the stream keeps serving: a later drop processes normally
+    with open(os.path.join(landing, "later.csv"), "w") as f:
+        f.write(
+            "OrderId,CustomerId,Amount,OrderDate\n"
+            "ORD-L1,C3,300.00,2024-02-01\n"
+        )
+    q2 = start_file_trigger(spark, runner, landing)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    target = {r["order_id"] for r in runner.target.read(spark).collect()}
+    assert target == {"ORD-G1", "ORD-L1"}

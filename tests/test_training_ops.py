@@ -71,3 +71,33 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] == 1
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_forward_chain_folds_empty_test_slice_keeps_train_count(spark):
+    """A fold whose test slice holds zero rows must still report the
+    full training count of everything before its boundary (the
+    cumulative-on-test-row formulation reported n_train=0)."""
+    from datetime import datetime
+
+    from automated_data_pipeline_spark.operators.sampling import (
+        forward_chain_folds,
+    )
+
+    # 10 equal-duration slices of 1h each over [00:00, 05:00); rows
+    # only in slices 0, 1, and 4 -> folds 2,3 have EMPTY test slices
+    rows = []
+    for h, n in [(0, 3), (1, 2), (4, 1)]:
+        for i in range(n):
+            rows.append((datetime(2026, 1, 1, h, i, 0),))
+    # pin the range so slices are exactly hours: add the max endpoint
+    rows.append((datetime(2026, 1, 1, 4, 59, 59),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        r["fold"]: (r["n_train"], r["n_test"])
+        for r in forward_chain_folds(df, "ts", n_folds=4).collect()
+    }
+    # slice layout (5 slices of ~1h): s0=3, s1=2, s2=0, s3=0, s4=2
+    assert out[1] == (3, 2)
+    assert out[2] == (5, 0), "empty test slice zeroed the train count"
+    assert out[3] == (5, 0)
+    assert out[4] == (5, 2)
