@@ -236,3 +236,72 @@ def cms_estimate(
         .cast("bigint")
         .alias("cms_est")
     )
+
+
+# --------------------------------------------------------------------
+# Bloom filter (membership sketch)
+# --------------------------------------------------------------------
+def bloom_build(
+    df: DataFrame, item_col, m_bits: int = 1 << 16, k_hashes: int = 4
+) -> DataFrame:
+    """Deterministic Bloom filter over ``item_col``: the set of SET BIT
+    positions, one row per distinct position (at most min(m_bits,
+    k * |items|) rows — kilobytes for any practical m). Bit j for item
+    x under hash i is stable_hash64(f"{i}:{x}") % m_bits, so the DuckDB
+    oracle reproduces the filter bit-for-bit.
+
+    This sparse representation IS the mergeable form: union two
+    filters' rows + distinct == the filter of the unioned sets
+    (pytest-asserted). The builder is one explode + distinct with
+    map-side partials; the result always broadcasts."""
+    base = df.filter(item_col.isNotNull()).select(item_col.alias("_item"))
+    rows = base.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias(
+            "seed"
+        ),
+        "_item",
+    )
+    bit = stable_hash64(
+        F.concat(F.col("seed"), F.lit(":"), F.col("_item"))
+    ) % m_bits
+    return rows.select(bit.alias("bit")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: an item 'might be in the set' iff ALL k of
+    its bit positions are set (the Bloom guarantee: no false
+    negatives; false positives at the classic (1-e^-kn/m)^k rate).
+    Output: items' distinct ``item_col`` + ``bloom_hit`` boolean. The
+    filter side is broadcast — it is the sketch's whole point that it
+    fits anywhere."""
+    probes = items.select(item_col).distinct()
+    rows = probes.select(
+        item_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias(
+            "seed"
+        ),
+    )
+    bit = stable_hash64(
+        F.concat(F.col("seed"), F.lit(":"), F.col(item_col))
+    ) % m_bits
+    rows = rows.select(item_col, bit.alias("bit"))
+    hits = rows.join(F.broadcast(bloom), "bit", "left_semi")
+    per_item = rows.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("_n_bits")
+    ).join(
+        hits.groupBy(item_col).agg(F.count(F.lit(1)).alias("_n_set")),
+        item_col,
+        "left",
+    )
+    return per_item.select(
+        item_col,
+        (F.coalesce(F.col("_n_set"), F.lit(0)) == F.col("_n_bits")).alias(
+            "bloom_hit"
+        ),
+    )

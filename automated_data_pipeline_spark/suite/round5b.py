@@ -736,3 +736,130 @@ CV_FOLDS = 4  # forward-chaining folds; 5 equal-duration slices
 def temporal_cv_folds(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     return forward_chain_folds(e, "ts", n_folds=CV_FOLDS)
+
+
+# --------------------------------------------------------------------
+# m sizes WITH the holdout (m = 24*n, k = 3 -> ~0.2% gram FP rate at
+# any scale): a fixed m either saturates (flags every doc) or goes
+# silent as the corpus grows. 24n is an exact integer both engines
+# derive from the same count, so the oracle's filter stays
+# bit-identical.
+BLOOM_M_PER_ITEM = 24
+BLOOM_K = 3
+_GRAM_SQL = (
+    "CAST(concat('0x', substr(md5("
+    "list_aggregate(ws[i:i+2], 'string_agg', ' ')"
+    "), 1, 15)) AS BIGINT)"
+)
+
+
+@spec(
+    "bloom_decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, {_GRAM_SQL} AS gram
+      FROM w, unnest(range(1, len(ws) - 1)) t(i)
+      WHERE len(ws) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    mb AS (SELECT {BLOOM_M_PER_ITEM} * count(*) AS m FROM bench),
+    seeds AS (SELECT unnest(range({BLOOM_K})) AS seed),
+    bloom AS (
+      SELECT DISTINCT
+        {_hash_sql("CAST(s.seed AS VARCHAR) || ':' || CAST(b.gram AS VARCHAR)")}
+          % (SELECT m FROM mb) AS bit
+      FROM bench b, seeds s
+    ),
+    probe AS (
+      SELECT u.gram, s.seed,
+        {_hash_sql("CAST(s.seed AS VARCHAR) || ':' || CAST(u.gram AS VARCHAR)")}
+          % (SELECT m FROM mb) AS bit
+      FROM (SELECT DISTINCT gram FROM g) u, seeds s
+    ),
+    hitgram AS (
+      SELECT gram FROM probe p
+      WHERE EXISTS (SELECT 1 FROM bloom bl WHERE bl.bit = p.bit)
+      GROUP BY gram HAVING count(*) = {BLOOM_K}
+    ),
+    flagged AS (
+      SELECT g.doc_id, count(*) AS n_flagged
+      FROM g JOIN hitgram USING (gram) GROUP BY 1
+    ),
+    exact AS (
+      SELECT g.doc_id, count(*) AS n_exact
+      FROM g JOIN bench USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+      CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+      CAST(coalesce(f.n_flagged, 0) - coalesce(e.n_exact, 0) AS BIGINT)
+        AS n_false_pos,
+      coalesce(f.n_flagged > 0, FALSE) AS contaminated_bloom
+    FROM documents d
+    LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    """,
+    "Bloom-filter decontamination — the AT-SCALE form of "
+    "decontaminate_vs_holdout: the exact broadcast set works while "
+    "the holdout fits memory; the Bloom filter's broadcast is m BITS "
+    "(m = 24x the holdout gram count -> ~0.2% gram-level FP rate at "
+    "every scale), independent of gram string sizes. No false "
+    "negatives by construction (the guarantee decontamination needs: "
+    "nothing contaminated escapes — n_flagged >= n_exact on every "
+    "row); the FP overhead is nonzero and MEASURED per doc against "
+    "the exact join. Deterministic md5 bit positions and an "
+    "integer-derived m -> the oracle replays the filter bit-for-bit",
+)
+def bloom_decontaminate(spark, sf_dir):
+    from ..operators.spans import shingle_positions
+
+    d = load(spark, sf_dir, "documents")
+    g = (
+        shingle_positions(d, "text", "doc_id", 3)
+        .select("doc_id", F.col("ghash").alias("gram"))
+        .distinct()
+    )
+    bench = g.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    # one bounded driver scalar (the holdout gram count) sizes the
+    # filter; the oracle derives the same m from the same count
+    m_bits = BLOOM_M_PER_ITEM * bench.count()
+    bloom = SK.bloom_build(
+        bench, F.col("gram").cast("string"), m_bits=m_bits, k_hashes=BLOOM_K
+    )
+    hits = SK.bloom_probe(
+        bloom, g.select("gram"), "gram", m_bits=m_bits, k_hashes=BLOOM_K
+    )
+    flagged = (
+        g.join(hits.filter(F.col("bloom_hit")), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    exact = (
+        g.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        d.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_flagged"), F.lit(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            (
+                F.coalesce(F.col("n_flagged"), F.lit(0))
+                - F.coalesce(F.col("n_exact"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.coalesce(F.col("n_flagged") > 0, F.lit(False)).alias(
+                "contaminated_bloom"
+            ),
+        )
+    )

@@ -123,6 +123,7 @@ HEADLINE = [
     "large_volume_orders",
     "order_priority_late_check",
     "temporal_cv_folds",
+    "bloom_decontaminate",
 ]
 
 

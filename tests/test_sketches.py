@@ -234,3 +234,39 @@ def test_hll_works_for_non_default_precision(spark):
             SK.hll_registers(_items_df(spark, 5), F.col("item"), ["g"], p=9),
             ["g"], p=17,
         )
+
+
+# --------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    members = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(300)], "item string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(1000)], "item string"
+    )
+    m, k = 24 * 300, 3
+    bloom = SK.bloom_build(members, F.col("item"), m_bits=m, k_hashes=k)
+    member_hits = SK.bloom_probe(bloom, members, "item", m_bits=m, k_hashes=k)
+    # the Bloom guarantee: EVERY member probes positive
+    assert member_hits.filter(~F.col("bloom_hit")).count() == 0
+    out_hits = SK.bloom_probe(bloom, outsiders, "item", m_bits=m, k_hashes=k)
+    fp = out_hits.filter(F.col("bloom_hit")).count()
+    # ~0.2% expected at m=24n, k=3; allow generous slack
+    assert fp <= 20, f"false-positive rate blew up: {fp}/1000"
+
+
+def test_bloom_merge_property(spark):
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(100)], "item string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(100)], "item string")
+    m, k = 4096, 3
+    whole = SK.bloom_build(a.union(b), F.col("item"), m_bits=m, k_hashes=k)
+    merged = (
+        SK.bloom_build(a, F.col("item"), m_bits=m, k_hashes=k)
+        .union(SK.bloom_build(b, F.col("item"), m_bits=m, k_hashes=k))
+        .distinct()
+    )
+    assert {r["bit"] for r in whole.collect()} == {
+        r["bit"] for r in merged.collect()
+    }

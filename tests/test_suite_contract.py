@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 134
-DOCUMENTED_WITH_ORACLE = 129
+DOCUMENTED_TOTAL = 135
+DOCUMENTED_WITH_ORACLE = 130
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -62,6 +62,7 @@ ADDED_IN_R5 = frozenset({
     "promo_discount_revenue_band", "nation_market_share",
     "top_supplier_by_quarter", "large_volume_orders",
     "order_priority_late_check", "temporal_cv_folds",
+    "bloom_decontaminate",
 })
 
 
