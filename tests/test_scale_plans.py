@@ -553,3 +553,66 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round5_sketch_and_span_plan_contracts(spark):
+    """Physical-plan pins for the round-5 second wave — the docstring
+    claims, asserted: the Q18/Q8 shapes keep exactly ONE fact
+    exchange with every dimension broadcast; the HLL register build
+    reduces through a single exchange; span detection broadcasts the
+    HAVING-filtered dup side and adds no exchange per island window."""
+    import os
+    import re
+
+    from automated_data_pipeline_spark.suite import queries_dict
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    q = queries_dict()
+
+    def shape(name):
+        df = q[name](spark, sf)
+        df.count()  # let AQE finalize
+        plan = _formatted_plan(df)
+        return (
+            len(re.findall(
+                r"Exchange hashpartitioning|Exchange rangepartitioning", plan
+            )),
+            plan.count("BroadcastHashJoin"),
+            plan,
+        )
+
+    # Q18: per-order agg is the only shuffle; both dims broadcast
+    exch, bcast, _ = shape("large_volume_orders")
+    assert exch == 1 and bcast >= 2
+
+    # Q8: one fact shuffle, all five dimension joins broadcast
+    exch, bcast, _ = shape("nation_market_share")
+    assert exch == 1 and bcast >= 5
+
+    # span dedup: dup-hash side broadcasts; the two island windows
+    # reuse the doc partitioning (no exchange per window — total stays
+    # at the spread + agg exchanges)
+    exch, bcast, plan = shape("dup_span_detect")
+    assert bcast >= 1
+    assert plan.count("Window") == 2
+    assert exch <= 3, f"windows added exchanges: {exch}"
+
+
+def test_hll_register_build_single_exchange(spark):
+    """The whole HLL sketch crosses ONE exchange: map-side MAX
+    partials reduce to <= 2^p rows per group before any shuffle."""
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("x-"), F.col("id")).alias("item"),
+    )
+    regs = SK.hll_registers(df, F.col("item"), ["g"], p=9)
+    regs.count()
+    plan = _formatted_plan(regs)
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
