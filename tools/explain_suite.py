@@ -53,6 +53,22 @@ SHOWN = [
     ("important_parts_by_nation", "Q11 shape: per-nation window over the aggregated frame — parallel, never global"),
     ("hourly_heavy_hitters", "per-window top-k: (hour,user) partial agg then per-hour rank window"),
     ("token_budget_prefix", "two-phase ordered cumsum: range exchange + partition-keyed windows + broadcast offsets (no single-reducer window)"),
+    # round-5 second wave (hll_rollup_user_days is NOT regenerable —
+    # its register frame is localCheckpoint-materialized, see the
+    # manual tail)
+    ("kmv_distinct_user_days", "KMV sketch: distinct-reduce on (type, hash), rank window over distinct hashes only"),
+    ("hll_distinct_user_days", "HLL sketch: ONE (type,bucket) max-agg exchange; estimate is a scalar projection"),
+    ("cms_heavy_users", "Count-Min: sketch from per-item counts (never raw events), 384-cell table broadcast into probes"),
+    ("kmv_overlap_types", "theta set algebra: everything after the distinct-reduce runs on k-row sketch frames"),
+    ("bloom_decontaminate", "Bloom decontamination: m-bit filter broadcast; probe is a row-wise bit semi join"),
+    ("dup_span_detect", "span dedup: doc-spread shingle hash, HAVING-filtered dup side broadcast, island windows reuse doc partitioning"),
+    ("fuzzy_supplier_match", "Hamming<=1 matching: masked-variant equi-join (precise candidates), levenshtein verify"),
+    ("promo_discount_revenue_band", "Q6 shape: every predicate pushed to the scan, zero joins"),
+    ("nation_market_share", "Q8 shape: ONE fact exchange, five broadcast dimension joins"),
+    ("top_supplier_by_quarter", "Q15 shape: filtered fact agg; 1-row decimal max broadcast back"),
+    ("large_volume_orders", "Q18 shape: HAVING-filtered per-order agg broadcasts into orders+customer"),
+    ("order_priority_late_check", "Q4 shape: quarter filter pushed into orders scan, LEFT SEMI join"),
+    ("temporal_cv_folds", "temporal CV: one scan -> 5-row slice agg; folds derive from 5 rows"),
 ]
 
 
