@@ -213,6 +213,33 @@ def ordered_cumsum(
     )
 
 
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered ``row_number`` WITHOUT a single-partition
+    window: a row number is just the ordered cumulative sum of 1, so
+    this reuses :func:`ordered_cumsum`'s two-phase scan (range exchange
+    -> per-partition window -> O(partitions) broadcast offsets). A bare
+    ``Window.orderBy(...)`` serializes the whole table through one
+    reducer (Spark warns 'No Partition Defined') — the shape that kills
+    a 100 TB backfill; this plan's only global structure is the range
+    exchange a sort would need anyway.
+
+    ``order_cols`` must define a TOTAL order (append a unique key);
+    ties split across range-partition boundaries would otherwise make
+    the numbering nondeterministic. Output numbering is 1-based bigint,
+    matching SQL ``row_number()``.
+    """
+    tagged = df.withColumn("_one", F.lit(1).cast("bigint"))
+    return ordered_cumsum(
+        tagged, "_one", order_cols, out_col=out_col,
+        num_partitions=num_partitions,
+    ).drop("_one")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

