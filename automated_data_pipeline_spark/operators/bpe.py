@@ -89,6 +89,32 @@ def _apply_merge(syms_col, a: str, b: str):
     )
 
 
+def initial_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Round-0 adjacent-symbol pair counts over the word-frequency
+    table — exactly the table ``bpe_train`` ranks to choose its FIRST
+    merge (single chars + the end marker; counts weighted by word
+    frequency). Exposed standalone because, unlike the iterative merge
+    fold, this is plain relational algebra a SQL oracle can replay —
+    the suite's driver-visible witness for the trainer's core pair-
+    counting machinery (the fold itself stays pinned by
+    tests/test_bpe.py against the pure-Python reference)."""
+    words = word_frequencies(df, text_col).select(
+        _initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    pair_ix = F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i")
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select("freq", "syms", pair_ix)
+        .select(
+            F.element_at("syms", F.col("i")).alias("left_sym"),
+            F.element_at("syms", F.col("i") + 1).alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

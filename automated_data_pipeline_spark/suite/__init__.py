@@ -1,6 +1,6 @@
-"""The declared query suite: 134 named queries — every operator from
+"""The declared query suite: 140 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (129 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (135 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -67,94 +67,80 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # dict keys). GATE_WINDOW is that 50 — an explicit, exact list so a
 # new spec added anywhere can never silently reshuffle the window.
 #
-# Round-5 rotation (VERDICT r4 item 2): after round 4, exactly three
-# oracle-backed queries had never been driver-witnessed —
-# embedding_near_dup_lsh (failed r1, never re-gated) plus
-# ewma_hourly_forecast and split_leakage_audit (added after the r4
-# rotation froze). They rotate in here, displacing three r4-proven
-# names whose families stay represented in the window
-# (segments_except -> segments_intersect covers set-ops;
-# ts_pattern_match -> the events family keeps gap_fill/funnel/ewma;
-# length_vocab_correlation -> vocab_coverage + lm_bigram_fluency keep
-# text analysis). Once CORRECTNESS_r05 lands green, every oracle-backed
-# query has a driver-green row from some round (union over r1-r5).
-# Rotated-out names stay strict-checked by tools/check_oracles.py
-# (run per-round, judged) and by pytest.
+# Round-6 rotation (VERDICT r5 items 1+4): the 22 oracle-backed queries
+# added in round 5 (driver-unwitnessed by construction — r5's window
+# froze before they landed) rotate in, plus the 5 round-6 companion
+# queries that give the rows-only operators driver-visible value
+# evidence (suite/round6.py), plus run_number_backfill (driver-green
+# r1-r4 but REWRITTEN this round from a single-partition global window
+# to the two-phase distributed enumeration — the changed plan deserves
+# a fresh witness). The 22 displaced names are ALL green in
+# CORRECTNESS_r05.json and every displaced family keeps a window
+# representative (TPC-H shapes: 7 kept + 5 rotating in; text analysis:
+# quality_decile_report + top_bigrams_per_lang rotate in for the
+# displaced gopher/vocab/tfidf rows; media: multimodal_feature_extract
+# stays for the audio/image/video trio). Once CORRECTNESS_r06 lands
+# green, EVERY oracle-backed query in the suite has a driver-green row
+# from some round (union over r1-r6) — never_witnessed == ∅. Rotated-
+# out names stay strict-checked by tools/check_oracles.py (run
+# per-round, judged) and by pytest.
 GATE_WINDOW = [
-    # -- never-gated before round 4: reference-parity + TPC-H shapes --
+    # -- rotated in (round 6): first-wave round-5 queries --
+    "regional_cheapest_supplier",
+    "waiting_orders_suppliers",
+    "important_parts_by_nation",
+    "rolling_daily_zscore",
+    "hourly_heavy_hitters",
+    "quality_decile_report",
+    "token_budget_prefix",
+    "top_bigrams_per_lang",
+    # -- rotated in (round 6): sketches / spans / linkage wave --
+    "kmv_distinct_user_days",
+    "hll_distinct_user_days",
+    "cms_heavy_users",
+    "hll_rollup_user_days",
+    "kmv_overlap_types",
+    "bloom_decontaminate",
+    "dup_span_detect",
+    "fuzzy_supplier_match",
+    # -- rotated in (round 6): late-wave TPC-H shapes + CV folds --
+    "promo_discount_revenue_band",
+    "nation_market_share",
+    "top_supplier_by_quarter",
+    "large_volume_orders",
+    "order_priority_late_check",
+    "temporal_cv_folds",
+    # -- added in round 6: oracle companions for the rows-only ops --
+    "ann_ivf_exact_full_probe",
+    "ann_pq_exact_rerank",
+    "ann_ivfpq_exact_full",
+    "bpe_top_pairs",
+    "approx_agg_accuracy",
+    # -- rewritten in round 6 (fresh witness for the new plan) --
+    "run_number_backfill",
+    # -- r5-green family representatives (22) --
     "synthetic_orders_category_agg",
     "shipping_priority_top10",
     "returned_revenue_by_customer",
-    "small_quantity_parts_revenue",
-    "suppliers_high_volume_semi",
     "revenue_rollup_region_nation",
-    "cube_status_priority",
     "pivot_priority_counts",
-    "price_percentiles_by_priority",
     "segments_intersect",
-    "distinct_users_per_type",
     "customer_order_histogram",
-    "nation_pair_volume",
     "gap_fill_hourly_locf",
-    # -- never-gated before round 4: LLM-pipeline extensions --
+    "conversion_funnel",
+    "ewma_hourly_forecast",
     "mixture_sample_by_lang",
     "pack_sequences_128",
     "decontaminate_vs_holdout",
     "minhash_containment_pairs",
-    "tfidf_top_terms_per_doc",
-    "embedding_int8_quantize",
-    "dedup_keep_best_quality",
     "dedup_jaccard_blocked_lang",
-    "chargram_min_fingerprint",
-    "top_terms_en",
-    "scd2_status_history",
-    "salted_hot_key_agg",
-    "salted_join_priority_revenue",
-    # -- proven-family representatives (driver-green in r1-r3).
-    # conversion_funnel was REWRITTEN this round (running-min windows)
-    # and multimodal_feature_extract got its first real oracle this
-    # round — both need fresh driver rows, so they stay pinned.
-    # (extract_typed_projection / upsert_merge / run_steps_join etc.
-    # are triple-proven and rotated out; the first window block above
-    # still covers the reference-parity families, and everything
-    # rotated out stays strict-checked by tools/check_oracles.py.)
-    "conversion_funnel",
-    "multimodal_feature_extract",
-    # -- added late in round 4 (first driver exposure): the tri-modal
-    # media loops (audio features, audio fingerprint near-dup, image
-    # dHash near-dup, video frame sampling — each value-verified
-    # against a byte-level oracle), leakage-free cluster-disjoint
-    # split, and the Q12/Q14/Q19/Q22 TPC-H shapes. They displace 9
-    # triple-proven reps (run_steps_join, sessionize_users,
-    # pit_features_7d, dedup_jaccard_pairs, dedup_minhash_lsh,
-    # dedup_clusters, corpus_curation_funnel, extract_typed_projection,
-    # upsert_merge) that stay strict-checked locally; components are
-    # still driver-exercised through cluster_disjoint_split, LSH
-    # banding through minhash_containment_pairs.
-    "audio_feature_extract",
-    "audio_fingerprint_near_dup",
-    "image_dhash_near_dup",
-    "video_frame_sample_features",
-    "cluster_disjoint_split",
-    "late_lines_priority_class",
-    "promo_revenue_share",
-    "disjunctive_parts_revenue",
-    "idle_rich_customers_by_segment",
-    # -- added in round 4 (first driver exposure): --
-    "source_mix_report",
-    "label_centroids",
-    "lm_bigram_fluency",
-    "semdedup_prune",
-    "gopher_repetition",
-    "cross_doc_ngram_repetition",
-    "nearest_centroid_assign",
-    "vocab_coverage",
-    "data_quality_report",
-    # -- round-5 rotation: the last three never-driver-witnessed
-    # oracle-backed queries (see block comment above) --
     "embedding_near_dup_lsh",
-    "ewma_hourly_forecast",
+    "cluster_disjoint_split",
     "split_leakage_audit",
+    "salted_hot_key_agg",
+    "scd2_status_history",
+    "data_quality_report",
+    "multimodal_feature_extract",
 ]
 
 
@@ -173,11 +159,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import curation, events, extra, llm, parity, round5, round5b
+    from . import curation, events, extra, llm, parity, round5, round5b, round6
 
     specs = (
         parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
-        + curation.SPECS + round5.SPECS + round5b.SPECS
+        + curation.SPECS + round5.SPECS + round5b.SPECS + round6.SPECS
     )
     prio = {n: i for i, n in enumerate(GATE_WINDOW)}
     head = [s for s in specs if s.name in prio]

@@ -11,8 +11,8 @@ import os
 
 from automated_data_pipeline_spark.suite import GATE_WINDOW, all_specs
 
-DOCUMENTED_TOTAL = 135
-DOCUMENTED_WITH_ORACLE = 130
+DOCUMENTED_TOTAL = 140
+DOCUMENTED_WITH_ORACLE = 135
 
 # The 28 oracle queries that had no driver CORRECTNESS row in rounds
 # 1-3 and were rotated into the round-4 window (VERDICT r3 item 2).
@@ -66,6 +66,41 @@ ADDED_IN_R5 = frozenset({
 })
 
 
+# Oracle-backed queries ADDED in round 6: companion queries giving the
+# 5 rows-only operators driver-visible value evidence (suite/round6.py).
+# Unlike prior rounds' additions they do NOT queue: VERDICT r5 item 4
+# asks for them "gated in r6's window", so they rotate in immediately.
+ADDED_IN_R6 = frozenset({
+    "ann_ivf_exact_full_probe", "ann_pq_exact_rerank",
+    "ann_ivfpq_exact_full", "bpe_top_pairs", "approx_agg_accuracy",
+})
+
+# The round-6 window = ADDED_IN_R5 (22, the only driver-unwitnessed
+# oracle queries after r5) + ADDED_IN_R6 (5) + run_number_backfill
+# (r1-r4 green but rewritten in r6 — new plan, fresh witness) + 22
+# r5-green family representatives.
+ROTATED_IN_R6 = ADDED_IN_R5 | ADDED_IN_R6 | {"run_number_backfill"}
+
+# Displaced in r6; each is driver-green in CORRECTNESS_r05 and its
+# family keeps a window representative (see suite/__init__.py comment).
+ROTATED_OUT_R6 = frozenset({
+    "small_quantity_parts_revenue", "suppliers_high_volume_semi",
+    "cube_status_priority", "price_percentiles_by_priority",
+    "distinct_users_per_type", "nation_pair_volume",
+    "tfidf_top_terms_per_doc", "embedding_int8_quantize",
+    "dedup_keep_best_quality", "chargram_min_fingerprint",
+    "top_terms_en", "salted_join_priority_revenue",
+    "audio_feature_extract", "audio_fingerprint_near_dup",
+    "image_dhash_near_dup", "video_frame_sample_features",
+    "late_lines_priority_class", "promo_revenue_share",
+    "disjunctive_parts_revenue", "idle_rich_customers_by_segment",
+    "source_mix_report", "label_centroids", "lm_bigram_fluency",
+    "semdedup_prune", "gopher_repetition",
+    "cross_doc_ngram_repetition", "nearest_centroid_assign",
+    "vocab_coverage",
+})
+
+
 def test_suite_counts_match_documentation():
     specs = all_specs()
     assert len(specs) == DOCUMENTED_TOTAL
@@ -85,27 +120,25 @@ def test_gate_window_is_exactly_the_first_50():
 
 
 def test_gate_window_rotation_covers_never_gated_queries():
-    """Round-5 intent: the window carries the r4 rotation (minus the 3
-    names displaced in r5, each r4-green) plus the final 3
-    never-driver-witnessed queries, so that once CORRECTNESS_r05 lands
-    every oracle-backed query has driver-green evidence from some
-    round."""
-    missing = (ROTATED_IN_R4 - ROTATED_OUT_R5) - set(GATE_WINDOW)
+    """Round-6 intent: the window carries EVERY oracle-backed query
+    that still lacks a driver-green CORRECTNESS row — the 22 added in
+    round 5 plus the 5 round-6 companions — plus the rewritten
+    run_number_backfill, so that once CORRECTNESS_r06 lands green the
+    never-witnessed set is empty (derivable from the artifacts)."""
+    missing = ROTATED_IN_R6 - set(GATE_WINDOW)
     assert not missing, f"rotated-in queries missing from window: {missing}"
-    missing_r5 = ROTATED_IN_R5 - set(GATE_WINDOW)
-    assert not missing_r5, f"r5 rotation missing from window: {missing_r5}"
-    assert not (ROTATED_OUT_R5 & set(GATE_WINDOW)), "displaced names remain"
-    # the r5 rotation must be exactly the set of oracle-backed names
-    # with no driver row in any prior round's artifact
+    assert not (ROTATED_OUT_R6 & set(GATE_WINDOW)), "displaced names remain"
+    # driver-green evidence from any prior round's artifact
     prev = set()
     for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-              "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+              "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
+              "CORRECTNESS_r05.json"):
         p = os.path.join(os.path.dirname(os.path.dirname(__file__)), f)
         if os.path.exists(p):
             rows = json.load(open(p))
             # only GREEN rows count as driver-witnessed (r1 recorded a
             # FAILED row for embedding_near_dup_lsh — that's exactly
-            # why it must rotate back in)
+            # why it had to rotate back in, in r5)
             prev |= {
                 n for n, r in rows.items()
                 if r.get("rows_match") and r.get("schema_match")
@@ -113,12 +146,14 @@ def test_gate_window_rotation_covers_never_gated_queries():
             }
     if prev:
         oracle_names = {s.name for s in all_specs() if s.oracle is not None}
-        never_witnessed = oracle_names - prev - ADDED_IN_R5
-        assert never_witnessed == ROTATED_IN_R5, (
-            f"never-witnessed set drifted: {never_witnessed ^ ROTATED_IN_R5}"
+        never_witnessed = oracle_names - prev - ADDED_IN_R6
+        assert never_witnessed == ADDED_IN_R5, (
+            f"never-witnessed set drifted: {never_witnessed ^ ADDED_IN_R5}"
         )
+        # every never-witnessed name must be inside the r6 window
+        assert (never_witnessed | ADDED_IN_R6) <= set(GATE_WINDOW)
         # displaced names must already have driver-green evidence
-        assert ROTATED_OUT_R5 <= prev, "displaced a never-witnessed name"
+        assert ROTATED_OUT_R6 <= prev, "displaced a never-witnessed name"
 
 
 def test_entry_module_contract():
