@@ -33,6 +33,7 @@ from pyspark.sql import Observation
 
 from .control import ControlStore, utcnow
 from .operators import stages, upsert
+from .progress_monitor import StepProgressMonitor
 from .schemas import STEP_NAMES
 from .sources.files import read_orders_file, resolve_input_columns
 
@@ -106,10 +107,19 @@ class TargetTable:
 class PipelineRunner:
     """Drives the 4-stage dataflow for one warehouse directory."""
 
-    def __init__(self, spark: SparkSession, workdir: str, control: ControlStore | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        control: ControlStore | None = None,
+        progress_interval: float | None = 5.0,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.control = control or ControlStore(workdir)
+        # ST4: intra-stage rows_processed estimates while a step runs
+        # (StepProgress.java parity; None disables)
+        self.progress = StepProgressMonitor(spark, self.control, progress_interval)
         self.landing_dir = os.path.join(workdir, "stages", "landing")
         self.staging_dir = os.path.join(workdir, "stages", "staging")
         self.transformed_dir = os.path.join(workdir, "stages", "staging_transformed")
@@ -261,6 +271,7 @@ class PipelineRunner:
             ]
 
         current = 0
+        prev_n: int | None = None  # each step's input = previous step's counted output
         try:
             for i, fn in enumerate(step_fns(), start=1):
                 current = i
@@ -269,7 +280,9 @@ class PipelineRunner:
                 ctl.log(run_id, "Info", f"Step started: {STEP_NAMES[i-1]}",
                         pipeline_name=pipeline_name, step_number=i,
                         step_name=STEP_NAMES[i - 1])
-                n = fn()
+                with self.progress.step(run_id, i, rows_total=prev_n):
+                    n = fn()
+                prev_n = n
                 ctl.update_step(
                     run_id, i, status="Success", finished_at=utcnow(), rows_affected=n,
                     rows_processed=n, rows_total=n,

@@ -96,25 +96,67 @@ class LshStore:
         buckets.write.mode("append").parquet(self.buckets_dir)
         docs.write.mode("append").parquet(self.docs_dir)
 
+    def file_count(self) -> int:
+        """Parquet data files across both stores — the candidate join's
+        per-batch file-open cost, and maybe_compact's trigger metric."""
+        return sum(
+            1
+            for d in (self.buckets_dir, self.docs_dir)
+            if os.path.isdir(d)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def maybe_compact(
+        self, spark: SparkSession, max_files: int = 64, files_per_store: int = 8
+    ) -> bool:
+        """Size-triggered compaction: rewrite when the accreted file
+        count crosses ``max_files``. Called between micro-batches (the
+        foreachBatch contract serializes batches, so no append is in
+        flight); bounds the store at O(max_files) files regardless of
+        ingest length. Returns whether a compaction ran."""
+        if self.file_count() <= max_files:
+            return False
+        self.compact(spark, files_per_store=files_per_store)
+        return True
+
     def compact(self, spark: SparkSession, files_per_store: int = 8) -> None:
         """Rewrite both stores into few large files. An append-only
         ingest accretes one small parquet file per micro-batch per
         partition; after N batches every candidate join pays N file
-        opens. Also drops exact-duplicate bucket rows (debris of a
-        crash between the bucket and doc appends of one batch). Run
-        between ingest sessions (NOT concurrently with one — the
-        rewrite is not transactional against in-flight appends). The
-        two-rename swap's crash windows are covered by
+        opens. Also reclaims index debris that appends can leave
+        behind (both classes are invisible to dedup decisions — the
+        candidate join .distinct()s and verifies against the docs
+        payloads — but waste index space forever if never GC'd):
+        - exact-duplicate bucket rows: crash between one batch's
+          bucket and doc appends, then a replay re-appends the same
+          bucket rows;
+        - RETIRED (orphan) bucket rows: same crash, but the batch is
+          never replayed — bucket keys point at doc_ids that never
+          reached the docs store, so they can never verify.
+        Run between ingest sessions or micro-batches (NOT concurrently
+        with an in-flight append — the rewrite is not transactional).
+        The two-rename swap's crash windows are covered by
         ``_recover_compact`` at every store read and compact start."""
         import shutil
 
+        _recover_compact(self.buckets_dir)
+        _recover_compact(self.docs_dir)
+        live_ids = None
+        if _has_parquet(self.docs_dir):
+            live_ids = spark.read.parquet(self.docs_dir).select("doc_id")
         for dir_ in (self.buckets_dir, self.docs_dir):
-            _recover_compact(dir_)
             if not _has_parquet(dir_):
                 continue
             df = spark.read.parquet(dir_)
             if dir_ is self.buckets_dir:
                 df = df.dropDuplicates()
+                # retired-bucket GC: keep only keys whose payload exists
+                df = (
+                    df.join(live_ids, "doc_id", "left_semi")
+                    if live_ids is not None
+                    else df.limit(0)
+                )
             df = df.coalesce(files_per_store)
             tmp = dir_ + ".compact"
             df.write.mode("overwrite").parquet(tmp)
@@ -261,14 +303,25 @@ def start_incremental_lsh_dedup(
     threshold: float = 0.8,
     schema: str = "doc_id bigint, text string",
     available_now: bool = True,
+    compact_max_files: int | None = 64,
+    max_files_per_trigger: int | None = None,
 ):
     """File-source stream wiring: every file dropped in ``source_dir``
     is a micro-batch near-deduplicated against the store; novel docs
-    land in ``out_dir``. Returns the started StreamingQuery."""
+    land in ``out_dir``. Returns the started StreamingQuery.
+
+    ``compact_max_files``: size trigger for store compaction, checked
+    BETWEEN micro-batches (foreachBatch serializes, so no append is in
+    flight) and BEFORE the batch's replay probe — compaction rewrites
+    bytes, never batch_key rows, so replay decisions are unchanged.
+    Bounds the store's file count over an unbounded ingest; None
+    disables."""
     first = {"fresh": False}
 
     def handle(batch_df, batch_id: int):
         key = f"{checkpoint_dir}#{batch_id}"
+        if compact_max_files is not None:
+            store.maybe_compact(spark, max_files=compact_max_files)
         maybe_replay = not first["fresh"]
         novel = near_dedup_batch_against_store(
             spark,
@@ -295,7 +348,13 @@ def start_incremental_lsh_dedup(
                 .parquet(out_dir)
             )
 
-    stream = spark.readStream.schema(schema).json(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # per-shard micro-batches (otherwise availableNow folds every
+        # waiting file into one batch and between-batch hooks like the
+        # compaction trigger never see the ingest grow)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
     writer = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

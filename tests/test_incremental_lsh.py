@@ -204,3 +204,83 @@ def test_compact_crash_recovery(spark, store, tmp_path):
     assert fp.read(spark).count() == 2
     assert not os.path.isdir(fp.path + ".old")
     assert not os.path.isdir(fp.path + ".compact")
+
+
+def test_retired_bucket_gc_on_compact(spark, store):
+    """Orphan bucket rows — keys whose doc payload never landed (crash
+    between the bucket and doc appends, batch never replayed) — are
+    GC'd by compact; live keys survive and decisions are unchanged."""
+    near_dedup_batch_against_store(
+        spark, _df(spark, [(1, BASE), (2, FAR)]), store, batch_key="g1"
+    )
+    live = {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in store.buckets(spark).collect()
+    }
+    # simulate the crash debris: bucket rows for doc_id 99 with no
+    # docs-side payload
+    orphan = spark.createDataFrame(
+        [(0, "deadbeef", 99), (1, "cafebabe", 99)],
+        "band int, bucket string, doc_id bigint",
+    )
+    orphan.write.mode("append").parquet(store.buckets_dir)
+    assert {r["doc_id"] for r in store.buckets(spark).collect()} == {1, 2, 99}
+    store.compact(spark, files_per_store=1)
+    assert {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in store.buckets(spark).collect()
+    } == live
+    out = near_dedup_batch_against_store(
+        spark, _df(spark, [(9, NEAR)]), store, batch_key="g9", assume_fresh=True
+    )
+    assert out.count() == 0  # NEAR still rejected post-GC
+
+
+def test_stream_size_triggered_compaction_identical_decisions(
+    spark, store, tmp_path
+):
+    """An N-batch ingest with size-triggered compaction keeps the store
+    file count bounded AND makes byte-identical dedup decisions to an
+    uncompacted ingest of the same shards."""
+    import json as _json
+
+    shards = [
+        [(1, BASE), (2, FAR)],
+        [(20, NEAR), (21, "totally new words about sailing across the ocean at dawn")],
+        [(30, BASE.replace("birds", "crickets")), (31, FAR + " plus a tail of extra tokens")],
+        [(40, "hi"), (41, NEAR.replace("cat", "dog"))],
+    ]
+
+    def ingest(root, compact_max_files):
+        st = LshStore(str(root / "st"))
+        src = str(root / "src")
+        os.makedirs(src)
+        for i, rows in enumerate(shards):
+            p = os.path.join(src, f"s{i}.json")
+            with open(p, "w") as f:
+                for did, t in rows:
+                    f.write(_json.dumps({"doc_id": did, "text": t}) + "\n")
+            # the file source orders ties arbitrarily; distinct mtimes
+            # pin shard order so both ingests see identical batches
+            os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        q = start_incremental_lsh_dedup(
+            spark, src, st, str(root / "out"), str(root / "ckpt"),
+            compact_max_files=compact_max_files,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        kept = {
+            r["doc_id"] for r in spark.read.parquet(str(root / "out")).collect()
+        }
+        return st, kept
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    st_compact, kept_compact = ingest(a, compact_max_files=2)
+    st_plain, kept_plain = ingest(b, compact_max_files=None)
+    assert kept_compact == kept_plain
+    assert st_compact.file_count() < st_plain.file_count()
+    assert {r["doc_id"] for r in st_compact.docs(spark).collect()} == {
+        r["doc_id"] for r in st_plain.docs(spark).collect()
+    }
