@@ -103,6 +103,45 @@ class TargetTable:
                 os.replace(tmp, self._pointer)
         return v
 
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame, key: str) -> None:
+        """The J3 sink seam: read-merge-commit as ONE critical section
+        (see merge_lock docstring). Same contract as
+        ``DeltaTargetTable.merge_upsert`` — the runner is agnostic to
+        which transactional story backs the target."""
+        with self.merge_lock:
+            merged = upsert.upsert_replace(self.read(spark), updates, key=key)
+            self.commit(merged)
+
+
+class DeltaTargetTable:
+    """Delta Lake twin of ``TargetTable``: same ``read``/``merge_upsert``
+    interface, but the merge is a real transactional ``MERGE INTO``
+    (upsert.delta_merge_replace) and versioning/atomicity come from the
+    Delta log instead of the versioned-parquet + LATEST-pointer scheme.
+    Only constructed when ``upsert.delta_available`` — the production
+    path SURVEY §7 names as the J3 canonical; this sandbox's image has
+    no delta-spark, so the join-rewrite TargetTable carries the tested
+    semantics and this class is the documented seam."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        # Delta serializes committers itself (optimistic concurrency),
+        # but the read-merge cycle still shares the runner's in-process
+        # critical-section contract
+        self.merge_lock = threading.Lock()
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, self.path):
+            return None
+        return spark.read.format("delta").load(self.path)
+
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame, key: str) -> None:
+        with self.merge_lock:
+            upsert.delta_merge_replace(spark, self.path, updates, key)
+
 
 class PipelineRunner:
     """Drives the 4-stage dataflow for one warehouse directory."""
@@ -113,6 +152,7 @@ class PipelineRunner:
         workdir: str,
         control: ControlStore | None = None,
         progress_interval: float | None = 5.0,
+        target_format: str = "auto",
     ):
         self.spark = spark
         self.workdir = workdir
@@ -120,10 +160,21 @@ class PipelineRunner:
         # ST4: intra-stage rows_processed estimates while a step runs
         # (StepProgress.java parity; None disables)
         self.progress = StepProgressMonitor(spark, self.control, progress_interval)
+        if target_format not in ("auto", "parquet", "delta"):
+            raise ValueError(f"unknown target_format {target_format!r}")
+        if target_format == "delta" and not upsert.delta_available(spark):
+            raise ImportError(
+                "target_format='delta' requires delta-spark on the "
+                "classpath (use 'auto' to fall back to parquet)"
+            )
+        use_delta = target_format == "delta" or (
+            target_format == "auto" and upsert.delta_available(spark)
+        )
+        target_cls = DeltaTargetTable if use_delta else TargetTable
         self.landing_dir = os.path.join(workdir, "stages", "landing")
         self.staging_dir = os.path.join(workdir, "stages", "staging")
         self.transformed_dir = os.path.join(workdir, "stages", "staging_transformed")
-        self.target = TargetTable(os.path.join(workdir, "stages", "target"))
+        self.target = target_cls(os.path.join(workdir, "stages", "target"))
         self._cancel_flags: set[str] = set()
         self._lock = threading.Lock()
 
@@ -226,19 +277,16 @@ class PipelineRunner:
         updates = stages.migrate_updates(transformed)
         obs = Observation()
         updates = updates.observe(obs, F.count(F.lit(1)).alias("n"))
-        # the WHOLE read-merge-commit is a critical section: without it
-        # two concurrent runs (HTTP trigger daemon threads + streaming
-        # trigger share one driver) both read v=N, merge independently,
-        # and the later pointer silently drops the earlier run's rows
-        # while both runs report Success. In-process serialization is
-        # the correct scope for local[N]; cross-process committers on
-        # one directory need a real transaction log (Delta), which the
-        # TargetTable docstring already documents.
-        with self.target.merge_lock:
-            merged = upsert.upsert_replace(
-                self.target.read(self.spark), updates, key="order_id"
-            )
-            self.target.commit(merged)
+        # the WHOLE read-merge-commit is a critical section (held inside
+        # merge_upsert): without it two concurrent runs (HTTP trigger
+        # daemon threads + streaming trigger share one driver) both read
+        # v=N, merge independently, and the later pointer silently drops
+        # the earlier run's rows while both runs report Success.
+        # In-process serialization is the correct scope for local[N];
+        # cross-process committers on one directory need a real
+        # transaction log — which is exactly what the DeltaTargetTable
+        # seam provides when delta-spark is on the classpath.
+        self.target.merge_upsert(self.spark, updates, key="order_id")
         return int(obs.get["n"])
 
     # ---- run loop (index.js:59-125) -------------------------------------

@@ -212,3 +212,57 @@ def test_urllib_fetcher_scrapes_live_local_server(spark):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_playwright_click_path_live_when_available(spark):
+    """S8's JS/click path, exercised for real whenever the environment
+    has Playwright + a browser (skipped in this image): a live local
+    page whose content appears only after a JS click must be scraped
+    post-click through the same scrape_to_df surface."""
+    import importlib.util
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if importlib.util.find_spec("playwright") is None:
+        pytest.skip("playwright not installed in this image")
+    from automated_data_pipeline_spark.sources.scrape import (
+        playwright_fetcher,
+        scrape_to_df,
+    )
+
+    HTML = b"""<html><body>
+      <button id="btn" onclick="
+        document.getElementById('out').textContent = 'clicked-value';
+      ">go</button>
+      <div id="out">initial</div>
+    </body></html>"""
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(HTML)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/page"
+        try:
+            df = scrape_to_df(
+                spark,
+                url,
+                {"out": "#out"},
+                click_selector="#btn",
+                fetcher=playwright_fetcher,
+            )
+            got = {r["selector"]: r["values"] for r in df.collect()}
+        except Exception as exc:  # browser binary absent despite package
+            pytest.skip(f"playwright present but browser unusable: {exc}")
+        assert got["out"] == ["clicked-value"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
