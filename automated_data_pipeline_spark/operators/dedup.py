@@ -38,10 +38,24 @@ from ..functions import text as TX
 BROADCAST_VERIFY_MAX_BYTES = 256 << 20
 
 
+
+# Observability for scale validation: the most recent auto broadcast-vs-
+# shuffle verify decision (n_docs, total_shingles, est_bytes, broadcast).
+# Overwritten per auto-switched call; read by tools/scale_validation.py
+# to report whether a given SF crossed the switch.
+LAST_AUTOSWITCH: dict = {}
+
+
 def _should_broadcast_verify(n_docs: int, total_shingles: int) -> bool:
     """Estimate the materialized size of the per-document hashed-shingle
     tables: 8 bytes per 64-bit shingle hash + ~32 bytes/row overhead."""
     est = total_shingles * 8 + n_docs * 32
+    LAST_AUTOSWITCH.update(
+        n_docs=n_docs,
+        total_shingles=total_shingles,
+        est_bytes=est,
+        broadcast=est <= BROADCAST_VERIFY_MAX_BYTES,
+    )
     return est <= BROADCAST_VERIFY_MAX_BYTES
 
 

@@ -124,6 +124,14 @@ HEADLINE = [
     "order_priority_late_check",
     "temporal_cv_folds",
     "bloom_decontaminate",
+    # round-6 additions: exact-mode companions for the rows-only ops
+    # (suite/round6.py) + the rewritten distributed run_number_backfill
+    "ann_ivf_exact_full_probe",
+    "ann_pq_exact_rerank",
+    "ann_ivfpq_exact_full",
+    "bpe_top_pairs",
+    "approx_agg_accuracy",
+    "run_number_backfill",
 ]
 
 

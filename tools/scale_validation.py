@@ -1,0 +1,182 @@
+"""Order-of-magnitude scale validation (VERDICT r5 item 3): run the
+heaviest suite workloads at a scaled fixture dir (see
+tools/make_scaled_sf.py — facts ×10 over sf0.1 ≙ "sf1") and time the
+DuckDB oracles side-by-side where the oracle is itself scalable.
+
+Usage:
+  python tools/scale_validation.py [sf_dir] [out_json] [duck_timeout_s]
+  python tools/scale_validation.py --duck-one payload.json   (internal)
+
+Per workload the report records: spark_sec (warm + min-of-2),
+duck_sec or status (timeout / rows-only / quadratic-oracle-skipped),
+ratio, and — for the near-dup family — the broadcast-verify
+auto-switch decision actually taken (operators.dedup.LAST_AUTOSWITCH),
+answering "did the constants hold one order of magnitude up".
+
+DuckDB runs in a child process per query so a blown-up oracle is
+killed at the timeout instead of wedging the run; quadratic oracles
+(all-pairs jaccard: 1334 s already at sf0.1 ⇒ ~100× that at ×10) are
+skipped by construction, not timed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Heaviest suite workloads at sf0.1 (BENCH_DETAIL.json ordering) plus
+# the round-6 rewritten run_number_backfill and the classic heavy scan
+# shapes; streams appended separately below.
+WORKLOADS = [
+    "dedup_jaccard_pairs",
+    "cluster_disjoint_split",
+    "corpus_curation_funnel",
+    "bpe_train_merges",
+    "dedup_clusters",
+    "ann_pq_rerank_topk",
+    "dedup_minhash_lsh",
+    "minhash_containment_pairs",
+    "salted_join_priority_revenue",
+    "salted_hot_key_agg",
+    "ann_ivf_topk",
+    "image_dhash_near_dup",
+    "audio_fingerprint_near_dup",
+    "sessionize_users",
+    "pricing_summary",
+    "pit_features_7d",
+    "pack_sequences_128",
+    "dup_span_detect",
+    "run_number_backfill",
+    "upsert_merge",
+]
+
+# Oracles that are themselves the slow specification (all-pairs /
+# byte-level replay): timing them at ×10 is 100× an already-huge
+# number — skip with the reason recorded instead of burning hours.
+QUADRATIC_ORACLES = {
+    "dedup_jaccard_pairs": "all-pairs jaccard oracle: 1334s at sf0.1, O(n^2) => ~37h at x10",
+    "audio_fingerprint_near_dup": "byte-level audio replay oracle: 325s at sf0.1",
+    "image_dhash_near_dup": "byte-level PNG replay oracle, all-pairs hamming",
+}
+
+
+def _duck_one(payload_path: str) -> None:
+    import duckdb
+
+    with open(payload_path) as f:
+        p = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{p['sf_dir']}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    t0 = time.time()
+    n = len(con.execute(p["sql"]).fetchall())
+    print(json.dumps({"sec": round(time.time() - t0, 3), "rows": n}))
+
+
+def time_duck(name: str, sql: str, sf_dir: str, timeout_s: float):
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"sql": sql, "sf_dir": sf_dir}, f)
+        path = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--duck-one", path],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode != 0:
+            return None, f"error: {r.stderr.strip().splitlines()[-1][:200]}"
+        return json.loads(r.stdout.strip())["sec"], "ok"
+    except subprocess.TimeoutExpired:
+        return None, f"timeout(>{int(timeout_s)}s)"
+    finally:
+        os.unlink(path)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--duck-one":
+        _duck_one(sys.argv[2])
+        return
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALE_VALIDATION.json"
+    duck_timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
+
+    specs_by_name = {}
+    report: dict = {"sf_dir": sf_dir, "workloads": {}, "autoswitch": {}}
+
+    # ---- phase 1: DuckDB oracle timings (child processes, no JVM) ----
+    from automated_data_pipeline_spark.suite import all_specs
+
+    for s in all_specs():
+        specs_by_name[s.name] = s
+    for name in WORKLOADS:
+        s = specs_by_name[name]
+        row: dict = {}
+        if s.oracle is None:
+            row["duck"] = "rows-only"
+        elif name in QUADRATIC_ORACLES:
+            row["duck"] = "skipped"
+            row["duck_skip_reason"] = QUADRATIC_ORACLES[name]
+        else:
+            sec, status = time_duck(name, s.oracle, sf_dir, duck_timeout)
+            row["duck"] = status
+            if sec is not None:
+                row["duck_sec"] = sec
+        report["workloads"][name] = row
+        print(f"duck  {name}: {row}", flush=True)
+
+    # ---- phase 2: Spark timings ----
+    from automated_data_pipeline_spark.operators import dedup
+    from automated_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-validation")
+    for name in WORKLOADS:
+        fn = specs_by_name[name].fn
+        fn(spark, sf_dir).count()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            took = time.time() - t0
+            best = took if best is None else min(best, took)
+        row = report["workloads"][name]
+        row["spark_sec"] = round(best, 3)
+        row["rows"] = n
+        if "duck_sec" in row:
+            row["ratio_vs_duck"] = round(row["spark_sec"] / row["duck_sec"], 3)
+        if name.startswith("dedup_jaccard") or name == "corpus_curation_funnel":
+            if dedup.LAST_AUTOSWITCH:
+                report["autoswitch"][name] = dict(dedup.LAST_AUTOSWITCH)
+        print(f"spark {name}: {row}", flush=True)
+
+    # ---- phase 3: streaming ingest paths at the scaled dir ----
+    import bench
+
+    for sname, fn in [
+        ("stream_incremental_dedup", bench.bench_stream_incremental_dedup),
+        ("stream_incremental_lsh", bench.bench_stream_incremental_lsh),
+        ("stream_stream_join_1h", bench.bench_stream_stream_join),
+    ]:
+        sec = fn(spark, sf_dir)
+        report["workloads"][sname] = {"spark_sec": sec, "duck": "streaming"}
+        print(f"spark {sname}: {sec}s", flush=True)
+
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()
