@@ -69,6 +69,13 @@ SHOWN = [
     ("large_volume_orders", "Q18 shape: HAVING-filtered per-order agg broadcasts into orders+customer"),
     ("order_priority_late_check", "Q4 shape: quarter filter pushed into orders scan, LEFT SEMI join"),
     ("temporal_cv_folds", "temporal CV: one scan -> 5-row slice agg; folds derive from 5 rows"),
+    # round-6: rewritten backfill + companions (the ANN companions are
+    # NOT regenerable — their encoded frames are localCheckpoint-
+    # materialized like dedup_minhash_lsh; their plan story is the
+    # rows-only siblings' pins in tests/test_scale_plans.py)
+    ("run_number_backfill", "A5 backfill at data scale: range exchange + per-partition row_number + broadcast offsets — no single-partition global window"),
+    ("bpe_top_pairs", "BPE round-0 pair counts: explode off one word-freq agg, partial aggs, TakeOrderedAndProject"),
+    ("approx_agg_accuracy", "approx-vs-exact twins: one partial+final agg pass computes HLL++, exact distinct, and both percentiles"),
 ]
 
 
