@@ -667,3 +667,19 @@ def test_kmv_global_sketch_avoids_global_window(spark):
     )
     want = sorted(r["hv"] for r in grouped.collect())
     assert got == want and len(got) == 64
+
+
+def test_bpe_pair_counts_plan_topk_and_pruned_scan(spark):
+    """bpe_top_pairs (the round-6 companion): the round-0 pair-count
+    table must rank via TakeOrderedAndProject (per-partition heaps —
+    never a global sort/window) off a text-only pruned documents scan."""
+    import os
+
+    from automated_data_pipeline_spark.suite import queries_dict
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    df = queries_dict()["bpe_top_pairs"](spark, sf)
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert "ReadSchema: struct<text:string>" in plan, "scan not pruned to text"
