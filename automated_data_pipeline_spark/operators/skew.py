@@ -11,12 +11,24 @@ operators cover the cases AQE cannot fix:
 - ``salted_join``: join a skewed fact against a dimension by exploding
   the dimension R ways and salting the fact uniformly, so a hot key's
   rows spread over R reducers instead of one.
+
+Salting is OPT-IN for *measured* skew, not a default join strategy: on
+uniform keys it pays an R-times dimension replication plus a per-row
+hash for nothing (measured 15.5x a plain join at the x10 uniform
+TPC-H fixture — SCALE_VALIDATION r6/r7, adjudicated in BASELINE.md).
+Pass ``auto_threshold`` to have ``salted_join`` sample the fact's key
+histogram first and fall back to a plain (AQE-handled) join when the
+hottest key's share is below the threshold.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Observability for the auto path (mirrors dedup.LAST_AUTOSWITCH): the
+# last skew estimate + decision taken, for scale-validation artifacts.
+LAST_SALT_DECISION: dict = {}
 
 
 def _row_salt(df: DataFrame, n_salts: int, cols: list[str] | None = None) -> Column:
@@ -72,6 +84,32 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*merge_exprs)
 
 
+def estimate_top_key_share(
+    df: DataFrame,
+    key: str,
+    fraction: float = 0.02,
+    cap: int = 200_000,
+    seed: int = 42,
+) -> float:
+    """Sampled estimate of the hottest key's share of rows, in [0, 1].
+
+    One cheap extra Spark job: project the key column, sample
+    ``fraction``, hard-cap at ``cap`` rows, count per key, and return
+    max/total — a single-row driver transfer. At 100 TB the cap (not
+    the fraction) bounds the work; a 30%-hot key is detectable from a
+    few thousand sampled rows, so the defaults are generous."""
+    s = df.select(key).sample(fraction=fraction, seed=seed).limit(cap)
+    row = (
+        s.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("tot"))
+        .first()
+    )
+    if row is None or not row["tot"]:
+        return 0.0
+    return float(row["mx"]) / float(row["tot"])
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -79,6 +117,7 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     salt_cols: list[str] | None = None,
+    auto_threshold: float | None = None,
 ) -> DataFrame:
     """Skew-safe fact⋈dim equi-join: the dimension replicates n_salts
     ways, the fact salts uniformly, and the join key becomes
@@ -86,7 +125,17 @@ def salted_join(
     Use when the dim is too large to broadcast but small enough to
     replicate n_salts times. Only fact-preserving join types are
     allowed: a dim-preserving join (right/full) would emit each
-    unmatched dim row once per salt replica."""
+    unmatched dim row once per salt replica.
+
+    With ``auto_threshold`` set (recommended), the fact's key histogram
+    is sampled first (``estimate_top_key_share``) and the salted plan
+    is used ONLY when the hottest key's estimated share exceeds the
+    threshold; otherwise this returns the plain join and lets AQE
+    handle residual imbalance. On uniform keys the salted plan is pure
+    overhead (n_salts-times dim replication + per-row hash; 15.5x a
+    plain join at the x10 uniform fixture — BASELINE.md), so
+    unconditional salting should be reserved for keys KNOWN to be hot.
+    The sampling decision is recorded in ``LAST_SALT_DECISION``."""
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
     if how.lower() not in allowed:
@@ -94,6 +143,16 @@ def salted_join(
             f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
             f"got {how!r} — unmatched dim rows would duplicate n_salts times"
         )
+    if auto_threshold is not None:
+        share = estimate_top_key_share(fact, key)
+        salt = share >= auto_threshold
+        LAST_SALT_DECISION.clear()
+        LAST_SALT_DECISION.update(
+            {"top_key_share": round(share, 4), "threshold": auto_threshold,
+             "salted": salt}
+        )
+        if not salt:
+            return fact.join(dim, [key], how)
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -67,80 +67,81 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # dict keys). GATE_WINDOW is that 50 — an explicit, exact list so a
 # new spec added anywhere can never silently reshuffle the window.
 #
-# Round-6 rotation (VERDICT r5 items 1+4): the 22 oracle-backed queries
-# added in round 5 (driver-unwitnessed by construction — r5's window
-# froze before they landed) rotate in, plus the 5 round-6 companion
-# queries that give the rows-only operators driver-visible value
-# evidence (suite/round6.py), plus run_number_backfill (driver-green
-# r1-r4 but REWRITTEN this round from a single-partition global window
-# to the two-phase distributed enumeration — the changed plan deserves
-# a fresh witness). The 22 displaced names are ALL green in
-# CORRECTNESS_r05.json and every displaced family keeps a window
-# representative (TPC-H shapes: 7 kept + 5 rotating in; text analysis:
-# quality_decile_report + top_bigrams_per_lang rotate in for the
-# displaced gopher/vocab/tfidf rows; media: multimodal_feature_extract
-# stays for the audio/image/video trio). Once CORRECTNESS_r06 lands
-# green, EVERY oracle-backed query in the suite has a driver-green row
-# from some round (union over r1-r6) — never_witnessed == ∅. Rotated-
-# out names stay strict-checked by tools/check_oracles.py (run
-# per-round, judged) and by pytest.
+# Round-7 rotation (VERDICT r6 items 2+9): first-witness coverage is
+# complete (never_witnessed == ∅ as of r6), so the window now
+# re-witnesses OLDEST-FIRST. `tools/witness_audit.py --rotation 7 54`
+# ranks the 135 oracle-backed queries by last-green round: 54 names'
+# freshest witness is r1-r3 (7 from r1/r2, 47 from r3) — the §2 parity
+# core, whose plans have churned since (AQE, load() NTZ handling).
+# This window = those 7 + 42 of the 47 r3-witnessed +
+# approx_agg_accuracy (kept as the sketch-family representative — the
+# r6 companions' families must stay represented; ANN and BPE already
+# have stale reps in ann_rhp_lsh/knn_cosine_bruteforce and
+# token_count_bpeish). The 5 deferred r3 names
+# (customers_without_orders_anti, dedup_simhash,
+# embedding_near_dup_brute, duration_per_user, top_event_transitions)
+# each have their machinery twin IN the window (semi join, pigeonhole
+# hamming bands, brute cosine, session windows, lag/lead) and become
+# r8's rotation head. Rotated-out names stay strict-checked by
+# tools/check_oracles.py (run per-round, judged) and by pytest.
 GATE_WINDOW = [
-    # -- rotated in (round 6): first-wave round-5 queries --
-    "regional_cheapest_supplier",
-    "waiting_orders_suppliers",
-    "important_parts_by_nation",
-    "rolling_daily_zscore",
-    "hourly_heavy_hitters",
-    "quality_decile_report",
-    "token_budget_prefix",
-    "top_bigrams_per_lang",
-    # -- rotated in (round 6): sketches / spans / linkage wave --
-    "kmv_distinct_user_days",
-    "hll_distinct_user_days",
-    "cms_heavy_users",
-    "hll_rollup_user_days",
-    "kmv_overlap_types",
-    "bloom_decontaminate",
-    "dup_span_detect",
-    "fuzzy_supplier_match",
-    # -- rotated in (round 6): late-wave TPC-H shapes + CV folds --
-    "promo_discount_revenue_band",
-    "nation_market_share",
-    "top_supplier_by_quarter",
-    "large_volume_orders",
-    "order_priority_late_check",
-    "temporal_cv_folds",
-    # -- added in round 6: oracle companions for the rows-only ops --
-    "ann_ivf_exact_full_probe",
-    "ann_pq_exact_rerank",
-    "ann_ivfpq_exact_full",
-    "bpe_top_pairs",
+    # -- stalest: last witnessed r1/r2 (7) --
+    "capped_sample_per_lang",
+    "doc_quality_score",
+    "pii_redaction_stats",
+    "repeated_ngram_ratio",
+    "stratified_hash_sample",
+    "sliding_window_counts",
+    "value_outliers_by_type",
+    # -- r3-witnessed: §2 parity core (pipeline semantics + API) --
+    "extract_typed_projection",
+    "transform_amount_category",
+    "scalar_function_suite",
+    "json_props_extract",
+    "max_plus_one_run_number",
+    "derived_run_status",
+    "run_point_lookup",
+    "run_steps_join",
+    "list_runs_filtered_top100",
+    "recent_logs_clamped",
+    "ordered_steps_scan",
+    "status_sweep_counts",
+    "due_schedule_predicate",
+    "upsert_merge",
+    # -- r3-witnessed: TPC-H / OLAP shapes --
+    "pricing_summary",
+    "revenue_by_nation",
+    "local_supplier_revenue_by_nation",
+    "top_spenders_per_nation",
+    "customers_with_orders_semi",
+    "priority_status_grouping_sets",
+    "range_join_price_bands",
+    "running_total_per_customer",
+    "window_function_family",
+    "pit_features_7d",
+    "snapshot_diff_cdc",
+    # -- r3-witnessed: event-time analytics --
+    "tumbling_hourly_agg",
+    "sessionize_users",
+    "retention_cohorts",
+    "asof_click_before_purchase",
+    # -- r3-witnessed: dedup / similarity family --
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "knn_cosine_bruteforce",
+    "ann_rhp_lsh",
+    # -- r3-witnessed: text analysis / curation --
+    "lang_id_heuristic",
+    "text_stats",
+    "token_count_bpeish",
+    "chunk_documents_64",
+    "corpus_curation_funnel",
+    "train_val_test_split",
+    "multimodal_binary_meta",
+    # -- r6-green, kept: sketch-family representative --
     "approx_agg_accuracy",
-    # -- rewritten in round 6 (fresh witness for the new plan) --
-    "run_number_backfill",
-    # -- r5-green family representatives (22) --
-    "synthetic_orders_category_agg",
-    "shipping_priority_top10",
-    "returned_revenue_by_customer",
-    "revenue_rollup_region_nation",
-    "pivot_priority_counts",
-    "segments_intersect",
-    "customer_order_histogram",
-    "gap_fill_hourly_locf",
-    "conversion_funnel",
-    "ewma_hourly_forecast",
-    "mixture_sample_by_lang",
-    "pack_sequences_128",
-    "decontaminate_vs_holdout",
-    "minhash_containment_pairs",
-    "dedup_jaccard_blocked_lang",
-    "embedding_near_dup_lsh",
-    "cluster_disjoint_split",
-    "split_leakage_audit",
-    "salted_hot_key_agg",
-    "scd2_status_history",
-    "data_quality_report",
-    "multimodal_feature_extract",
 ]
 
 

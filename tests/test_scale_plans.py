@@ -58,6 +58,44 @@ def test_salted_aggregate_matches_naive(spark):
     assert g == w
 
 
+def test_salted_join_auto_bypasses_on_uniform_keys(spark):
+    # uniform key histogram -> the sampled skew check fires the bypass:
+    # the plan is the PLAIN join (no dim-replicating explode, no salt)
+    fact = spark.range(20_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("fid")
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("label"),
+    )
+    got = skew.salted_join(fact, dim, "k", auto_threshold=0.05)
+    assert skew.LAST_SALT_DECISION["salted"] is False
+    assert skew.LAST_SALT_DECISION["top_key_share"] < 0.05
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" not in plan.lower() and "_salt" not in plan
+    assert got.count() == fact.join(dim, "k").count()
+
+
+def test_salted_join_auto_salts_on_hot_key(spark):
+    # 80% of fact rows on one key -> the check keeps the salted plan,
+    # and the result still matches the naive join exactly
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("fid"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("label"),
+    )
+    got = skew.salted_join(fact, dim, "k", auto_threshold=0.05,
+                           salt_cols=["fid"]).select("fid", "label")
+    assert skew.LAST_SALT_DECISION["salted"] is True
+    assert skew.LAST_SALT_DECISION["top_key_share"] >= 0.05
+    want = fact.join(dim, "k").select("fid", "label")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_salted_join_matches_naive(spark):
     fact = spark.range(20_000).select(
         F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
