@@ -59,10 +59,15 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(word_col) -> "F.Column":
-    """Split a word into single-character symbols + the end marker."""
-    return F.concat(
-        F.split(word_col, ""), F.array(F.lit(END))
-    )
+    """Split a word into single-character symbols + the end marker.
+
+    The explicit empty-string filter pins the contract independent of
+    ``split(word, '')`` version behavior (whether it emits leading/
+    trailing empty elements has varied across Spark releases); without
+    it a drift would silently diverge from the DuckDB oracle's
+    substring-based pairing."""
+    chars = F.filter(F.split(word_col, ""), lambda x: x != F.lit(""))
+    return F.concat(chars, F.array(F.lit(END)))
 
 
 def _apply_merge(syms_col, a: str, b: str):

@@ -166,6 +166,14 @@ def ordered_cumsum(
     executions could disagree).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # loud collision guard: the temp columns would otherwise silently
+    # clobber same-named user data (ADVICE r6)
+    clash = {"_pid", "_local_cum", "_offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"ordered_cumsum reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -233,6 +241,11 @@ def distributed_row_number(
     the numbering nondeterministic. Output numbering is 1-based bigint,
     matching SQL ``row_number()``.
     """
+    if "_one" in df.columns:
+        raise ValueError(
+            "distributed_row_number reserves column name '_one'; "
+            "rename it on the input first"
+        )
     tagged = df.withColumn("_one", F.lit(1).cast("bigint"))
     return ordered_cumsum(
         tagged, "_one", order_cols, out_col=out_col,

@@ -74,8 +74,19 @@ class StepProgressMonitor:
             stop.set()
             # join BEFORE the runner writes the step's exact final
             # counts, so no in-flight estimate can land after (and
-            # shadow) the authoritative row
+            # shadow) the authoritative row; the poll loop also
+            # re-checks `stop` right before each write as the second
+            # line of defense if this join times out
             t.join(timeout=10.0)
+            if t.is_alive():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "step-progress poll thread for %s step %s did not "
+                    "stop within 10s; a late estimate would be "
+                    "suppressed by the stop re-check",
+                    run_id, step_number,
+                )
 
     def _poll_loop(self, stop, tracker, baseline, run_id, step_number, rows_total):
         last = 0
@@ -103,7 +114,12 @@ class StepProgressMonitor:
                 if total_tasks <= 0 or done_tasks >= total_tasks:
                     continue
                 est = rows_total * done_tasks // total_tasks
-                if est > last:
+                if est > last and not stop.is_set():
+                    # the stop re-check closes the shadowing window: if
+                    # the runner timed out our join (slow control-store
+                    # write) and already wrote the step's exact final
+                    # counts, an in-flight estimate computed before
+                    # stop was observed must NOT land after it
                     last = est
                     self.control.update_step(
                         run_id,

@@ -98,7 +98,15 @@ class LshStore:
 
     def file_count(self) -> int:
         """Parquet data files across both stores — the candidate join's
-        per-batch file-open cost, and maybe_compact's trigger metric."""
+        per-batch file-open cost, and maybe_compact's trigger metric.
+
+        LOCAL-FS CONTRACT (same as compact()'s rename-swap): counts via
+        ``os.listdir`` of the flat store dirs. On an object store or
+        with nested partition dirs this reads 0 and maybe_compact never
+        fires — the whole store class assumes a POSIX path (the
+        streaming tests' model); a cluster deployment would back the
+        store with a table format (see the Delta seam in
+        operators/upsert.py) rather than grow this class."""
         return sum(
             1
             for d in (self.buckets_dir, self.docs_dir)

@@ -48,10 +48,19 @@ def spec(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The exact-mode companions prove brute-force equivalence; the proof
+# does not need the whole corpus (VERDICT r6 item 8 — at sf0.1 the
+# full 2000-vector corpus made ann_ivfpq_exact_full the slowest bench
+# workload). Cap the corpus at the first 500 vec_ids: at the sf0.01
+# correctness gate EVERY row passes the cap (500 embeddings), so gate
+# results are unchanged; at sf0.1 the bench cost drops ~4x. The cap
+# appears in BOTH the Spark corpus filter and the oracle CTEs.
+_EXACT_CAP = 500
+
 # Shared oracle CTEs: brute-force cosine / squared-L2 pair tables for
 # the first 3 query vectors (the same query set the rows-only ANN
 # queries use). The zero-norm guard mirrors cosine_rounded_safe.
-_COS_PAIRS = """
+_COS_PAIRS = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
     pairs AS (
       SELECT q.qid, e.vec_id,
@@ -62,11 +71,11 @@ _COS_PAIRS = """
           / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
            * sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) END AS cosine
       FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id != q.qid
+      WHERE e.vec_id != q.qid AND e.vec_id < {_EXACT_CAP}
     )
 """
 
-_D2_PAIRS = """
+_D2_PAIRS = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
     pairs AS (
       SELECT q.qid, e.vec_id,
@@ -75,7 +84,7 @@ _D2_PAIRS = """
           * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
         ) FROM range(1,65) t(i)), 6) AS d2
       FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id != q.qid
+      WHERE e.vec_id != q.qid AND e.vec_id < {_EXACT_CAP}
     )
 """
 
@@ -93,6 +102,24 @@ def _queries3(e):
     return e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
+
+
+def _exact_corpus(e):
+    """The capped corpus the exact companions (and their oracles) run
+    over, plus its size — the denominator the exactness knobs must
+    cover. One bounded count() over <=_EXACT_CAP rows."""
+    corpus = e.filter(F.col("vec_id") < _EXACT_CAP)
+    return corpus, corpus.count()
+
+
+def _exact_oversample(n_corpus: int, k: int) -> int:
+    """Shortlist factor that PROVABLY covers the corpus: ceil(n/k).
+    Derived, not hardcoded, so a fixture that outgrows a constant can
+    never silently turn 'provably exact' into 'approximate' — and
+    assert the invariant anyway so a regression fails loudly."""
+    oversample = -(-n_corpus // k)  # ceil div
+    assert k * oversample >= n_corpus, (oversample, n_corpus, k)
+    return oversample
 
 
 # --------------------------------------------------------------------
@@ -113,7 +140,8 @@ def _queries3(e):
 )
 def ann_ivf_exact_full_probe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    out = similarity.ivf_topk(e, _queries3(e), k=5, n_clusters=8, nprobe=8)
+    corpus, _ = _exact_corpus(e)
+    out = similarity.ivf_topk(corpus, _queries3(e), k=5, n_clusters=8, nprobe=8)
     return out.select(
         "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
@@ -129,13 +157,16 @@ def ann_ivf_exact_full_probe(spark, sf_dir):
 )
 def ann_pq_exact_rerank(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    _, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
-    enc = similarity.pq_encode_joined(e, cb_df, m=8).localCheckpoint(
+    corpus, n = _exact_corpus(e)
+    _, cb_df = similarity.pq_train(corpus, dim=64, m=8, n_codes=64)
+    enc = similarity.pq_encode_joined(corpus, cb_df, m=8).localCheckpoint(
         eager=True
     )
-    # oversample=400 -> shortlist k*400 = 2000 >= |embeddings| at every
-    # fixture SF: every candidate reaches the exact re-rank
-    out = similarity.pq_topk_rerank(enc, cb_df, _queries3(e), k=5, oversample=400)
+    # shortlist k*oversample >= |corpus| (derived + asserted): every
+    # candidate reaches the exact re-rank
+    out = similarity.pq_topk_rerank(
+        enc, cb_df, _queries3(e), k=5, oversample=_exact_oversample(n, 5)
+    )
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
     )
@@ -151,11 +182,13 @@ def ann_pq_exact_rerank(spark, sf_dir):
 )
 def ann_ivfpq_exact_full(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
+    corpus, n = _exact_corpus(e)
     enc, cent_df, _, cb_df = similarity.ivfpq_index(
-        e, dim=64, n_clusters=8, m=8, n_codes=16
+        corpus, dim=64, n_clusters=8, m=8, n_codes=16
     )
     out = similarity.ivfpq_topk(
-        enc, cent_df, cb_df, _queries3(e), k=5, nprobe=8, oversample=400
+        enc, cent_df, cb_df, _queries3(e), k=5, nprobe=8,
+        oversample=_exact_oversample(n, 5)
     )
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
