@@ -56,6 +56,37 @@ def test_monitor_emits_mid_stage_estimates(spark):
     assert all(f["rows_total"] == 1000 for _, _, f in spy.calls)
 
 
+def test_monitor_monotone_bounded_across_multi_job_step(spark):
+    """Property over a 3-job step (VERDICT r6 item 7): however many
+    jobs a step spawns, the emitted estimates must be strictly
+    monotone, strictly inside (0, rows_total), and survive the
+    denominator growing as later jobs join the group. Also exercises
+    the baseline snapshot-exclusion path: a COMPLETED prior job in the
+    same group sits in the tracker when the step starts and must not
+    pre-inflate the completed-task fraction."""
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    spy = _SpyControl()
+    mon = StepProgressMonitor(spark, spy, interval_s=0.05)
+    df = _slow_identity(spark.range(0, 900), cores + 1, 0.25)
+    sc.setJobGroup("prog-run-4", "multi-job step")
+    try:
+        # prior step's job, already complete when the monitor snapshots
+        spark.range(10).count()
+        with mon.step("prog-run-4", 3, rows_total=900):
+            for _ in range(3):  # three sequential jobs inside ONE step
+                df.count()
+    finally:
+        sc.setJobGroup("", "")
+    ests = [f["rows_processed"] for _, _, f in spy.calls]
+    assert ests, "no estimates observed across a 3-job step"
+    assert ests == sorted(ests), "estimates must stay monotone across jobs"
+    assert all(0 < e < 900 for e in ests), (
+        f"every estimate must lie strictly inside (0, rows_total): {ests}"
+    )
+    assert all(f["rows_total"] == 900 for _, _, f in spy.calls)
+
+
 def test_monitor_inert_without_rows_total(spark):
     spy = _SpyControl()
     mon = StepProgressMonitor(spark, spy, interval_s=0.05)
