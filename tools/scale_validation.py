@@ -104,9 +104,121 @@ def time_duck(name: str, sql: str, sf_dir: str, timeout_s: float):
         os.unlink(path)
 
 
+def run_skew_demo(spark, sf_dir: str) -> dict:
+    """Time ``salted_join`` against its alternatives on a fixture with
+    MEASURED single-key skew — the operator's reason to exist, which the
+    uniform TPC-H data lacks.
+
+    The scenario models the 100 TB failure mode at demo scale: a wide
+    fact (48M rows = lineitem ×8, built in-plan so both legs read the
+    same parquet) with 70% of rows on ONE hot key, joined to a dim of
+    100k keys — big enough that broadcast is off the table at real
+    scale (pinned off here), small enough to replicate n_salts ways.
+    Four legs, all recorded so the adjudication is self-contained:
+
+    - unsalted_sec: plain sort-merge join with AQE skew handling OFF —
+      the straggler baseline (one reducer sorts ~34M rows).
+    - salted_sec: ``salted_join(n_salts=8, salt_cols=[uid])`` — the hot
+      key spreads over 8 reducers. Salting on a narrow long id is
+      deliberate: hashing wide/decimal columns was measured to cost
+      more than the straggler it removes.
+    - auto_sec: the auto mode (threshold 0.05) — must sample ~0.7 hot
+      share and CHOOSE the salted plan here (decision recorded).
+    - unsalted_aqe_skewjoin_sec: AQE skew-join ON — the runtime
+      fallback users get with no operator at all.
+
+    The uniform-data counterpart (salting = pure overhead, auto mode
+    bypasses) is the salted_join_priority_revenue row in the main
+    workload table + its autoswitch record."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.operators import skew as skew_ops
+    from automated_data_pipeline_spark.suite import load as suite_load
+
+    li = suite_load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("_rep"),
+    ).select(
+        (F.col("l_orderkey") * 8 + F.col("_rep")).alias("uid"),
+        F.when((F.col("l_orderkey") * 8 + F.col("_rep")) % 10 < 7, F.lit(1))
+        .otherwise((F.col("l_orderkey") % 100000) + 1).alias("okey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    od = suite_load(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 100000) + 1).alias("okey"), "o_orderpriority"
+    ).dropDuplicates(["okey"])
+
+    def _agg(j):
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+        )
+
+    def _time(mk):
+        best, n = None, 0
+        for _ in range(2):
+            t0 = _t.time()
+            n = mk().count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), n
+
+    demo: dict = {"fact_rows": "48M (lineitem x8, 70% on one hot key)",
+                  "dim_rows": "100k distinct keys"}
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        demo["unsalted_sec"], demo["rows"] = _time(
+            lambda: _agg(li.join(od, ["okey"]))
+        )
+        demo["salted_sec"], _ = _time(
+            lambda: _agg(skew_ops.salted_join(li, od, "okey", n_salts=8,
+                                              salt_cols=["uid"]))
+        )
+        demo["auto_sec"], _ = _time(
+            lambda: _agg(skew_ops.salted_join(li, od, "okey", n_salts=8,
+                                              salt_cols=["uid"],
+                                              auto_threshold=0.05))
+        )
+        demo["auto_decision"] = dict(skew_ops.LAST_SALT_DECISION)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        demo["unsalted_aqe_skewjoin_sec"], _ = _time(
+            lambda: _agg(li.join(od, ["okey"]))
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    return demo
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--duck-one":
         _duck_one(sys.argv[2])
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-only":
+        # Refresh just the skew_demo block of an existing report (the
+        # demo is self-contained; no need to re-time 20 workloads to
+        # iterate on it).
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+        out = sys.argv[3] if len(sys.argv) > 3 else "SCALE_VALIDATION.json"
+        from automated_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-validation-skew")
+        demo = run_skew_demo(spark, sf)
+        print(f"skew_demo: {demo}", flush=True)
+        rep = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                rep = json.load(f)
+        rep["sf_dir"] = rep.get("sf_dir", sf)
+        rep["skew_demo"] = demo
+        with open(out, "w") as f:
+            json.dump(rep, f, indent=1)
+        print(f"wrote {out} (skew_demo refreshed)")
         return
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
@@ -165,72 +277,9 @@ def main():
                 report["autoswitch"][name] = dict(_sk.LAST_SALT_DECISION)
         print(f"spark {name}: {row}", flush=True)
 
-    from pyspark.sql import functions as F
-
     # ---- phase 2b: skew demo (VERDICT r6 item 1) ----
-    # salted_join's reason to exist is measured single-key skew, which
-    # the uniform TPC-H fixture lacks — so build it: remap ~30% of
-    # lineitem rows onto ONE hot orderkey (deterministic, in-plan
-    # projection over the same parquet both plans read) and time the
-    # plain join vs the salted plan vs the auto mode. The artifact
-    # records all three so the adjudication is self-contained:
-    # uniform data -> salting is overhead (the r6 15.5x row, now
-    # auto-bypassed); skewed data -> salted < unsalted.
-    from automated_data_pipeline_spark.operators import skew as skew_ops
-    from automated_data_pipeline_spark.suite import load as suite_load
-
-    li = suite_load(spark, sf_dir, "lineitem").select(
-        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
-        .otherwise(F.col("l_orderkey")).alias("okey"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    )
-    od = suite_load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("okey"), "o_orderpriority"
-    )
-
-    def _agg(j):
-        return j.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("price"), 2).cast("double").alias("revenue"),
-        )
-
-    def _time(mk):
-        mk().count()  # warm
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            n = mk().count()
-            best = min(best, time.time() - t0) if best else time.time() - t0
-        return round(best, 3), n
-
-    # plain join must NOT be rescued by a broadcast (the salting
-    # use-case is a dim too big to broadcast) nor quietly re-split by
-    # AQE skew handling — pin both off for the unsalted leg, then also
-    # record the AQE-on number for honesty about the runtime fallback.
-    demo = {}
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    demo["unsalted_sec"], demo["rows"] = _time(
-        lambda: _agg(li.join(od, ["okey"]))
-    )
-    demo["salted_sec"], _ = _time(
-        lambda: _agg(skew_ops.salted_join(li, od, "okey", n_salts=16,
-                                          salt_cols=["okey", "price"]))
-    )
-    demo["auto_sec"], _ = _time(
-        lambda: _agg(skew_ops.salted_join(li, od, "okey", n_salts=16,
-                                          salt_cols=["okey", "price"],
-                                          auto_threshold=0.05))
-    )
-    demo["auto_decision"] = dict(skew_ops.LAST_SALT_DECISION)
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    demo["unsalted_aqe_skewjoin_sec"], _ = _time(
-        lambda: _agg(li.join(od, ["okey"]))
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    report["skew_demo"] = demo
-    print(f"skew_demo: {demo}", flush=True)
+    report["skew_demo"] = run_skew_demo(spark, sf_dir)
+    print(f"skew_demo: {report['skew_demo']}", flush=True)
 
     # ---- phase 3: streaming ingest paths at the scaled dir ----
     import bench
