@@ -361,3 +361,84 @@ def forward_chain_folds(
             ).alias("test_end_us"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    n_buckets: int = 256,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """DSIR-style importance weight per document: how much more likely
+    the document's hashed unigram profile is under the TARGET token
+    distribution than under the RAW (whole-corpus) one ("Data Selection
+    for Language Models via Importance Resampling", Xie et al. 2023).
+    ``is_target`` is a boolean Column over ``df``'s columns selecting
+    the target subset (e.g. ``F.col("lang") == "en"``).
+
+    weight(d) = sum over tokens t of d:
+        ln( (n_target[b(t)] + 1) / (T + B) )  -  ln( (n_raw[b(t)] + 1) / (R + B) )
+
+    with b() the md5-derived ``stable_hash64`` mod ``n_buckets`` (so
+    the DuckDB oracle replays the bucketing bit-for-bit), n_* the
+    bucket token counts, T/R the target/raw token totals, and +1/(·+B)
+    Laplace smoothing. Positive weight = looks like the target.
+
+    Plan shape (the 100 TB contract): the corpus bucket statistics are
+    RE-aggregated from the per-(id, bucket) counts rather than from a
+    second pass over raw tokens, and the corpus totals ride a window
+    over the bounded (<= n_buckets rows) stats frame rather than a
+    third aggregate subtree. The stats table broadcasts into the final
+    per-document sum, so whole-corpus statistics never re-shuffle the
+    token table. Two scans remain in the physical plan when the caller
+    filters the output (e.g. to non-target docs): Catalyst pushes that
+    filter into the per-doc side's scan while the stats side reads the
+    full corpus — pushdown is worth more than exchange reuse there.
+    No driver-side collect.
+
+    Output: (id_col, *keep_cols, n_tokens, weight) — weight unrounded;
+    callers round for cross-engine comparison."""
+    keep_cols = keep_cols or []
+    tok = df.select(
+        id_col,
+        *keep_cols,
+        is_target.alias("_is_target"),
+        F.explode(TX.tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn(
+        "_bucket", F.pmod(TX.stable_hash64(F.col("_tok")), F.lit(n_buckets))
+    )
+    # _is_target is constant per document (a function of df's row), so
+    # grouping by it costs nothing and lets bucket_stats derive from
+    # doc_bucket instead of re-scanning the tokens.
+    doc_bucket = tok.groupBy(id_col, *keep_cols, "_is_target", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # Corpus totals ride along as a window over the ALREADY-AGGREGATED
+    # stats frame: its cardinality is bounded by n_buckets (<= a few
+    # thousand by parameter), so the single-partition window is safe —
+    # and it spares a third scan+aggregate subtree for a 1-row total.
+    wall = Window.partitionBy()
+    bucket_stats = (
+        doc_bucket.groupBy("_bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_target"), F.col("_cnt")).otherwise(0)).alias("_n_t"),
+            F.sum("_cnt").alias("_n_r"),
+        )
+        .withColumn("_tot_t", F.sum("_n_t").over(wall))
+        .withColumn("_tot_r", F.sum("_n_r").over(wall))
+    )
+    b = float(n_buckets)
+    term = (
+        F.log((F.col("_n_t") + 1) / (F.col("_tot_t") + b))
+        - F.log((F.col("_n_r") + 1) / (F.col("_tot_r") + b))
+    )
+    return (
+        doc_bucket.join(F.broadcast(bucket_stats), "_bucket")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_cnt") * term).alias("weight"),
+        )
+    )

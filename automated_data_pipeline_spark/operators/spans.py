@@ -62,6 +62,77 @@ def shingle_positions(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 5,
+) -> DataFrame:
+    """C4-style corpus-wide segment dedup: tile each document into
+    NON-overlapping ``seg_words``-token segments (the trailing partial
+    segment included) and keep exactly ONE occurrence of each distinct
+    segment text corpus-wide — the occurrence with the smallest
+    (``id_col``, segment index). C4 ("Exploring the Limits of Transfer
+    Learning…", Raffel et al. 2020, §2.2) applies this rule to
+    three-sentence spans; this corpus has no sentence boundaries so the
+    tile is a fixed token window, same survivor semantics.
+
+    Output: (id_col, seg_idx, seg_hash, keep) — one row per segment
+    occurrence, ``keep`` false for every occurrence shadowed by an
+    earlier one. Callers rebuild the deduplicated text by re-joining
+    kept segments in seg_idx order, or aggregate for removal stats.
+
+    Plan shape (the 100 TB contract): one explode (rows ~ tokens /
+    seg_words), then an EXPLICIT hash-repartition on the 64-bit
+    segment hash — both the survivor aggregation and the join-back
+    consume that same exchange, so Spark's ReuseExchange turns the
+    self-join into a single scan+tokenize pass (verified in the
+    physical plan: one Scan, one ReusedExchange) instead of computing
+    the segment table twice. The survivor is ``min(struct(id,
+    seg_idx))`` — an order-free aggregate with map-side partials,
+    never a global sort or window, so a boilerplate segment duplicated
+    across millions of documents is collapsed by partial aggregation
+    rather than landing on one reducer. The segment text itself never
+    shuffles: only its ``stable_hash64`` (md5-derived, replayed
+    identically by the DuckDB oracle) is carried past the explode."""
+    # Materialize the split ONCE in a projection: referencing the
+    # column inside the transform lambda is O(1) per segment, while
+    # inlining split(text) into each slice() would re-split the
+    # document once per segment.
+    toked = df.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
+    n_segs = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
+    segs = F.when(
+        F.size("_ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice("_ws", i * seg_words + 1, seg_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        toked.select(id_col, F.posexplode(segs).alias("seg_idx", "_seg"))
+        .select(
+            id_col,
+            F.col("seg_idx").cast("bigint").alias("seg_idx"),
+            stable_hash64(F.col("_seg")).alias("seg_hash"),
+        )
+        .repartition("seg_hash")
+    )
+    surv = occ.groupBy("seg_hash").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("_first")
+    )
+    return occ.join(surv, "seg_hash").select(
+        id_col,
+        "seg_idx",
+        "seg_hash",
+        (
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("seg_idx") == F.col("_first.seg_idx"))
+        ).alias("keep"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str,

@@ -1,6 +1,6 @@
-"""The declared query suite: 140 named queries — every operator from
+"""The declared query suite: 145 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (135 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (140 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -82,7 +82,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # embedding_near_dup_brute, duration_per_user, top_event_transitions)
 # each have their machinery twin IN the window (semi join, pigeonhole
 # hamming bands, brute cosine, session windows, lag/lead) and become
-# r8's rotation head. Rotated-out names stay strict-checked by
+# r8's rotation head together with the 5 queries ADDED in round 7
+# (suite/round7.py — strict-checked the round they landed; see
+# tests/test_suite_contract.py ADDED_IN_R7). Rotated-out names stay
+# strict-checked by
 # tools/check_oracles.py (run per-round, judged) and by pytest.
 GATE_WINDOW = [
     # -- stalest: last witnessed r1/r2 (7) --
@@ -160,11 +163,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import curation, events, extra, llm, parity, round5, round5b, round6
+    from . import curation, events, extra, llm, parity, round5, round5b, round6, round7
 
     specs = (
         parity.SPECS + events.SPECS + llm.SPECS + extra.SPECS
         + curation.SPECS + round5.SPECS + round5b.SPECS + round6.SPECS
+        + round7.SPECS
     )
     prio = {n: i for i, n in enumerate(GATE_WINDOW)}
     head = [s for s in specs if s.name in prio]

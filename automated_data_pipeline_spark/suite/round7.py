@@ -1,0 +1,334 @@
+"""Round-7 curation additions: published training-data techniques not
+yet covered by the suite, each Spark-first with a full-value DuckDB
+oracle.
+
+- segment_dedup_c4: C4's duplicate-span removal rule (Raffel et al.
+  2020 §2.2) at fixed token-window granularity — corpus-wide survivor
+  selection via one hash aggregate (operators/spans.py segment_dedup).
+- dsir_importance_topk: hashed-ngram importance resampling weights
+  (DSIR, Xie et al. 2023) — which raw documents look most like the
+  target distribution (operators/sampling.py dsir_importance).
+- trigram_novelty_by_source: per-source novelty = share of a doc's
+  distinct trigrams whose corpus-wide first occurrence is that doc —
+  the "is this source adding anything new" curation signal.
+- lang_vocab_overlap: pairwise Jaccard of per-language top-100
+  vocabularies — cross-lingual contamination screen.
+- length_percentile_bands: exact per-language length percentiles
+  (Spark `percentile` ≡ DuckDB `quantile_cont`, both type-7 linear
+  interpolation — verified identical before pinning).
+
+Determinism: all hashing is md5-derived ``stable_hash64`` replayed in
+SQL; rankings order by the ROUNDED score with doc_id tie-breaks;
+integer aggregates are CAST to BIGINT in the oracle (DuckDB sums climb
+to HUGEINT, which the strict comparator would flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import sampling, spans
+from . import QuerySpec, load
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+_SEGMENT_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), segs AS (
+  SELECT doc_id, (ord - 1) // 5 AS seg_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS seg
+  FROM toks GROUP BY 1, 2
+), occ AS (
+  SELECT doc_id, seg_idx,
+         CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS seg_hash
+  FROM segs
+), surv AS (
+  SELECT seg_hash, min(doc_id * 1000000 + seg_idx) AS first_occ
+  FROM occ GROUP BY 1
+)
+SELECT o.doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN o.doc_id * 1000000 + o.seg_idx = s.first_occ
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN o.doc_id * 1000000 + o.seg_idx = s.first_occ
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM occ o JOIN surv s USING (seg_hash)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@spec(
+    "segment_dedup_c4",
+    _SEGMENT_DEDUP_SQL,
+    "C4-style corpus-wide duplicate-segment removal: per-doc kept/removed counts",
+)
+def segment_dedup_c4(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    occ = spans.segment_dedup(docs, "text", "doc_id", seg_words=5)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), doc_bucket AS (
+  SELECT doc_id, lang, bucket, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
+), bucket_stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         count(*) AS n_r
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_t) AS BIGINT) AS tot_t,
+         CAST(sum(n_r) AS BIGINT) AS tot_r
+  FROM bucket_stats
+)
+SELECT d.doc_id, d.lang,
+       CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+       CAST(round(sum(d.cnt * (ln((b.n_t + 1) / (t.tot_t + 256.0))
+                             - ln((b.n_r + 1) / (t.tot_r + 256.0)))), 4)
+            AS DOUBLE) AS dsir_weight
+FROM doc_bucket d
+JOIN bucket_stats b USING (bucket)
+CROSS JOIN totals t
+WHERE d.lang <> 'en'
+GROUP BY 1, 2
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 20
+"""
+
+
+@spec(
+    "dsir_importance_topk",
+    _DSIR_SQL,
+    "DSIR hashed-unigram importance weights vs the lang='en' target; top-20 non-target docs",
+)
+def dsir_importance_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = sampling.dsir_importance(
+        docs, "text", "doc_id", F.col("lang") == "en",
+        n_buckets=256, keep_cols=["lang"],
+    )
+    return (
+        w.filter(F.col("lang") != "en")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.round("weight", 4).cast("double").alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+  FROM documents
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.source,
+         CAST(('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))
+              AS BIGINT) AS gh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+), firsts AS (
+  SELECT gh, min(doc_id) AS first_doc FROM tri GROUP BY 1
+), per_doc AS (
+  SELECT t.doc_id, t.source, count(*) AS n_grams,
+         CAST(sum(CASE WHEN t.doc_id = f.first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM tri t JOIN firsts f USING (gh)
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(round(avg(CAST(n_novel AS DOUBLE) / n_grams), 4) AS DOUBLE)
+         AS avg_novelty
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@spec(
+    "trigram_novelty_by_source",
+    _NOVELTY_SQL,
+    "share of each doc's distinct trigrams first seen in that doc, averaged per source",
+)
+def trigram_novelty_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # Materialize the token array in a projection FIRST: referencing a
+    # column inside the transform lambda is O(1), while inlining
+    # tokens(text) into each element_at would re-split the document
+    # once per element per trigram (measured 40x slower at sf0.1).
+    toked = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("_ws")
+    ).filter(F.size("_ws") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("_ws", i),
+            F.element_at("_ws", i + 1),
+            F.element_at("_ws", i + 2),
+        ),
+    )
+    grams = (
+        toked.select("doc_id", "source", F.explode(tri).alias("g"))
+        .select("doc_id", "source", TX.stable_hash64(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("n_novel").cast("double") / F.col("n_grams")), 4)
+            .cast("double")
+            .alias("avg_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_OVERLAP_SQL = """
+WITH counts AS (
+  SELECT lang, tok, count(*) AS cnt
+  FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, tok,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+  FROM counts
+), top AS (
+  SELECT lang, tok FROM ranked WHERE rk <= 100
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       count(*) AS overlap,
+       CAST(round(count(*) / (200.0 - count(*)), 4) AS DOUBLE) AS jaccard
+FROM top a JOIN top b ON a.tok = b.tok AND a.lang < b.lang
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@spec(
+    "lang_vocab_overlap",
+    _VOCAB_OVERLAP_SQL,
+    "pairwise Jaccard of per-language top-100 vocabularies (contamination screen)",
+)
+def lang_vocab_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("lang", "tok")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .select(
+            "lang_a", "lang_b", "overlap",
+            F.round(F.col("overlap") / (F.lit(200.0) - F.col("overlap")), 4)
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT lang,
+       CAST(round(quantile_cont(n_chars, 0.10), 2) AS DOUBLE) AS p10,
+       CAST(round(quantile_cont(n_chars, 0.50), 2) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(n_chars, 0.90), 2) AS DOUBLE) AS p90,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@spec(
+    "length_percentile_bands",
+    _PERCENTILE_SQL,
+    "exact per-language length percentiles (Spark percentile ≡ DuckDB quantile_cont)",
+)
+def length_percentile_bands(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.10)"), 2)
+            .cast("double")
+            .alias("p10"),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 2)
+            .cast("double")
+            .alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.90)"), 2)
+            .cast("double")
+            .alias("p90"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

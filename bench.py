@@ -132,6 +132,12 @@ HEADLINE = [
     "bpe_top_pairs",
     "approx_agg_accuracy",
     "run_number_backfill",
+    # round-7 additions: published curation techniques (suite/round7.py)
+    "segment_dedup_c4",
+    "dsir_importance_topk",
+    "trigram_novelty_by_source",
+    "lang_vocab_overlap",
+    "length_percentile_bands",
 ]
 
 

@@ -76,6 +76,12 @@ SHOWN = [
     ("run_number_backfill", "A5 backfill at data scale: range exchange + per-partition row_number + broadcast offsets — no single-partition global window"),
     ("bpe_top_pairs", "BPE round-0 pair counts: explode off one word-freq agg, partial aggs, TakeOrderedAndProject"),
     ("approx_agg_accuracy", "approx-vs-exact twins: one partial+final agg pass computes HLL++, exact distinct, and both percentiles"),
+    # round-7 curation additions (suite/round7.py)
+    ("segment_dedup_c4", "C4 segment dedup: explicit seg_hash repartition shared by survivor agg + join-back (ReusedExchange at runtime — single tokenize pass)"),
+    ("dsir_importance_topk", "DSIR weights: stats re-aggregated from (id,bucket) counts, <=256-row broadcast, totals as a bounded window — two scans (pushdown beats reuse on the filtered side)"),
+    ("trigram_novelty_by_source", "trigram novelty: distinct gram hashes, min-doc agg, join-back; only 64-bit hashes shuffle"),
+    ("lang_vocab_overlap", "vocab overlap: rank window runs on the POST-aggregation vocab frame, never raw tokens"),
+    ("length_percentile_bands", "exact percentiles: single partial+final SortAggregate pass, 3-column pruned scan"),
 ]
 
 
