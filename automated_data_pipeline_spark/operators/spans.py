@@ -95,11 +95,18 @@ def segment_dedup(
     rather than landing on one reducer. The segment text itself never
     shuffles: only its ``stable_hash64`` (md5-derived, replayed
     identically by the DuckDB oracle) is carried past the explode."""
+    # Hash-spread the input first (same rationale as duplicated_spans):
+    # the tokenize+md5 segment work is the CPU-heavy step, and a
+    # few-row-group input would otherwise serialize it through a
+    # handful of tasks — AQE cannot split a scan's partitioning.
     # Materialize the split ONCE in a projection: referencing the
     # column inside the transform lambda is O(1) per segment, while
     # inlining split(text) into each slice() would re-split the
     # document once per segment.
-    toked = df.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toked = spread.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
     n_segs = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
     segs = F.when(
         F.size("_ws") > 0,

@@ -191,11 +191,15 @@ ORDER BY 1
 )
 def trigram_novelty_by_source(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    # Materialize the token array in a projection FIRST: referencing a
-    # column inside the transform lambda is O(1), while inlining
-    # tokens(text) into each element_at would re-split the document
-    # once per element per trigram (measured 40x slower at sf0.1).
-    toked = docs.select(
+    # Hash-spread first (a few-row-group input would serialize the
+    # tokenize+md5 through a handful of tasks), then materialize the
+    # token array in a projection: referencing a column inside the
+    # transform lambda is O(1), while inlining tokens(text) into each
+    # element_at would re-split the document once per element per
+    # trigram (measured 40x slower at sf0.1).
+    toked = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("_ws")
     ).filter(F.size("_ws") >= 3)
     tri = F.transform(

@@ -59,6 +59,10 @@ WORKLOADS = [
     "dup_span_detect",
     "run_number_backfill",
     "upsert_merge",
+    # round-7 curation additions
+    "segment_dedup_c4",
+    "dsir_importance_topk",
+    "trigram_novelty_by_source",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
@@ -221,12 +225,29 @@ def main():
         print(f"wrote {out} (skew_demo refreshed)")
         return
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALE_VALIDATION.json"
-    duck_timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
+    only: list[str] | None = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        # Time just the named workloads (duck + spark) and MERGE their
+        # rows into an existing artifact — for workloads added
+        # mid-round without re-sweeping the other 20.
+        sf_dir = sys.argv[2]
+        out_json = sys.argv[3]
+        only = sys.argv[4:]
+        duck_timeout = 600.0
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+        out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALE_VALIDATION.json"
+        duck_timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
 
     specs_by_name = {}
     report: dict = {"sf_dir": sf_dir, "workloads": {}, "autoswitch": {}}
+    if only is not None:
+        if os.path.exists(out_json):
+            with open(out_json) as f:
+                report = json.load(f)
+        report.setdefault("workloads", {})
+        report.setdefault("autoswitch", {})
+        globals()["WORKLOADS"] = only  # phase loops iterate the subset
 
     # ---- phase 1: DuckDB oracle timings (child processes, no JVM) ----
     from automated_data_pipeline_spark.suite import all_specs
@@ -276,6 +297,12 @@ def main():
             if _sk.LAST_SALT_DECISION:
                 report["autoswitch"][name] = dict(_sk.LAST_SALT_DECISION)
         print(f"spark {name}: {row}", flush=True)
+
+    if only is not None:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_json} (merged {len(only)} workloads)")
+        return
 
     # ---- phase 2b: skew demo (VERDICT r6 item 1) ----
     report["skew_demo"] = run_skew_demo(spark, sf_dir)
