@@ -48,11 +48,19 @@ def _py_words(text: str) -> list[str]:
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus -> (word, freq) — the compact table BPE trains on."""
+    """Corpus -> (word, freq) — the compact table BPE trains on.
+
+    Round-robin spread before the explode: tokenize is the CPU-heavy
+    step and a few-row-group corpus file would serialize it through a
+    handful of scan tasks (AQE cannot split a scan's partitioning);
+    the downstream word groupBy re-shuffles anyway, so the extra
+    exchange costs only the narrow text rows."""
     from ..functions import text as TX
 
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.explode(TX.tokens(F.col(text_col))).alias("word"))
+        df.repartition(par)
+        .select(F.explode(TX.tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

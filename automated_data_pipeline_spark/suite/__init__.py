@@ -147,6 +147,20 @@ GATE_WINDOW = [
     "approx_agg_accuracy",
 ]
 
+# Queries added AFTER the latest driver artifact (round 7:
+# suite/round7.py): no driver witness can exist yet — they are
+# strict-checked by tools/check_oracles.py the round they land and
+# head the NEXT round's gate rotation together with the deferred
+# twins. tools/witness_audit.py exempts (but reports) them;
+# tests/test_suite_contract.py pins the set.
+AWAITING_FIRST_WITNESS = [
+    "segment_dedup_c4",
+    "dsir_importance_topk",
+    "trigram_novelty_by_source",
+    "lang_vocab_overlap",
+    "length_percentile_bands",
+]
+
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every fixture table as a temp view (through ``load``'s

@@ -115,12 +115,24 @@ def main() -> None:
         for n in stale:
             print(f"  r{latest[n]}  {n}")
 
+    from automated_data_pipeline_spark.suite import AWAITING_FIRST_WITNESS
+
+    awaiting = sorted(set(orphans) & set(AWAITING_FIRST_WITNESS))
+    orphans = sorted(set(orphans) - set(AWAITING_FIRST_WITNESS))
+    if awaiting:
+        print(
+            f"\nADDED after the latest artifact, awaiting first witness "
+            f"({len(awaiting)}; strict-checked by check_oracles, head the "
+            f"next rotation):"
+        )
+        for n in awaiting:
+            print(f"  {n}")
     if orphans:
         print(f"\nNEVER-WITNESSED and NOT in the gate window ({len(orphans)}):")
-        for n in sorted(orphans):
+        for n in orphans:
             print(f"  {n}")
         sys.exit(1)
-    print("\nok: every oracle-backed query is witnessed or gated this round")
+    print("\nok: every oracle-backed query is witnessed, gated, or newly added")
 
 
 if __name__ == "__main__":
