@@ -62,6 +62,49 @@ def shingle_positions(
     )
 
 
+def segment_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 5,
+) -> DataFrame:
+    """Tile each document into non-overlapping ``seg_words``-token
+    segments (trailing partial included): one row per occurrence —
+    (id_col, seg_idx, seg, seg_hash). Shared by the batch
+    ``segment_dedup`` and the streaming incremental variant.
+
+    Hash-spread on ``id_col`` first (same rationale as
+    ``duplicated_spans``): the tokenize+md5 work is the CPU-heavy step
+    and a few-row-group input would otherwise serialize it through a
+    handful of tasks — AQE cannot split a scan's partitioning. The
+    split is materialized ONCE in a projection: referencing the column
+    inside the transform lambda is O(1) per segment, while inlining
+    split(text) into each slice() would re-split the document once per
+    segment."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toked = spread.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
+    n_segs = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
+    segs = F.when(
+        F.size("_ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice("_ws", i * seg_words + 1, seg_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(
+        id_col, F.posexplode(segs).alias("seg_idx", "seg")
+    ).select(
+        id_col,
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        "seg",
+        stable_hash64(F.col("seg")).alias("seg_hash"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str,
@@ -95,35 +138,9 @@ def segment_dedup(
     rather than landing on one reducer. The segment text itself never
     shuffles: only its ``stable_hash64`` (md5-derived, replayed
     identically by the DuckDB oracle) is carried past the explode."""
-    # Hash-spread the input first (same rationale as duplicated_spans):
-    # the tokenize+md5 segment work is the CPU-heavy step, and a
-    # few-row-group input would otherwise serialize it through a
-    # handful of tasks — AQE cannot split a scan's partitioning.
-    # Materialize the split ONCE in a projection: referencing the
-    # column inside the transform lambda is O(1) per segment, while
-    # inlining split(text) into each slice() would re-split the
-    # document once per segment.
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
-    toked = spread.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
-    n_segs = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
-    segs = F.when(
-        F.size("_ws") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(
-                F.slice("_ws", i * seg_words + 1, seg_words), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     occ = (
-        toked.select(id_col, F.posexplode(segs).alias("seg_idx", "_seg"))
-        .select(
-            id_col,
-            F.col("seg_idx").cast("bigint").alias("seg_idx"),
-            stable_hash64(F.col("_seg")).alias("seg_hash"),
-        )
+        segment_occurrences(df, text_col, id_col, seg_words)
+        .drop("seg")
         .repartition("seg_hash")
     )
     surv = occ.groupBy("seg_hash").agg(

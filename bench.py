@@ -409,6 +409,55 @@ def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_incremental_segments(spark, sf_dir: str) -> float:
+    """Incremental segment-dedup throughput: documents in 3 json
+    micro-batches + a full replay of the 1st, through the segment-hash
+    store; asserts the curated corpus keeps exactly one occurrence of
+    each distinct segment (the batch operator's survivor invariant,
+    held incrementally)."""
+    from automated_data_pipeline_spark.operators.spans import (
+        segment_occurrences,
+    )
+    from automated_data_pipeline_spark.streaming.incremental_segments import (
+        SegmentHashStore,
+        start_incremental_segment_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="adp-bench-incseg-")
+    src = os.path.join(work, "in")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    _write_flat(parts[0], "b3.json")
+    store = SegmentHashStore(os.path.join(work, "seg"))
+    out = os.path.join(work, "curated")
+    t0 = time.time()
+    q = start_incremental_segment_dedup(
+        spark, src, store, out, os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    kept = spark.read.parquet(out).agg(F.sum("n_kept")).first()[0]
+    n_distinct = (
+        segment_occurrences(docs, "text", "doc_id")
+        .select("seg_hash").distinct().count()
+    )
+    assert kept == n_distinct, f"incremental segments: {kept} != {n_distinct}"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
     """Incremental distinct-count maintenance: the events table split
     into 4 json micro-batches (the 4th replaying the 1st), merged into
@@ -555,6 +604,7 @@ def main():
     timings["stream_stream_join_1h"] = min2(bench_stream_stream_join)
     timings["stream_stateful_sessionize"] = min2(bench_stream_stateful_sessionize)
     timings["stream_incremental_dedup"] = min2(bench_stream_incremental_dedup)
+    timings["stream_incremental_segments"] = min2(bench_stream_incremental_segments)
     timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
     timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
 
