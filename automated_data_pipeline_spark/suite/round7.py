@@ -270,7 +270,8 @@ ORDER BY 1, 2
 def lang_vocab_overlap(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     counts = (
-        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
