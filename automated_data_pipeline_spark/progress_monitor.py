@@ -75,16 +75,20 @@ class StepProgressMonitor:
             # join BEFORE the runner writes the step's exact final
             # counts, so no in-flight estimate can land after (and
             # shadow) the authoritative row; the poll loop also
-            # re-checks `stop` right before each write as the second
-            # line of defense if this join times out
+            # re-checks `stop` right before each write, which stops
+            # writes not yet STARTED — a write already in flight when
+            # stop is set cannot be recalled
             t.join(timeout=10.0)
             if t.is_alive():
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "step-progress poll thread for %s step %s did not "
-                    "stop within 10s; a late estimate would be "
-                    "suppressed by the stop re-check",
+                    "stop within 10s; an estimate write already in "
+                    "flight may land after the step's final counts and "
+                    "shadow them in the latest-event view — if a "
+                    "Successful step shows a stale rows_processed, "
+                    "this is why",
                     run_id, step_number,
                 )
 

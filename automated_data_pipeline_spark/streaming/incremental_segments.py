@@ -68,7 +68,18 @@ def dedup_segments_against_store(
     ``assume_fresh=True`` skips the replay probe (only the first batch
     after a restart can be a replay — same contract as
     ``dedup_batch_against_store``)."""
-    occ = segment_occurrences(batch, text_col, id_col, seg_words)
+    # repartition on seg_hash so the survivor aggregation and the
+    # keep-join below consume ONE exchange (ReuseExchange — the batch
+    # twin's single-tokenize-pass discipline, kept per micro-batch)
+    occ = segment_occurrences(batch, text_col, id_col, seg_words).repartition(
+        "seg_hash"
+    )
+    # survivor occurrence per distinct segment — defined ONCE, used by
+    # both the fresh path (novelty anti-join) and the keep rule; a pure
+    # function of the batch rows, so replays reproduce it.
+    first = occ.groupBy("seg_hash").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("_first")
+    )
     if not assume_fresh and store.has_batch(spark, batch_key):
         novel_hashes = (
             store.read(spark)
@@ -76,10 +87,7 @@ def dedup_segments_against_store(
             .select("seg_hash")
         )
     else:
-        survivors = occ.groupBy("seg_hash").agg(
-            F.min(F.struct(id_col, "seg_idx")).alias("_first")
-        ).select("seg_hash")
-        novel_hashes = survivors.join(
+        novel_hashes = first.select("seg_hash").join(
             store.read(spark).select("seg_hash").distinct(),
             "seg_hash",
             "left_anti",
@@ -95,12 +103,6 @@ def dedup_segments_against_store(
                 F.lit(batch_key).alias("batch_key"),
             )
         )
-    # keep rule: the occurrence is kept iff its segment is novel AND it
-    # is the batch's survivor occurrence for that segment — a pure
-    # function of (batch rows, novel_hashes), so replays reproduce it.
-    first = occ.groupBy("seg_hash").agg(
-        F.min(F.struct(id_col, "seg_idx")).alias("_first")
-    )
     kept = (
         occ.join(novel_hashes, "seg_hash")
         .join(first, "seg_hash")

@@ -34,6 +34,19 @@ from . import QuerySpec, load
 
 SPECS: list[QuerySpec] = []
 
+# Suite conventions (see round5.py / curation.py): tokenization in SQL
+# must replay TX.tokens exactly (regex \s+ split, lowercased, empties
+# removed), and ratio/FP roundings use the engine-portable
+# floor(x*1e4 + 0.5)/1e4 — plain round() on a quotient can flip the
+# last decimal between Spark's BigDecimal HALF_UP and DuckDB's float
+# rounding (the r5 gate failure this repo already paid for).
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+def _r4(c):
+    """Engine-portable round-to-4 decimals (floor(x*1e4 + 0.5)/1e4)."""
+    return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
+
 
 def spec(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
@@ -56,15 +69,23 @@ WITH toks AS (
   SELECT doc_id, seg_idx,
          CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS seg_hash
   FROM segs
+), surv_doc AS (
+  -- two-level lexicographic min replays Spark's min(struct(doc_id,
+  -- seg_idx)) exactly at ANY scale; an integer encoding like
+  -- doc_id*1e6+seg_idx would silently mis-pick once a document holds
+  -- >= 1e6 segments
+  SELECT seg_hash, min(doc_id) AS first_doc FROM occ GROUP BY 1
 ), surv AS (
-  SELECT seg_hash, min(doc_id * 1000000 + seg_idx) AS first_occ
-  FROM occ GROUP BY 1
+  SELECT o.seg_hash, o.doc_id AS first_doc, min(o.seg_idx) AS first_idx
+  FROM occ o JOIN surv_doc d
+    ON o.seg_hash = d.seg_hash AND o.doc_id = d.first_doc
+  GROUP BY 1, 2
 )
 SELECT o.doc_id,
        count(*) AS n_segs,
-       CAST(sum(CASE WHEN o.doc_id * 1000000 + o.seg_idx = s.first_occ
+       CAST(sum(CASE WHEN o.doc_id = s.first_doc AND o.seg_idx = s.first_idx
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN o.doc_id * 1000000 + o.seg_idx = s.first_occ
+       CAST(sum(CASE WHEN o.doc_id = s.first_doc AND o.seg_idx = s.first_idx
                      THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
 FROM occ o JOIN surv s USING (seg_hash)
 GROUP BY 1
@@ -100,9 +121,9 @@ WITH toks AS (
   SELECT doc_id, lang,
          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket
   FROM (
-    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+    SELECT doc_id, lang, unnest(_TOKS_SQL_PLACEHOLDER) AS tok
     FROM documents
-  ) WHERE tok <> ''
+  )
 ), doc_bucket AS (
   SELECT doc_id, lang, bucket, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
 ), bucket_stats AS (
@@ -117,9 +138,9 @@ WITH toks AS (
 )
 SELECT d.doc_id, d.lang,
        CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
-       CAST(round(sum(d.cnt * (ln((b.n_t + 1) / (t.tot_t + 256.0))
-                             - ln((b.n_r + 1) / (t.tot_r + 256.0)))), 4)
-            AS DOUBLE) AS dsir_weight
+       CAST(floor(sum(d.cnt * (ln((b.n_t + 1) / (t.tot_t + 256.0))
+                             - ln((b.n_r + 1) / (t.tot_r + 256.0)))) * 10000
+                  + 0.5) / 10000 AS DOUBLE) AS dsir_weight
 FROM doc_bucket d
 JOIN bucket_stats b USING (bucket)
 CROSS JOIN totals t
@@ -128,6 +149,7 @@ GROUP BY 1, 2
 ORDER BY dsir_weight DESC, doc_id
 LIMIT 20
 """
+_DSIR_SQL = _DSIR_SQL.replace("_TOKS_SQL_PLACEHOLDER", _TOKS_SQL)
 
 
 @spec(
@@ -145,7 +167,7 @@ def dsir_importance_topk(spark, sf_dir):
         w.filter(F.col("lang") != "en")
         .select(
             "doc_id", "lang", "n_tokens",
-            F.round("weight", 4).cast("double").alias("dsir_weight"),
+            _r4(F.col("weight")).alias("dsir_weight"),
         )
         .orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(20)
@@ -155,8 +177,8 @@ def dsir_importance_topk(spark, sf_dir):
 _NOVELTY_SQL = """
 WITH toks AS (
   SELECT doc_id, source,
-         unnest(string_split(lower(text), ' ')) AS tok,
-         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+         unnest(_TOKS_SQL_PLACEHOLDER) AS tok,
+         generate_subscripts(_TOKS_SQL_PLACEHOLDER, 1) AS ord
   FROM documents
 ), tri AS (
   SELECT DISTINCT a.doc_id, a.source,
@@ -176,12 +198,13 @@ WITH toks AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       CAST(round(avg(CAST(n_novel AS DOUBLE) / n_grams), 4) AS DOUBLE)
-         AS avg_novelty
+       CAST(floor(avg(CAST(n_novel AS DOUBLE) / n_grams) * 10000 + 0.5)
+            / 10000 AS DOUBLE) AS avg_novelty
 FROM per_doc
 GROUP BY 1
 ORDER BY 1
 """
+_NOVELTY_SQL = _NOVELTY_SQL.replace("_TOKS_SQL_PLACEHOLDER", _TOKS_SQL)
 
 
 @spec(
@@ -231,8 +254,7 @@ def trigram_novelty_by_source(spark, sf_dir):
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.avg(F.col("n_novel").cast("double") / F.col("n_grams")), 4)
-            .cast("double")
+            _r4(F.avg(F.col("n_novel").cast("double") / F.col("n_grams")))
             .alias("avg_novelty"),
         )
         .orderBy("source")
@@ -243,8 +265,8 @@ _VOCAB_OVERLAP_SQL = """
 WITH counts AS (
   SELECT lang, tok, count(*) AS cnt
   FROM (
-    SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents
-  ) WHERE tok <> ''
+    SELECT lang, unnest(_TOKS_SQL_PLACEHOLDER) AS tok FROM documents
+  )
   GROUP BY 1, 2
 ), ranked AS (
   SELECT lang, tok,
@@ -255,11 +277,13 @@ WITH counts AS (
 )
 SELECT a.lang AS lang_a, b.lang AS lang_b,
        count(*) AS overlap,
-       CAST(round(count(*) / (200.0 - count(*)), 4) AS DOUBLE) AS jaccard
+       CAST(floor(count(*) / (200.0 - count(*)) * 10000 + 0.5) / 10000
+            AS DOUBLE) AS jaccard
 FROM top a JOIN top b ON a.tok = b.tok AND a.lang < b.lang
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+_VOCAB_OVERLAP_SQL = _VOCAB_OVERLAP_SQL.replace("_TOKS_SQL_PLACEHOLDER", _TOKS_SQL)
 
 
 @spec(
@@ -294,8 +318,7 @@ def lang_vocab_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("overlap"))
         .select(
             "lang_a", "lang_b", "overlap",
-            F.round(F.col("overlap") / (F.lit(200.0) - F.col("overlap")), 4)
-            .cast("double")
+            _r4(F.col("overlap") / (F.lit(200.0) - F.col("overlap")))
             .alias("jaccard"),
         )
         .orderBy("lang_a", "lang_b")

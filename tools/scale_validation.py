@@ -171,6 +171,7 @@ def run_skew_demo(spark, sf_dir: str) -> dict:
 
     demo: dict = {"fact_rows": "48M (lineitem x8, 70% on one hot key)",
                   "dim_rows": "100k distinct keys"}
+    skewjoin_prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -193,7 +194,10 @@ def run_skew_demo(spark, sf_dir: str) -> dict:
             lambda: _agg(li.join(od, ["okey"]))
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # restore the SESSION's values, not hardcoded defaults — a
+        # session deliberately running with skew-join disabled must
+        # leave the demo with its own configuration intact
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewjoin_prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     return demo
 
