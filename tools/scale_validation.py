@@ -318,6 +318,7 @@ def main():
     for sname, fn in [
         ("stream_incremental_dedup", bench.bench_stream_incremental_dedup),
         ("stream_incremental_lsh", bench.bench_stream_incremental_lsh),
+        ("stream_incremental_segments", bench.bench_stream_incremental_segments),
         ("stream_stream_join_1h", bench.bench_stream_stream_join),
     ]:
         sec = fn(spark, sf_dir)
