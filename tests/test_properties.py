@@ -460,3 +460,111 @@ def test_duplicated_spans_property(spark, docs):
                 for t in range(pos, pos + k):
                     expected.add((d, t))
     assert covered == expected
+
+
+# ---- round-7 curation operators ----------------------------------------
+
+
+def _brute_segment_keep(texts, seg_words):
+    first = {}
+    occs = []
+    for doc, t in enumerate(texts):
+        toks = t.split(" ")
+        segs = [
+            " ".join(toks[i: i + seg_words])
+            for i in range(0, len(toks), seg_words)
+        ]
+        for idx, seg in enumerate(segs):
+            occs.append((doc, idx, seg))
+            if seg not in first or (doc, idx) < first[seg]:
+                first[seg] = (doc, idx)
+    return {(d, i): first[s] == (d, i) for d, i, s in occs}
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dog", "x1"]), min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    seg_words=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_segment_dedup_property(spark, texts, seg_words):
+    """Keep-set == brute-force min-(doc, seg_idx)-survivor rule, for
+    random corpora over a tiny vocabulary (maximizing collisions) and
+    random window sizes, partial tails included."""
+    from automated_data_pipeline_spark.operators.spans import segment_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["seg_idx"]): r["keep"]
+        for r in segment_dedup(df, "text", "doc_id", seg_words).collect()
+    }
+    assert got == _brute_segment_keep(texts, seg_words)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["tok%d" % i for i in range(9)]),
+                min_size=1, max_size=8,
+            ).map(" ".join),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=6,
+    ).filter(lambda d: any(t for _, t in d)),
+)
+@settings(**_SETTINGS)
+def test_dsir_importance_property(spark, docs):
+    """Weights == brute-force hashed-bucket log-likelihood ratios for
+    random corpora and random target subsets (at least one target doc,
+    else the formula is all-smoothing and still fine — filtered for
+    a non-degenerate target)."""
+    import math
+
+    from automated_data_pipeline_spark.functions.text import stable_hash64_py
+    from automated_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    B = 8
+    n_t = [0] * B
+    n_r = [0] * B
+    for text, is_t in docs:
+        for tok in text.lower().split():
+            b = stable_hash64_py(tok) % B
+            n_r[b] += 1
+            if is_t:
+                n_t[b] += 1
+    tot_t, tot_r = sum(n_t), sum(n_r)
+    expected = {}
+    for i, (text, _) in enumerate(docs):
+        w = 0.0
+        for tok in text.lower().split():
+            b = stable_hash64_py(tok) % B
+            w += math.log((n_t[b] + 1) / (tot_t + B)) - math.log(
+                (n_r[b] + 1) / (tot_r + B)
+            )
+        expected[i] = w
+
+    df = spark.createDataFrame(
+        [(i, t, is_t) for i, (t, is_t) in enumerate(docs)],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance(
+            df, "text", "doc_id", F.col("is_t"), n_buckets=B
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for i, w in expected.items():
+        assert abs(got[i] - w) < 1e-9
