@@ -1,6 +1,6 @@
-"""The declared query suite: 145 named queries — every operator from
+"""The declared query suite: 146 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (140 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (141 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -159,6 +159,7 @@ AWAITING_FIRST_WITNESS = [
     "trigram_novelty_by_source",
     "lang_vocab_overlap",
     "length_percentile_bands",
+    "quality_logreg_buckets",
 ]
 
 

@@ -44,8 +44,11 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
 
 def _r4(c):
-    """Engine-portable round-to-4 decimals (floor(x*1e4 + 0.5)/1e4)."""
-    return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
+    """Engine-portable round-to-4 decimals (suite convention — see
+    functions/stats.portable_round, reused here)."""
+    from ..functions.stats import portable_round
+
+    return portable_round(c, 4).cast("double")
 
 
 def spec(name: str, oracle: str | None, doc: str = ""):
@@ -359,4 +362,67 @@ def length_percentile_bands(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("lang")
+    )
+
+
+# Fixed-coefficient contract for the oracle-backed scoring query: the
+# trained path can't be SQL-replayed (iterative), so — the round-6
+# exact-companion pattern — the driver witnesses the full featurize +
+# sigmoid-score machinery under PUBLISHED constants, while training
+# itself is pytest-pinned against a numpy reference
+# (tests/test_quality_model.py).
+_QLR = {"bias": -3.0, "f_logtok": 0.7, "f_wlen": -0.15,
+        "f_punct": -5.0, "f_stop": 4.0, "f_ttr": 0.8}
+
+_QLR_SQL = """
+WITH w AS (
+  SELECT doc_id, text, _TOKS_SQL_PLACEHOLDER AS ws FROM documents
+), f AS (
+  SELECT doc_id,
+    ln(1.0 + len(ws)) AS f_logtok,
+    coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0)
+      * 1.0 / greatest(len(ws), 1) AS f_wlen,
+    length(regexp_replace(text, '[\\pL\\pN\\s]', '', 'g')) * 1.0
+      / greatest(length(text), 1) AS f_punct,
+    len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is')))
+      * 1.0 / greatest(len(ws), 1) AS f_stop,
+    len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1) AS f_ttr
+  FROM w
+), s AS (
+  SELECT doc_id,
+    1.0 / (1.0 + exp(-(-3.0 + 0.7 * f_logtok - 0.15 * f_wlen
+                       - 5.0 * f_punct + 4.0 * f_stop + 0.8 * f_ttr))) AS p
+  FROM f
+)
+SELECT CAST(floor(p * 10) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(floor(avg(p) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_p
+FROM s
+GROUP BY 1
+ORDER BY 1
+"""
+_QLR_SQL = _QLR_SQL.replace("_TOKS_SQL_PLACEHOLDER", _TOKS_SQL)
+
+
+@spec(
+    "quality_logreg_buckets",
+    _QLR_SQL,
+    "model-based quality filter (CCNet/GPT-3-style logreg) at fixed "
+    "published coefficients: score histogram by decile bucket",
+)
+def quality_logreg_buckets(spark, sf_dir):
+    from ..operators import quality_model as QM
+
+    docs = load(spark, sf_dir, "documents")
+    coefs = [_QLR[n] for n in QM.FEATURE_NAMES]
+    scored = QM.score_quality(docs, "text", _QLR["bias"], coefs)
+    return (
+        scored.groupBy(
+            F.floor(F.col("quality_p") * 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r4(F.avg("quality_p")).alias("avg_p"),
+        )
+        .orderBy("bucket")
     )

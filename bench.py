@@ -138,6 +138,7 @@ HEADLINE = [
     "trigram_novelty_by_source",
     "lang_vocab_overlap",
     "length_percentile_bands",
+    "quality_logreg_buckets",
 ]
 
 
