@@ -413,7 +413,11 @@ _QLR_SQL = _QLR_SQL.replace("_TOKS_SQL_PLACEHOLDER", _TOKS_SQL)
 def quality_logreg_buckets(spark, sf_dir):
     from ..operators import quality_model as QM
 
-    docs = load(spark, sf_dir, "documents")
+    # spread before the regex-heavy featurize pass (coarse-scan lesson,
+    # BASELINE.md sf1 section)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     coefs = [_QLR[n] for n in QM.FEATURE_NAMES]
     scored = QM.score_quality(docs, "text", _QLR["bias"], coefs)
     return (
