@@ -84,3 +84,58 @@ def test_incremental_segment_stream_end_to_end(spark, tmp_path):
     # doc 3's "one fish" segment is corpus boilerplate by the time its
     # file lands; only the novel tail survives
     assert got[3]["kept_text"] == "new stuff"
+
+
+def test_streaming_equals_batch_over_arbitrary_batch_splits(spark, tmp_path):
+    """Feeding the corpus through the store in doc_id-ordered batches
+    must reproduce the BATCH operator's survivor set exactly, no matter
+    where the batch boundaries fall (the streaming variant is an
+    incremental evaluation of the same rule, not an approximation)."""
+    from automated_data_pipeline_spark.operators.spans import segment_dedup
+
+    texts = [
+        "a b c d a b",      # self + cross dup material
+        "c d a b x y",
+        "x y p q",
+        "p q a b c d",
+        "fresh words only here",
+    ]
+    full = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch_keep = {
+        (r["doc_id"], r["seg_idx"]): r["keep"]
+        for r in segment_dedup(full, "text", "doc_id", seg_words=2).collect()
+    }
+
+    for split in ([1], [2, 4], [1, 2, 3, 4]):
+        store = SegmentHashStore(
+            str(tmp_path / f"store_{'_'.join(map(str, split))}")
+        )
+        bounds = [0] + split + [len(texts)]
+        streamed: dict[tuple[int, int], bool] = {}
+        for bi in range(len(bounds) - 1):
+            rows = [
+                (i, texts[i]) for i in range(bounds[bi], bounds[bi + 1])
+            ]
+            if not rows:
+                continue
+            batch = spark.createDataFrame(rows, "doc_id long, text string")
+            out = dedup_segments_against_store(
+                spark, batch, store, seg_words=2, batch_key=f"k{bi}"
+            ).collect()
+            for r in out:
+                toks = texts[r["doc_id"]].split(" ")
+                n_segs = (len(toks) + 1) // 2
+                assert r["n_segs"] == n_segs
+                streamed[r["doc_id"]] = r
+        # per-doc kept counts must match the batch survivor rule
+        from collections import Counter
+
+        batch_kept_per_doc = Counter(
+            d for (d, _i), keep in batch_keep.items() if keep
+        )
+        for doc in range(len(texts)):
+            assert streamed[doc]["n_kept"] == batch_kept_per_doc.get(doc, 0), (
+                f"split {split}, doc {doc}"
+            )
