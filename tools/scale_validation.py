@@ -63,6 +63,7 @@ WORKLOADS = [
     "segment_dedup_c4",
     "dsir_importance_topk",
     "trigram_novelty_by_source",
+    "quality_logreg_buckets",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
