@@ -82,6 +82,7 @@ SHOWN = [
     ("trigram_novelty_by_source", "trigram novelty: distinct gram hashes, min-doc agg, join-back; only 64-bit hashes shuffle"),
     ("lang_vocab_overlap", "vocab overlap: rank window runs on the POST-aggregation vocab frame, never raw tokens"),
     ("length_percentile_bands", "exact percentiles: single partial+final SortAggregate pass, 3-column pruned scan"),
+    ("quality_logreg_buckets", "logreg quality filter: spread, then featurize+sigmoid as ONE codegen projection feeding a 10-bucket agg"),
 ]
 
 
