@@ -139,3 +139,33 @@ def test_streaming_equals_batch_over_arbitrary_batch_splits(spark, tmp_path):
             assert streamed[doc]["n_kept"] == batch_kept_per_doc.get(doc, 0), (
                 f"split {split}, doc {doc}"
             )
+
+
+def test_segment_store_compact_preserves_dedup_state(spark, tmp_path):
+    """Compacting the append-only store (inherited FingerprintStore
+    machinery) must not lose or duplicate hashes: a post-compact batch
+    still sees every earlier segment, and file count shrinks."""
+    import os
+
+    store = SegmentHashStore(str(tmp_path / "seg_store_c"))
+    for bi, text in enumerate(["a b c d", "c d e f", "e f g h"]):
+        dedup_segments_against_store(
+            spark, _docs(spark, [(bi, text)]), store,
+            seg_words=2, batch_key=f"k{bi}",
+        ).collect()
+    n_before = store.read(spark).count()
+    files_before = sum(
+        1 for f in os.listdir(store.path) if f.endswith(".parquet")
+    )
+    store.compact(spark, n_files=1)
+    files_after = sum(
+        1 for f in os.listdir(store.path) if f.endswith(".parquet")
+    )
+    assert files_after < files_before
+    assert store.read(spark).count() == n_before
+    # every earlier segment is still boilerplate; only "z z" is novel
+    out = dedup_segments_against_store(
+        spark, _docs(spark, [(9, "a b e f z z")]), store,
+        seg_words=2, batch_key="k9",
+    ).collect()
+    assert out[0]["kept_text"] == "z z" and out[0]["n_kept"] == 1
