@@ -449,3 +449,49 @@ def dsir_importance(
             F.sum(F.col("_cnt") * term).alias("weight"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    seed: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum:
+    Efraimidis-Spirakis exponential sort keys ("Weighted random
+    sampling with a reservoir", 2006). Each row draws a deterministic
+    uniform u in (0,1) from a content hash and scores key = u^(1/w);
+    the k largest keys per stratum are the sample — provably the same
+    distribution as sequential weighted draws without replacement.
+
+    One narrow pass computes the key (hash + pow — no RNG state, so
+    stage retries re-draw identically, the SPARK-23207 discipline),
+    then one shuffle on the strata feeds a rank window. Keys are
+    rounded to 10 decimals (portable floor-rounding) BEFORE ranking
+    with an id tie-break, so the selected set is identical in the
+    DuckDB oracle despite pow()'s last-ulp engine differences.
+
+    Rows with weight <= 0 are excluded (E-S is undefined there)."""
+    from ..functions.stats import portable_round
+    from ..functions.text import stable_hash64
+
+    strata_cols = strata_cols or []
+    h = F.pmod(
+        stable_hash64(F.col(id_col).cast("string"), seed), F.lit(1_000_003)
+    )
+    u = (h + 1) / F.lit(1_000_005.0)
+    key = portable_round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 10
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_es_key", key)
+        .withColumn("_es_rank", F.row_number().over(w))
+        .filter(F.col("_es_rank") <= k)
+        .drop("_es_rank")
+    )

@@ -1,6 +1,6 @@
-"""The declared query suite: 146 named queries — every operator from
+"""The declared query suite: 147 named queries — every operator from
 SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark_fn, duckdb_oracle_sql) pair (141 with oracles, 5 rows-only;
+(spark_fn, duckdb_oracle_sql) pair (142 with oracles, 5 rows-only;
 tests/test_suite_contract.py pins these counts).
 
 Cross-engine determinism conventions (the driver hash-compares values):
@@ -160,6 +160,7 @@ AWAITING_FIRST_WITNESS = [
     "lang_vocab_overlap",
     "length_percentile_bands",
     "quality_logreg_buckets",
+    "weighted_sample_es",
 ]
 
 

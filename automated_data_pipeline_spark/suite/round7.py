@@ -430,3 +430,45 @@ def quality_logreg_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_ES_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+    floor(pow(
+        (CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000003 + 1) / 1000005.0,
+        1.0 / n_chars) * 10000000000.0 + 0.5) / 10000000000.0 AS es_key
+  FROM documents
+  WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, es_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key
+FROM ranked
+WHERE rk <= 20
+ORDER BY lang, es_key DESC, doc_id
+"""
+
+
+@spec(
+    "weighted_sample_es",
+    _ES_SQL,
+    "Efraimidis-Spirakis weighted sampling without replacement: 20 docs "
+    "per language proportional to n_chars, deterministic u from the "
+    "content hash, key u^(1/w) rounded before ranking",
+)
+def weighted_sample_es(spark, sf_dir):
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs, "n_chars", "doc_id", k=20, strata_cols=["lang"], seed="es"
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars",
+        F.col("_es_key").cast("double").alias("es_key"),
+    ).orderBy("lang", F.col("es_key").desc(), "doc_id")

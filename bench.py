@@ -139,6 +139,7 @@ HEADLINE = [
     "lang_vocab_overlap",
     "length_percentile_bands",
     "quality_logreg_buckets",
+    "weighted_sample_es",
 ]
 
 

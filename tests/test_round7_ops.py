@@ -140,3 +140,50 @@ def test_dsir_stats_broadcast_not_shuffled_into_tokens(spark):
                           n_buckets=8)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_es_matches_brute_force_and_favors_weight(spark):
+    """Selection set == brute-force Efraimidis-Spirakis with the same
+    hash-derived uniforms; and across many ids, heavier rows win more
+    often (the distributional point of the key)."""
+    from automated_data_pipeline_spark.functions.text import stable_hash64_py
+    from automated_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "g%d" % (i % 2), (i % 7 + 1) * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    got = {
+        (r["g"], r["id"])
+        for r in weighted_sample_topk(
+            df, "w", "id", k=5, strata_cols=["g"], seed="t"
+        ).collect()
+    }
+
+    def key(i, w):
+        u = (stable_hash64_py(str(i), "t") % 1_000_003 + 1) / 1_000_005.0
+        raw = u ** (1.0 / w)
+        import math
+
+        return math.floor(raw * 1e10 + 0.5) / 1e10
+
+    expected = set()
+    for g in ("g0", "g1"):
+        members = [(i, w) for i, gg, w in rows if gg == g]
+        ranked = sorted(members, key=lambda t: (-key(*t), t[0]))
+        expected |= {(g, i) for i, _ in ranked[:5]}
+    assert got == expected
+
+    # heavier rows should be overrepresented: across 40 singleton
+    # strata draws of {light, heavy}, heavy must win the majority
+    pairs = [(i, "p%d" % i, 10 if i % 2 else 1000) for i in range(80)]
+    pdf = spark.createDataFrame(pairs, "id long, g string, w long")
+    # group into 40 strata of (light, heavy) by pairing consecutive ids
+    pdf = pdf.withColumn("stratum", (F.col("id") / 2).cast("int"))
+    wins = (
+        weighted_sample_topk(pdf, "w", "id", k=1, strata_cols=["stratum"],
+                             seed="t2")
+        .filter(F.col("w") == 1000)
+        .count()
+    )
+    assert wins > 25, f"heavy rows won only {wins}/40 strata"
