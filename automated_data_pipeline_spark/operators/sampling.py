@@ -485,13 +485,21 @@ def weighted_sample_topk(
     key = portable_round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 10
     )
+    keyed = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "_es_key", key
+    )
+    if not strata_cols:
+        # global k: orderBy+limit plans as TakeOrderedAndProject
+        # (per-partition top-k, k-row driver merge) — a partitionless
+        # rank window would serialize the corpus through one reducer
+        return keyed.orderBy(
+            F.col("_es_key").desc(), F.col(id_col).asc()
+        ).limit(k)
     w = Window.partitionBy(*strata_cols).orderBy(
         F.col("_es_key").desc(), F.col(id_col).asc()
     )
     return (
-        df.filter(F.col(weight_col).cast("double") > 0)
-        .withColumn("_es_key", key)
-        .withColumn("_es_rank", F.row_number().over(w))
+        keyed.withColumn("_es_rank", F.row_number().over(w))
         .filter(F.col("_es_rank") <= k)
         .drop("_es_rank")
     )

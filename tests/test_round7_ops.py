@@ -187,3 +187,20 @@ def test_weighted_sample_es_matches_brute_force_and_favors_weight(spark):
         .count()
     )
     assert wins > 25, f"heavy rows won only {wins}/40 strata"
+
+
+def test_weighted_sample_global_k_is_take_ordered(spark):
+    """Empty strata -> global top-k must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a partitionless window."""
+    from automated_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 5 + 1) * 7) for i in range(50)], "id long, w long"
+    )
+    out = weighted_sample_topk(df, "w", "id", k=5, seed="g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert out.count() == 5
