@@ -99,30 +99,36 @@ def train_quality_logreg(
     side (e.g. a curated subset), everything else is the raw side.
     Returns (bias, coefs) ready for ``score_quality``.
 
-    The training sample is UNIFORM and bounded: rows are ranked by a
-    content hash and the top ``train_cap`` collected (the
-    ``ivf_index`` discipline — a bare limit() would take whichever
-    partitions answer first). Features come from the SAME Spark
-    expressions used at scoring time, collected already-computed, so
-    there is no train/serve skew. Full-batch gradient descent from
-    zero init with a fixed iteration count — deterministic, no RNG."""
+    The training sample is UNIFORM and bounded
+    (``sampling.hash_ranked_sample`` — the shared trainer idiom; the
+    label joins the hash payload so rows tied on features but
+    differing in label cannot be cut ambiguously at the cap
+    boundary). NULL texts are excluded up front: their features are
+    all-NULL and one NaN row would poison every gradient step.
+    Features come from the SAME Spark expressions used at scoring
+    time, collected already-computed, so there is no train/serve
+    skew. Full-batch gradient descent from zero init with a fixed
+    iteration count — deterministic, no RNG."""
     import numpy as np
 
-    feats = featurize(df.select(is_positive.alias("_y"), text_col), text_col)
-    rows = (
-        feats.select("_y", *FEATURE_NAMES)
-        .withColumn(
-            "_r",
-            F.xxhash64(F.to_json(F.struct(*FEATURE_NAMES)), F.lit(seed)),
-        )
-        .orderBy("_r")
-        .limit(train_cap)
-        .drop("_r")
-        .collect()
+    from .sampling import hash_ranked_sample
+
+    feats = featurize(
+        df.filter(F.col(text_col).isNotNull())
+        .select(is_positive.alias("_y"), text_col),
+        text_col,
     )
+    rows = hash_ranked_sample(
+        feats.select("_y", *FEATURE_NAMES),
+        ["_y", *FEATURE_NAMES],
+        train_cap,
+        seed,
+    ).collect()
     if not rows:
         raise ValueError("empty training input")
     X = np.array([[r[n] for n in FEATURE_NAMES] for r in rows], dtype=np.float64)
+    if not np.isfinite(X).all():
+        raise ValueError("non-finite training features")
     y = np.array([1.0 if r["_y"] else 0.0 for r in rows])
     if y.min() == y.max():
         raise ValueError("training input needs both classes")

@@ -469,11 +469,18 @@ def weighted_sample_topk(
     One narrow pass computes the key (hash + pow — no RNG state, so
     stage retries re-draw identically, the SPARK-23207 discipline),
     then one shuffle on the strata feeds a rank window. Keys are
-    rounded to 10 decimals (portable floor-rounding) BEFORE ranking
-    with an id tie-break, so the selected set is identical in the
-    DuckDB oracle despite pow()'s last-ulp engine differences.
+    rounded to 10 decimals (portable floor-rounding) BEFORE ranking,
+    so the selected set is identical in the DuckDB oracle despite
+    pow()'s last-ulp engine differences. Within a rounding quantum —
+    which is the COMMON case for large weights, where u^(1/w)
+    compresses toward 1 faster than any fixed quantum resolves — the
+    tie-break is the raw integer uniform (desc), which for equal
+    weights IS the E-S order (u^(1/w) is monotone in u), then the id;
+    breaking ties by id alone would systematically favor low ids.
 
-    Rows with weight <= 0 are excluded (E-S is undefined there)."""
+    Rows with weight <= 0 or NaN are excluded (E-S is undefined
+    there; note NaN compares GREATER than 0 in Spark, so the
+    explicit isnan guard is load-bearing)."""
     from ..functions.stats import portable_round
     from ..functions.text import stable_hash64
 
@@ -485,21 +492,47 @@ def weighted_sample_topk(
     key = portable_round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 10
     )
-    keyed = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
-        "_es_key", key
+    w_d = F.col(weight_col).cast("double")
+    keyed = (
+        df.filter((w_d > 0) & ~F.isnan(w_d))
+        .withColumn("_es_h", h)
+        .withColumn("_es_key", key)
     )
+    order = [F.col("_es_key").desc(), F.col("_es_h").desc(),
+             F.col(id_col).asc()]
     if not strata_cols:
         # global k: orderBy+limit plans as TakeOrderedAndProject
         # (per-partition top-k, k-row driver merge) — a partitionless
         # rank window would serialize the corpus through one reducer
-        return keyed.orderBy(
-            F.col("_es_key").desc(), F.col(id_col).asc()
-        ).limit(k)
-    w = Window.partitionBy(*strata_cols).orderBy(
-        F.col("_es_key").desc(), F.col(id_col).asc()
-    )
+        return keyed.orderBy(*order).limit(k).drop("_es_h")
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
     return (
         keyed.withColumn("_es_rank", F.row_number().over(w))
         .filter(F.col("_es_rank") <= k)
-        .drop("_es_rank")
+        .drop("_es_rank", "_es_h")
     )
+
+
+def hash_ranked_sample(
+    df: DataFrame, hash_cols: list[str], cap: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic bounded UNIFORM sample: rank rows by a content
+    hash of ``hash_cols`` and keep the smallest ``cap`` — the shared
+    idiom behind every driver-side trainer (IVF coarse quantizer, PQ
+    codebooks, the quality classifier). A bare ``limit(cap)`` would
+    take whichever partitions answer first (typically the corpus
+    head), biasing the sample on any sorted/clustered input.
+
+    Rows identical in ``hash_cols`` share a rank; callers for whom
+    tied rows are NOT interchangeable must include a distinguishing
+    column (e.g. the label) in ``hash_cols``.
+
+    Plan note: above ``spark.sql.execution.topKSortFallbackThreshold``
+    (default 10k) the orderBy+limit plans as a distributed range sort
+    rather than TakeOrdered — still fully parallel, and only ``cap``
+    rows ever reach the driver; pre-thin with ``df.sample`` first when
+    the corpus is huge relative to ``cap``."""
+    ranked = df.withColumn(
+        "_r", F.xxhash64(F.to_json(F.struct(*hash_cols)), F.lit(seed))
+    )
+    return ranked.orderBy("_r").limit(cap).drop("_r")

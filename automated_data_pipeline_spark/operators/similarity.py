@@ -173,15 +173,9 @@ def ivf_index(
     )
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
-    rows = (
-        sample.withColumn(
-            "_r", F.xxhash64(F.to_json(F.struct("v")), F.lit(seed))
-        )
-        .orderBy("_r")
-        .limit(train_cap)
-        .drop("_r")
-        .collect()
-    )
+    from .sampling import hash_ranked_sample
+
+    rows = hash_ranked_sample(sample, ["v"], train_cap, seed).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(X) < n_clusters:
         raise ValueError(f"need >= {n_clusters} training vectors, got {len(X)}")
@@ -388,15 +382,9 @@ def pq_train(
     )
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
-    rows = (
-        sample.withColumn(
-            "_r", F.xxhash64(F.to_json(F.struct("v")), F.lit(seed))
-        )
-        .orderBy("_r")
-        .limit(train_cap)
-        .drop("_r")
-        .collect()
-    )
+    from .sampling import hash_ranked_sample
+
+    rows = hash_ranked_sample(sample, ["v"], train_cap, seed).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(X) < n_codes:
         raise ValueError(f"need >= {n_codes} training vectors, got {len(X)}")

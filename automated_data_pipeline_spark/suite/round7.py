@@ -435,6 +435,8 @@ def quality_logreg_buckets(spark, sf_dir):
 _ES_SQL = """
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,
+    CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 1000003 AS h,
     floor(pow(
         (CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15))
               AS BIGINT) % 1000003 + 1) / 1000005.0,
@@ -442,9 +444,12 @@ WITH keyed AS (
   FROM documents
   WHERE n_chars > 0
 ), ranked AS (
+  -- ties within the rounding quantum break by the integer uniform
+  -- (the E-S order for equal weights), then doc_id — mirrors
+  -- weighted_sample_topk exactly
   SELECT lang, doc_id, n_chars, es_key,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY es_key DESC, doc_id) AS rk
+                            ORDER BY es_key DESC, h DESC, doc_id) AS rk
   FROM keyed
 )
 SELECT lang, doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key

@@ -161,16 +161,20 @@ def test_weighted_sample_es_matches_brute_force_and_favors_weight(spark):
     }
 
     def key(i, w):
-        u = (stable_hash64_py(str(i), "t") % 1_000_003 + 1) / 1_000_005.0
-        raw = u ** (1.0 / w)
         import math
 
-        return math.floor(raw * 1e10 + 0.5) / 1e10
+        h = stable_hash64_py(str(i), "t") % 1_000_003
+        u = (h + 1) / 1_000_005.0
+        raw = u ** (1.0 / w)
+        return (math.floor(raw * 1e10 + 0.5) / 1e10, h)
 
     expected = set()
     for g in ("g0", "g1"):
         members = [(i, w) for i, gg, w in rows if gg == g]
-        ranked = sorted(members, key=lambda t: (-key(*t), t[0]))
+        # rank by rounded key desc, then integer uniform desc, then id
+        ranked = sorted(
+            members, key=lambda t: (-key(*t)[0], -key(*t)[1], t[0])
+        )
         expected |= {(g, i) for i, _ in ranked[:5]}
     assert got == expected
 
