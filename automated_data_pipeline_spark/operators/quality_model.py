@@ -113,8 +113,11 @@ def train_quality_logreg(
 
     from .sampling import hash_ranked_sample
 
+    # NULL labels are rejected like NULL texts: silently mapping an
+    # undefined label to the negative class would bias the classifier
+    # (ADVICE r7).
     feats = featurize(
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(text_col).isNotNull() & is_positive.isNotNull())
         .select(is_positive.alias("_y"), text_col),
         text_col,
     )

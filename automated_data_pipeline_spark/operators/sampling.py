@@ -484,6 +484,16 @@ def weighted_sample_topk(
     from ..functions.stats import portable_round
     from ..functions.text import stable_hash64
 
+    # loud collision guard, same convention as ordered_cumsum /
+    # distributed_row_number (ADVICE r6/r7): the temp columns would
+    # otherwise silently clobber same-named user data (_es_key is
+    # additionally part of the OUTPUT contract — callers read it)
+    clash = {"_es_h", "_es_key", "_es_rank"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_sample_topk reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     strata_cols = strata_cols or []
     h = F.pmod(
         stable_hash64(F.col(id_col).cast("string"), seed), F.lit(1_000_003)
@@ -532,6 +542,11 @@ def hash_ranked_sample(
     rather than TakeOrdered — still fully parallel, and only ``cap``
     rows ever reach the driver; pre-thin with ``df.sample`` first when
     the corpus is huge relative to ``cap``."""
+    if "_r" in df.columns:
+        raise ValueError(
+            "hash_ranked_sample reserves column name '_r'; "
+            "rename it on the input first"
+        )
     ranked = df.withColumn(
         "_r", F.xxhash64(F.to_json(F.struct(*hash_cols)), F.lit(seed))
     )

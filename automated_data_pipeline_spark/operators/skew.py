@@ -94,20 +94,68 @@ def estimate_top_key_share(
     """Sampled estimate of the hottest key's share of rows, in [0, 1].
 
     One cheap extra Spark job: project the key column, sample
-    ``fraction``, hard-cap at ``cap`` rows, count per key, and return
-    max/total — a single-row driver transfer. At 100 TB the cap (not
-    the fraction) bounds the work; a 30%-hot key is detectable from a
-    few thousand sampled rows, so the defaults are generous."""
-    s = df.select(key).sample(fraction=fraction, seed=seed).limit(cap)
-    row = (
-        s.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("tot"))
-        .first()
+    ``fraction``, then take a bounded UNIFORM sample of at most
+    ``cap / num_partitions`` rows from EVERY partition (a
+    deterministic position-hash reservoir — ``mapPartitions`` is the
+    rare justified imperative seam), count keys inside the reservoir,
+    and scale each partition's counts by ``rows_in_partition /
+    reservoir_size`` before merging through one tiny ``reduceByKey``.
+    A global ``limit(cap)`` here would take whichever partitions
+    answer first — on a fact clustered/sorted by the join key the
+    slice could entirely miss a hot key concentrated later in the
+    scan, silently steering auto mode onto the straggler plan (ADVICE
+    r7); and an unscaled per-partition head would cap a hot key that
+    FILLS its (range-clustered) partitions at 1/num_partitions. The
+    per-partition scaling makes the estimate stratified: a partition
+    that is 100% one key contributes its full row weight to that key.
+    Reservoir priorities are a multiplicative hash of the partition-
+    local row INDEX — deterministic, no RNG state (the SPARK-23207
+    discipline), uniform across positions so within-partition
+    clustering cannot hide behind the reservoir boundary. At 100 TB
+    the cap (not the fraction) bounds the memory/shuffle; only the
+    merged per-key estimates (<= cap pairs) ever leave the executors.
+    A 30%-hot key is detectable from a few thousand sampled rows, so
+    the defaults are generous."""
+    from operator import add
+
+    s = df.select(key).sample(fraction=fraction, seed=seed)
+    n_parts = max(1, s.rdd.getNumPartitions())
+    per_part = max(100, cap // n_parts)
+
+    def _part_estimates(it):
+        import heapq
+        from collections import Counter
+
+        heap: list = []  # (priority, idx, key) — keep the top per_part
+        idx = 0
+        for r in it:
+            # Knuth multiplicative hash of the row position: spreads
+            # the kept set uniformly over the partition, deterministic
+            # on retry, never compares the (possibly None) key itself
+            pri = (idx * 2654435761 + seed) & 0xFFFFFFFF
+            item = (pri, idx, r[0])
+            if len(heap) < per_part:
+                heapq.heappush(heap, item)
+            else:
+                heapq.heappushpop(heap, item)
+            idx += 1
+        if not heap:
+            return iter(())
+        scale = idx / len(heap)
+        c = Counter(k for _, _, k in heap)
+        return iter((k, cnt * scale) for k, cnt in c.items())
+
+    counts = s.rdd.mapPartitions(_part_estimates).reduceByKey(add)
+    # fold (not reduce): total-orderable zero makes the empty-sample
+    # case a plain (0, 0) instead of a reduce() crash, in one job.
+    # Summing the scaled estimates reproduces the exact sampled row
+    # count (sum over partitions of rows_in_partition).
+    mx, tot = counts.map(lambda kv: (kv[1], kv[1])).fold(
+        (0.0, 0.0), lambda a, b: (max(a[0], b[0]), a[1] + b[1])
     )
-    if row is None or not row["tot"]:
+    if not tot:
         return 0.0
-    return float(row["mx"]) / float(row["tot"])
+    return float(mx) / float(tot)
 
 
 def salted_join(

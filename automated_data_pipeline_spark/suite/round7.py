@@ -277,12 +277,22 @@ WITH counts AS (
   FROM counts
 ), top AS (
   SELECT lang, tok FROM ranked WHERE rk <= 100
+), sizes AS (
+  -- actual per-language top-list size: a language with < 100 distinct
+  -- tokens contributes its true vocabulary size, so identical small
+  -- vocabularies report jaccard = 1.0 (ADVICE r7: the old
+  -- overlap/(200-overlap) hardcoded |A|=|B|=100)
+  SELECT lang, count(*) AS n FROM top GROUP BY 1
 )
 SELECT a.lang AS lang_a, b.lang AS lang_b,
        count(*) AS overlap,
-       CAST(floor(count(*) / (200.0 - count(*)) * 10000 + 0.5) / 10000
-            AS DOUBLE) AS jaccard
-FROM top a JOIN top b ON a.tok = b.tok AND a.lang < b.lang
+       CAST(floor(count(*) * 1.0
+                  / (min(sa.n) + min(sb.n) - count(*)) * 10000 + 0.5)
+            / 10000 AS DOUBLE) AS jaccard
+FROM top a
+JOIN top b ON a.tok = b.tok AND a.lang < b.lang
+JOIN sizes sa ON sa.lang = a.lang
+JOIN sizes sb ON sb.lang = b.lang
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -308,6 +318,11 @@ def lang_vocab_overlap(spark, sf_dir):
         .filter(F.col("rk") <= 100)
         .select("lang", "tok")
     )
+    # Actual per-language top-list sizes: with < 100 distinct tokens
+    # the true |A|/|B| is smaller, and overlap/(|A|+|B|-overlap) is the
+    # real Jaccard (ADVICE r7 — the old formula hardcoded 100+100).
+    # `sizes` is <= one row per language: broadcast both joins.
+    sizes = top.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     a, b = top.alias("a"), top.alias("b")
     return (
         a.join(
@@ -319,10 +334,28 @@ def lang_vocab_overlap(spark, sf_dir):
             F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
         )
         .agg(F.count(F.lit(1)).alias("overlap"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("lang").alias("_la"), F.col("n").alias("n_a")
+                )
+            ),
+            F.col("lang_a") == F.col("_la"),
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("lang").alias("_lb"), F.col("n").alias("n_b")
+                )
+            ),
+            F.col("lang_b") == F.col("_lb"),
+        )
         .select(
             "lang_a", "lang_b", "overlap",
-            _r4(F.col("overlap") / (F.lit(200.0) - F.col("overlap")))
-            .alias("jaccard"),
+            _r4(
+                F.col("overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+            ).alias("jaccard"),
         )
         .orderBy("lang_a", "lang_b")
     )
