@@ -140,6 +140,9 @@ HEADLINE = [
     "length_percentile_bands",
     "quality_logreg_buckets",
     "weighted_sample_es",
+    # round-8 additions: domain/URL-level curation (suite/round8.py)
+    "blocklist_filter_stats",
+    "source_quality_quantile_gate",
 ]
 
 
