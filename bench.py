@@ -463,6 +463,63 @@ def bench_stream_incremental_segments(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_quality_scorer(spark, sf_dir: str) -> float:
+    """Streaming quality-classifier throughput: documents in 3 json
+    micro-batches scored at the published coefficients; asserts the
+    merged per-batch summaries equal the batch scorer's whole-corpus
+    histogram exactly (integer merge). No content-replay file here:
+    unlike the dedup stores a scorer intentionally counts repeated
+    content again — checkpoint-replay idempotence (same batch_key) is
+    pytest-pinned instead (tests/test_quality_scorer_stream.py)."""
+    from automated_data_pipeline_spark.streaming.quality_scorer import (
+        batch_score_summary,
+        start_quality_score_stream,
+    )
+    from automated_data_pipeline_spark.suite.round7 import _QLR
+    from pyspark.sql import functions as F
+
+    bias = _QLR["bias"]
+    coefs = [_QLR["f_logtok"], _QLR["f_wlen"], _QLR["f_punct"],
+             _QLR["f_stop"], _QLR["f_ttr"]]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="adp-bench-qscore-")
+    src = os.path.join(work, "in")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    metrics = os.path.join(work, "metrics")
+    t0 = time.time()
+    q = start_quality_score_stream(
+        spark, src, metrics, bias, coefs, os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    got = {
+        r["bucket"]: (r["n"], r["s"]) for r in
+        spark.read.parquet(metrics).groupBy("bucket")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_p_i").alias("s"))
+        .collect()
+    }
+    want = {
+        r["bucket"]: (r["n_docs"], r["sum_p_i"]) for r in
+        batch_score_summary(docs, 0, "text", bias, coefs).collect()
+    }
+    assert got == want, "stream quality summaries != batch histogram"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
     """Incremental distinct-count maintenance: the events table split
     into 4 json micro-batches (the 4th replaying the 1st), merged into
@@ -612,6 +669,7 @@ def main():
     timings["stream_incremental_segments"] = min2(bench_stream_incremental_segments)
     timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
     timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
+    timings["stream_quality_scorer"] = min2(bench_stream_quality_scorer)
 
     probe_end = _noise_probe(spark, SF_DIR)
 
