@@ -18,6 +18,9 @@ shuffle is proportional to candidate count, not corpus x queries.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints are lazy
+# strings under future-annotations and resolve against module globals
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -492,6 +495,55 @@ def pq_encode_joined(
         )
     )
     return corpus.join(codes, id_col, "left")
+
+
+def pq_encode_pandas(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-batched PQ encode: one vectorized numpy argmin per
+    subspace over the whole Arrow batch — the ``§2.9 wide-vector
+    math`` case where a Pandas UDF beats expression folds outright.
+
+    Why a third encode path: ``pq_encode``'s literal expressions blow
+    up codegen compilation with the codebook size, and
+    ``pq_encode_joined`` evaluates m*n_codes interpreted
+    zip_with/aggregate folds per vector (measured 30 s for 20k x 64
+    codes at sf1 — the r7 scale-validation watch item) plus an N*m-row
+    partial-agg shuffle. This path is ONE narrow pass, no explode, no
+    join, no shuffle: the codebook ships in the UDF closure (m *
+    n_codes * sub floats — kilobytes even at FAISS-typical 256x16),
+    and per batch the distance matrix is one BLAS multiply per
+    subspace (||x||^2 - 2 x C^T + ||c||^2, argmin rows). Ties pick
+    the smallest code (numpy argmin first-occurrence), the same rule
+    the other two paths implement; three-way parity is pinned by
+    tests/test_pq.py. NULL vectors get NULL codes, row kept."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = cbs[0].shape[1]
+    cb_sq = [(cb * cb).sum(1) for cb in cbs]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        mask = v.notna()
+        out = pd.Series([None] * len(v), dtype=object)
+        if not mask.any():
+            return out
+        X = np.array(v[mask].tolist(), dtype=np.float64)
+        codes = np.empty((len(X), len(cbs)), dtype=np.int32)
+        for j, (cb, csq) in enumerate(zip(cbs, cb_sq)):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            # ||x-c||^2 ranks like -2xC^T + ||c||^2 (||x||^2 constant
+            # per row); argmin is first-occurrence = smallest code
+            codes[:, j] = np.argmin(-2.0 * (Xj @ cb.T) + csq[None, :], 1)
+        out[mask.to_numpy().nonzero()[0]] = [list(map(int, r)) for r in codes]
+        return out
+
+    return corpus.withColumn(out_col, _encode(F.col(vec_col).cast("array<double>")))
 
 
 def pq_adc_topk(

@@ -865,14 +865,17 @@ def idle_rich_customers_by_segment(spark, sf_dir):
 )
 def ann_pq_rerank_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    _, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
-    # the broadcast-join encode: at 64 codes the literal-expression
-    # variant's 512-aggregate plan spends ~25s in codegen COMPILATION
-    # alone (measured at sf0.1) — the join path is 6x faster end to end
-    # and the shape that scales with codebook size. Checkpoint the
-    # codes so the shortlist's join back onto `enc` doesn't re-run the
-    # encode lineage a second time.
-    enc = similarity.pq_encode_joined(e, cb_df, m=8).localCheckpoint(
+    codebooks, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
+    # Arrow-batched encode: the literal-expression variant's
+    # 512-aggregate plan spends ~25s in codegen COMPILATION alone at 64
+    # codes, and the broadcast-join variant evaluates m*n_codes
+    # interpreted folds per vector (30s of the 37.8s r7 sf1 row — the
+    # round-8 profiling finding). One BLAS argmin per subspace per
+    # Arrow batch is the 100 TB shape: no explode, no shuffle,
+    # kilobyte closure. Three-way parity pinned by tests/test_pq.py.
+    # Checkpoint the codes so the shortlist's join back onto `enc`
+    # doesn't re-run the encode lineage a second time.
+    enc = similarity.pq_encode_pandas(e, codebooks).localCheckpoint(
         eager=True
     )
     q = e.filter(F.col("vec_id") < 3).select(

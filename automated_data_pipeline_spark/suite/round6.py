@@ -169,8 +169,12 @@ def ann_pq_exact_rerank(spark, sf_dir):
     corpus, n = _exact_corpus(e)
     # max_iter=1: the full-corpus shortlist reaches the exact re-rank
     # regardless of codebook quality (see ann_ivf_exact_full_probe)
-    _, cb_df = similarity.pq_train(corpus, dim=64, m=8, n_codes=64, max_iter=1)
-    enc = similarity.pq_encode_joined(corpus, cb_df, m=8).localCheckpoint(
+    codebooks, cb_df = similarity.pq_train(
+        corpus, dim=64, m=8, n_codes=64, max_iter=1
+    )
+    # Arrow-batched encode (see ann_pq_rerank_topk — the r8 profiling
+    # fix; exactness is unaffected, the shortlist covers the corpus)
+    enc = similarity.pq_encode_pandas(corpus, codebooks).localCheckpoint(
         eager=True
     )
     # shortlist k*oversample >= |corpus| (derived + asserted): every

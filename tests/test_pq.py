@@ -192,6 +192,12 @@ def test_pq_encode_joined_parity(emb):
         .select("vec_id", "pq_codes").collect()
     }
     assert lit == joined
+    arrow = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_pandas(emb, codebooks)
+        .select("vec_id", "pq_codes").collect()
+    }
+    assert lit == arrow
 
 
 def test_pq_encode_null_vector_parity(spark, emb):
@@ -220,6 +226,12 @@ def test_pq_encode_null_vector_parity(spark, emb):
     assert set(lit) == set(joined) == {0, 1, 2}
     assert lit[0] is None and joined[0] is None
     assert lit == joined
+    arrow = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_pandas(with_null, codebooks)
+        .select("vec_id", "pq_codes").collect()
+    }
+    assert arrow[0] is None and arrow == lit
 
 
 def test_pq_search_ignores_null_code_rows(spark, emb):
