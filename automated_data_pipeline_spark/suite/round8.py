@@ -114,10 +114,14 @@ def blocklist_filter_stats(spark, sf_dir):
     positive shows up as (bloom_hit=true, blocked=false) and costs
     one extra probe row, never a dropped document."""
     d = load(spark, sf_dir, "documents")
+    # checkpoint the (tiny) per-source table: blocklist, bloom build,
+    # probe, and the final join all derive from it, and Catalyst does
+    # not dedupe common subtrees — without the pin each derivation
+    # would re-scan the corpus (4 scans at 100 TB instead of 1)
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
-    )
+    ).localCheckpoint(eager=True)
     bl = per_src.select("source").filter(
         stable_hash64(F.concat(F.lit("bl:"), F.col("source"))) % 4 == 0
     )
