@@ -64,6 +64,9 @@ WORKLOADS = [
     "dsir_importance_topk",
     "trigram_novelty_by_source",
     "quality_logreg_buckets",
+    # round-8 domain-curation additions
+    "blocklist_filter_stats",
+    "source_quality_quantile_gate",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
@@ -320,6 +323,7 @@ def main():
         ("stream_incremental_dedup", bench.bench_stream_incremental_dedup),
         ("stream_incremental_lsh", bench.bench_stream_incremental_lsh),
         ("stream_incremental_segments", bench.bench_stream_incremental_segments),
+        ("stream_quality_scorer", bench.bench_stream_quality_scorer),
         ("stream_stream_join_1h", bench.bench_stream_stream_join),
     ]:
         sec = fn(spark, sf_dir)
