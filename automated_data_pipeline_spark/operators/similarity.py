@@ -702,7 +702,7 @@ def ivfpq_index(
     Plan: cluster assignment and residual subtraction are one narrow
     codegen pass (centroids join back via broadcast); PQ training
     samples residuals uniformly (same hash-rank discipline as
-    ``ivf_index``); encoding is literal-expression argmin. At 100 TB
+    ``ivf_index``); encoding is the Arrow-batched BLAS argmin. At 100 TB
     the encoded corpus persists partitioned by ``ivf_cluster`` (see
     ``write_ivf_index``) so a probe reads nprobe directories of 8-byte
     codes — the billion-vector layout."""
@@ -722,7 +722,13 @@ def ivfpq_index(
         max_iter=max_iter, train_fraction=train_fraction,
         train_cap=train_cap,
     )
-    encoded = pq_encode(resid, codebooks, vec_col="_resid").drop("_resid")
+    # Arrow-batched residual encode: the literal-expression variant
+    # spends ~5 s COMPILING its m*n_codes-fold codegen project even on
+    # a 500-row corpus (measured r8); the BLAS argmin path has no
+    # compile cliff and no per-candidate interpreted fold
+    encoded = pq_encode_pandas(resid, codebooks, vec_col="_resid").drop(
+        "_resid"
+    )
     return encoded, cent_df, codebooks, codebook_df
 
 
