@@ -93,69 +93,39 @@ def estimate_top_key_share(
 ) -> float:
     """Sampled estimate of the hottest key's share of rows, in [0, 1].
 
-    One cheap extra Spark job: project the key column, sample
-    ``fraction``, then take a bounded UNIFORM sample of at most
-    ``cap / num_partitions`` rows from EVERY partition (a
-    deterministic position-hash reservoir — ``mapPartitions`` is the
-    rare justified imperative seam), count keys inside the reservoir,
-    and scale each partition's counts by ``rows_in_partition /
-    reservoir_size`` before merging through one tiny ``reduceByKey``.
-    A global ``limit(cap)`` here would take whichever partitions
-    answer first — on a fact clustered/sorted by the join key the
-    slice could entirely miss a hot key concentrated later in the
-    scan, silently steering auto mode onto the straggler plan (ADVICE
-    r7); and an unscaled per-partition head would cap a hot key that
-    FILLS its (range-clustered) partitions at 1/num_partitions. The
-    per-partition scaling makes the estimate stratified: a partition
-    that is 100% one key contributes its full row weight to that key.
-    Reservoir priorities are a multiplicative hash of the partition-
-    local row INDEX — deterministic, no RNG state (the SPARK-23207
-    discipline), uniform across positions so within-partition
-    clustering cannot hide behind the reservoir boundary. At 100 TB
-    the cap (not the fraction) bounds the memory/shuffle; only the
-    merged per-key estimates (<= cap pairs) ever leave the executors.
-    A 30%-hot key is detectable from a few thousand sampled rows, so
+    One cheap extra Spark job, all JVM-side: project the key column,
+    sample ``fraction``, hash every sampled key into at most ``cap``
+    buckets, and return max-bucket-count / total. A global
+    ``limit(cap)`` here would take whichever partitions answer first —
+    on a fact clustered/sorted by the join key the slice could
+    entirely miss a hot key concentrated later in the scan, silently
+    steering auto mode onto the straggler plan (ADVICE r7). The
+    bucketed histogram instead counts EVERY sampled row from EVERY
+    partition (a whole-stage-codegen aggregate with map-side combine)
+    while bounding the aggregation state and shuffle at ``cap``
+    buckets regardless of key cardinality — the 1-row-CMS shape. The
+    max-bucket share is a tight UPPER bound on the top-key share: a
+    hot key's whole mass lands in one bucket, and collision bias adds
+    only ~uniform-mass/cap on flat data (with cap=65536 buckets a
+    flat histogram cannot fake a 5% hot share), so the auto-salting
+    decision errs — rarely, and only toward the cheap mitigation. A
+    30%-hot key is detectable from a few thousand sampled rows, so
     the defaults are generous."""
-    from operator import add
-
-    s = df.select(key).sample(fraction=fraction, seed=seed)
-    n_parts = max(1, s.rdd.getNumPartitions())
-    per_part = max(100, cap // n_parts)
-
-    def _part_estimates(it):
-        import heapq
-        from collections import Counter
-
-        heap: list = []  # (priority, idx, key) — keep the top per_part
-        idx = 0
-        for r in it:
-            # Knuth multiplicative hash of the row position: spreads
-            # the kept set uniformly over the partition, deterministic
-            # on retry, never compares the (possibly None) key itself
-            pri = (idx * 2654435761 + seed) & 0xFFFFFFFF
-            item = (pri, idx, r[0])
-            if len(heap) < per_part:
-                heapq.heappush(heap, item)
-            else:
-                heapq.heappushpop(heap, item)
-            idx += 1
-        if not heap:
-            return iter(())
-        scale = idx / len(heap)
-        c = Counter(k for _, _, k in heap)
-        return iter((k, cnt * scale) for k, cnt in c.items())
-
-    counts = s.rdd.mapPartitions(_part_estimates).reduceByKey(add)
-    # fold (not reduce): total-orderable zero makes the empty-sample
-    # case a plain (0, 0) instead of a reduce() crash, in one job.
-    # Summing the scaled estimates reproduces the exact sampled row
-    # count (sum over partitions of rows_in_partition).
-    mx, tot = counts.map(lambda kv: (kv[1], kv[1])).fold(
-        (0.0, 0.0), lambda a, b: (max(a[0], b[0]), a[1] + b[1])
+    n_buckets = max(256, min(cap, 65_536))
+    s = df.select(
+        F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_buckets)).alias(
+            "_bkt"
+        )
+    ).sample(fraction=fraction, seed=seed)
+    row = (
+        s.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("tot"))
+        .first()
     )
-    if not tot:
+    if row is None or not row["tot"]:
         return 0.0
-    return float(mx) / float(tot)
+    return float(row["mx"]) / float(row["tot"])
 
 
 def salted_join(
