@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash64
-from ..operators import sketches as SK
+from ..operators import similarity, sketches as SK
 from . import QuerySpec, load
 from .round7 import _QLR, _TOKS_SQL
 
@@ -256,4 +256,82 @@ def source_quality_quantile_gate(spark, sf_dir):
             .alias("avg_kept"),
         )
         .orderBy("source")
+    )
+
+
+# Scalar-quantization ANN: unlike IVF/PQ (whose k-means training makes
+# the default configuration rows-only, verified via exact-mode
+# companions), SQ8's approximate stage is deterministic arithmetic —
+# the FULL pipeline carries a value oracle: the quantization formula is
+# the one embedding_int8_quantize already proved cross-engine, the
+# shortlist score is an exact integer sum, and the re-rank reuses the
+# _COS_PAIRS rounding convention (round6.py).
+_SQ8_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale
+  FROM embeddings
+), q8 AS (
+  SELECT vec_id, embedding,
+    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding,
+                x -> CAST(greatest(-127.0, least(127.0,
+                       round(CAST(x AS DOUBLE) / scale, 0))) AS INT))
+    END AS qv
+  FROM s
+), qq AS (
+  SELECT vec_id AS qid, embedding AS qe, qv AS qqv FROM q8 WHERE vec_id < 3
+), pairs AS (
+  SELECT qq.qid, c.vec_id,
+    CAST((SELECT sum(c.qv[i] * qq.qqv[i]) FROM range(1, 65) t(i))
+         AS BIGINT) AS approx_dot
+  FROM q8 c CROSS JOIN qq
+  WHERE c.vec_id != qq.qid
+), short AS (
+  SELECT qid, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_dot DESC, vec_id) AS srk
+  FROM pairs
+), rr AS (
+  SELECT sh.qid, sh.vec_id, sh.approx_dot,
+    CASE WHEN (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+           OR (SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+    THEN 0.0 ELSE round(
+      (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))
+      / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+       * sqrt((SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6)
+    END AS cosine
+  FROM short sh
+  JOIN embeddings e ON e.vec_id = sh.vec_id
+  JOIN embeddings qv2 ON qv2.vec_id = sh.qid
+  WHERE sh.srk <= 20
+), ranked AS (
+  SELECT qid, vec_id, approx_dot, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT qid, vec_id, approx_dot, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@spec(
+    "ann_sq8_rerank",
+    _SQ8_SQL,
+    "scalar-quantization ANN (FAISS SQ8 pattern): int8 codes, integer "
+    "dot-product shortlist, exact cosine re-rank — the one ANN variant "
+    "whose APPROXIMATE stage carries a full-value oracle",
+)
+def ann_sq8_rerank(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.sq8_topk_rerank(e, q, k=5, oversample=4)
+    return out.select(
+        "qid", "vec_id", "approx_dot", "cosine",
+        F.col("rank").cast("long").alias("rank"),
     )

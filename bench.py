@@ -143,6 +143,7 @@ HEADLINE = [
     # round-8 additions: domain/URL-level curation (suite/round8.py)
     "blocklist_filter_stats",
     "source_quality_quantile_gate",
+    "ann_sq8_rerank",
 ]
 
 

@@ -290,3 +290,48 @@ def test_pq_search_ignores_null_code_rows(spark, emb):
     ivf = similarity.ivfpq_topk(enc_all, cent_df, cb_df2, q, k=5, nprobe=4)
     ivf_ids = {r["vec_id"] for r in ivf.collect()}
     assert not (ivf_ids & null_ids)
+
+
+def test_sq8_rerank_recall_and_shortlist_contract(spark, emb):
+    """SQ8 shortlist+rerank: top-1 must match brute-force cosine top-1
+    on the fixture (int8 quantization of 64-dim unit-ish vectors loses
+    far less than the top-1 margin), every returned row's cosine must
+    be the exact full-precision value, and rank must be dense 1..k."""
+    from automated_data_pipeline_spark.functions.vectors import (
+        cosine_rounded_safe,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = similarity.sq8_topk_rerank(emb, q, k=5, oversample=4).collect()
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    brute = similarity.cosine_topk(emb, q, k=1)
+    top1 = {r["qid"]: r["vec_id"] for r in brute.collect()}
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert rows[0]["vec_id"] == top1[qid], qid
+        # exact re-rank: cosine values are the true full-float ones
+        pair = emb.filter(F.col("vec_id") == rows[0]["vec_id"]).crossJoin(
+            q.filter(F.col("qid") == qid)
+        ).select(
+            cosine_rounded_safe(F.col("embedding"), F.col("qe")).alias("c")
+        ).first()
+        assert abs(pair["c"] - rows[0]["cosine"]) < 1e-9
+
+
+def test_sq8_rerank_skips_null_vectors(spark, emb):
+    nulled = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = similarity.sq8_topk_rerank(nulled, q, k=5, oversample=4).collect()
+    assert got and all(r["vec_id"] % 7 != 0 for r in got)

@@ -67,6 +67,7 @@ WORKLOADS = [
     # round-8 domain-curation additions
     "blocklist_filter_stats",
     "source_quality_quantile_gate",
+    "ann_sq8_rerank",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
