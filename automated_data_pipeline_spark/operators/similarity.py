@@ -28,6 +28,42 @@ from pyspark.sql.window import Window
 from ..functions import vectors as V
 
 
+def per_query_topk(
+    scored: DataFrame,
+    query_id_col: str,
+    order: list,
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase per-query top-n: a LOCAL top-n per (query, scan
+    partition) prunes the corpus before the global per-query rank
+    window. A bare ``Window.partitionBy(qid)`` funnels every scored
+    corpus row through one reducer per query — with a handful of
+    queries that is the single-reducer shape that kills a 100 TB scan
+    (same disease ``distributed_row_number`` exists to avoid). After
+    the prune the global window sees at most n * num_partitions rows
+    per query. Correctness is partition-independent (any member of the
+    global top-n is in its own partition's local top-n under the SAME
+    total order), so stage retries reshuffling rows across partitions
+    cannot change the result — ``spark_partition_id`` is safe here,
+    unlike for salts (SPARK-23207 note in ordered_cumsum).
+
+    ``order`` must be a TOTAL order (rounded score + id tie-break, the
+    suite convention) or local pruning at the boundary would be
+    nondeterministic."""
+    pre = scored.withColumn("_pqk_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(query_id_col, "_pqk_pid").orderBy(*order)
+    pruned = (
+        pre.withColumn("_pqk_lrk", F.row_number().over(w_local))
+        .filter(F.col("_pqk_lrk") <= n)
+        .drop("_pqk_pid", "_pqk_lrk")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return pruned.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,12 +88,11 @@ def cosine_topk(
         F.col(id_col),
         V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col), digits).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # two-phase rank (see per_query_topk): values identical to a bare
+    # per-qid window, but the corpus never funnels through one reducer
+    # per query
+    return per_query_topk(
+        scored, query_id_col, [F.desc("cosine"), F.asc(id_col)], k
     )
 
 
@@ -597,12 +632,13 @@ def sq8_topk_rerank(
         query_id_col, id_col, vec_col, query_vec_col,
         dot.alias("approx_dot"),
     )
-    w_short = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_dot").desc(), F.col(id_col)
-    )
-    short = scored.withColumn("_srk", F.row_number().over(w_short)).filter(
-        F.col("_srk") <= k * oversample
-    )
+    # two-phase shortlist (per_query_topk): the corpus-sized ranking
+    # never funnels through one reducer per query
+    short = per_query_topk(
+        scored, query_id_col,
+        [F.col("approx_dot").desc(), F.col(id_col)],
+        k * oversample, rank_col="_srk",
+    ).drop("_srk")
     rer = short.select(
         query_id_col, id_col, "approx_dot",
         cosine_rounded_safe(
