@@ -623,14 +623,24 @@ def sq8_topk_rerank(
     pairs = enc.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
-    dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_qqv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+
+    # Arrow-batched integer dot: a zip_with/aggregate fold here is the
+    # interpreted per-(row x query) shape this round profiled out of
+    # the PQ encode (folds never enter codegen); int64 numpy products
+    # are EXACT, so the oracle's integer sums replay bit-for-bit
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _int_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int64")
+        A = np.array(a.tolist(), dtype=np.int64)
+        B = np.array(b.tolist(), dtype=np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
     scored = pairs.select(
         query_id_col, id_col, vec_col, query_vec_col,
-        dot.alias("approx_dot"),
+        _int_dot(F.col("_qv"), F.col("_qqv")).alias("approx_dot"),
     )
     # two-phase shortlist (per_query_topk): the corpus-sized ranking
     # never funnels through one reducer per query

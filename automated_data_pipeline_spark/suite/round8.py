@@ -326,7 +326,12 @@ ORDER BY qid, rank
     "whose APPROXIMATE stage carries a full-value oracle",
 )
 def ann_sq8_rerank(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    # spread before the per-row quantize pass (nested-HOF CPU; the
+    # 1-file fixture scan would otherwise run it on one task — the
+    # r7 coarse-scan lesson, BASELINE.md sf1 section)
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
