@@ -51,6 +51,12 @@ def per_query_topk(
     ``order`` must be a TOTAL order (rounded score + id tie-break, the
     suite convention) or local pruning at the boundary would be
     nondeterministic."""
+    clash = {"_pqk_pid", "_pqk_lrk"} & set(scored.columns)
+    if clash:
+        raise ValueError(
+            f"per_query_topk reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     pre = scored.withColumn("_pqk_pid", F.spark_partition_id())
     w_local = Window.partitionBy(query_id_col, "_pqk_pid").orderBy(*order)
     pruned = (

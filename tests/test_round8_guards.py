@@ -104,3 +104,49 @@ def test_train_quality_logreg_ignores_null_labels(spark):
     b0, w0 = QM.train_quality_logreg(clean, "text", F.col("good"))
     b1, w1 = QM.train_quality_logreg(poisoned, "text", F.col("good"))
     assert b0 == b1 and w0 == w1
+
+
+def test_per_query_topk_rejects_reserved_columns(spark):
+    from automated_data_pipeline_spark.operators.similarity import (
+        per_query_topk,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(0).alias("qid"), F.lit(0).alias("_pqk_pid")
+    )
+    with pytest.raises(ValueError, match="_pqk_pid"):
+        per_query_topk(df, "qid", [F.col("id")], 3)
+
+
+def test_per_query_topk_matches_bare_window(spark):
+    """The two-phase prune must produce exactly the rows a bare
+    per-query window produces, over a multi-partition input."""
+    from pyspark.sql import Window
+
+    from automated_data_pipeline_spark.operators.similarity import (
+        per_query_topk,
+    )
+
+    df = (
+        spark.range(5_000)
+        .repartition(16)
+        .select(
+            (F.col("id") % 4).alias("qid"),
+            F.col("id").alias("vid"),
+            # rounded score with collisions — exercises the tie-break
+            (F.pmod(F.xxhash64("id"), F.lit(50))).alias("score"),
+        )
+    )
+    order = [F.col("score").desc(), F.col("vid")]
+    got = {
+        (r["qid"], r["vid"], r["rank"])
+        for r in per_query_topk(df, "qid", order, 7).collect()
+    }
+    w = Window.partitionBy("qid").orderBy(*order)
+    want = {
+        (r["qid"], r["vid"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
