@@ -547,7 +547,13 @@ def hash_ranked_sample(
             "hash_ranked_sample reserves column name '_r'; "
             "rename it on the input first"
         )
-    ranked = df.withColumn(
+    # spread before the per-row to_json+hash pass: the rank is a pure
+    # content hash, so repartitioning changes WHERE rows are hashed but
+    # never WHICH rows are selected — while a 1-file scan would
+    # otherwise serialize the whole hashing pass through one task (the
+    # r7 coarse-scan lesson; measured 1.1 s single-task at x10)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ranked = spread.withColumn(
         "_r", F.xxhash64(F.to_json(F.struct(*hash_cols)), F.lit(seed))
     )
     return ranked.orderBy("_r").limit(cap).drop("_r")

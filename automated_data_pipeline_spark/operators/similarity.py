@@ -179,6 +179,33 @@ def rhp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _argmin_centroid_udf(cent):
+    """Arrow-batched nearest-centroid assignment: int cluster id per
+    vector via one BLAS product per batch (||c||^2 - 2 x C^T rows —
+    ||x||^2 is rank-constant). NULL vectors map to NULL. Shared by
+    ``ivf_index``; the centroid matrix rides in the closure
+    (n_clusters * dim floats — kilobytes)."""
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.float64)
+    csq = (C * C).sum(1)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mask = v.notna()
+        out = pd.Series([None] * len(v), dtype=object)
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            lab = np.argmin(-2.0 * (X @ C.T) + csq[None, :], axis=1)
+            out[mask.to_numpy().nonzero()[0]] = [int(x) for x in lab]
+        return out
+
+    def apply(col):
+        return _assign(col.cast("array<double>"))
+
+    return apply
+
+
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -234,22 +261,16 @@ def ivf_index(
             if len(m):
                 cent[j] = m.mean(0)
 
-    # distributed assignment: euclidean argmin over literal centroids,
-    # pure expressions -> whole-stage codegen, one narrow pass
-    def sqdist(c: "np.ndarray"):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit, lambda x, y: (x.cast("double") - y) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(*[sqdist(c) for c in cent])
+    # distributed assignment: Arrow-batched BLAS argmin over the
+    # centroid matrix — one narrow pass, no shuffle. The former
+    # literal-expression fold was n_clusters interpreted
+    # zip_with/aggregate evaluations per row (the round-8 profiling
+    # lesson: higher-order folds never enter codegen); NULL vectors
+    # still get a NULL cluster, and ties pick the smallest cluster id
+    # (numpy first-occurrence argmin), same as the fold's
+    # array_position-of-min rule.
     assigned = corpus.withColumn(
-        "ivf_cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        "ivf_cluster", _argmin_centroid_udf(cent)(F.col(vec_col))
     )
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
