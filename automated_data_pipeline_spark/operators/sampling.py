@@ -547,12 +547,21 @@ def hash_ranked_sample(
             "hash_ranked_sample reserves column name '_r'; "
             "rename it on the input first"
         )
-    # spread before the per-row to_json+hash pass: the rank is a pure
-    # content hash, so repartitioning changes WHERE rows are hashed but
-    # never WHICH rows are selected — while a 1-file scan would
-    # otherwise serialize the whole hashing pass through one task (the
-    # r7 coarse-scan lesson; measured 1.1 s single-task at x10)
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Spread before the per-row to_json+hash pass ONLY when the scan
+    # arrives coarser than the cluster (the 1-file fixture would
+    # otherwise serialize the hashing through one task — the r7
+    # coarse-scan lesson; measured 1.1 s single-task at x10). The rank
+    # is a pure content hash, so repartitioning changes WHERE rows are
+    # hashed but never WHICH rows are selected. An unconditional
+    # repartition would be a full-corpus exchange of the vector
+    # payload on inputs that are already well-partitioned — exactly
+    # the shuffle the narrow-scan-plus-TakeOrdered plan avoids.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    spread = (
+        df.repartition(par)
+        if df.rdd.getNumPartitions() < par
+        else df
+    )
     ranked = spread.withColumn(
         "_r", F.xxhash64(F.to_json(F.struct(*hash_cols)), F.lit(seed))
     )

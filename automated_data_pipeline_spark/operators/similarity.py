@@ -640,11 +640,13 @@ def sq8_topk_rerank(
     from ..functions.vectors import cosine_rounded_safe, int8_quantize
 
     enc = corpus.filter(F.col(vec_col).isNotNull()).select(
-        id_col, vec_col, int8_quantize(F.col(vec_col)).alias("_qv")
+        id_col, int8_quantize(F.col(vec_col)).alias("_qv")
     )
-    q = queries.select(
+    # NULL query vectors are skipped like NULL corpus vectors (no
+    # similarity evidence either way; an unguarded None would crash
+    # the int64 numpy conversion below)
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
         query_id_col,
-        F.col(query_vec_col),
         int8_quantize(F.col(query_vec_col)).alias("_qqv"),
     )
     pairs = enc.crossJoin(F.broadcast(q))
@@ -665,8 +667,12 @@ def sq8_topk_rerank(
         B = np.array(b.tolist(), dtype=np.int64)
         return pd.Series((A * B).sum(axis=1))
 
+    # the shortlist ranks NARROW rows only (qid, id, dot) — carrying
+    # the full float vectors through the two window exchanges would
+    # shuffle corpus x queries x vector bytes; the <= k * oversample *
+    # partitions survivors join their vectors back below
     scored = pairs.select(
-        query_id_col, id_col, vec_col, query_vec_col,
+        query_id_col, id_col,
         _int_dot(F.col("_qv"), F.col("_qqv")).alias("approx_dot"),
     )
     # two-phase shortlist (per_query_topk): the corpus-sized ranking
@@ -676,11 +682,18 @@ def sq8_topk_rerank(
         [F.col("approx_dot").desc(), F.col(id_col)],
         k * oversample, rank_col="_srk",
     ).drop("_srk")
-    rer = short.select(
-        query_id_col, id_col, "approx_dot",
-        cosine_rounded_safe(
-            F.col(vec_col), F.col(query_vec_col), digits
-        ).alias("cosine"),
+    rer = (
+        short.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col, id_col, "approx_dot",
+            cosine_rounded_safe(
+                F.col(vec_col), F.col(query_vec_col), digits
+            ).alias("cosine"),
+        )
     )
     w_rank = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)

@@ -153,9 +153,14 @@ def start_quality_score_stream(
 
 def merged_score_histogram(spark: SparkSession, metrics_path: str) -> DataFrame:
     """Corpus-wide decile histogram re-aggregated from the per-batch
-    summaries: (bucket, n_docs, avg_p) — the exact rows the BATCH
-    operator's histogram produces over the union of all scored
-    batches (integer merge, then one double division)."""
+    summaries: (bucket, n_docs, avg_p). The EXACT batch≡stream
+    invariant is on the integer columns: n_docs and the underlying
+    sum_p_i merge bit-for-bit into ``batch_score_summary`` over the
+    whole corpus (pytest-pinned). avg_p here averages the
+    1e-4-QUANTIZED scores, which can differ from
+    quality_logreg_buckets' round-after-averaging avg_p by up to one
+    1e-4 quantum — compare integer sums, not the derived average,
+    when diffing stream vs that batch query."""
     return (
         spark.read.parquet(metrics_path)
         .groupBy("bucket")

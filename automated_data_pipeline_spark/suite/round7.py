@@ -313,10 +313,16 @@ def lang_vocab_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok"))
+    # checkpoint the tiny top-100 frame: the self-join (a, b) and the
+    # two sizes broadcasts all derive from it, and Catalyst does not
+    # dedupe common subtrees — without the pin the regex-heavy
+    # tokenize+explode corpus pass would run FOUR times (the same
+    # lesson blocklist_filter_stats applies to its per-source table)
     top = (
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 100)
         .select("lang", "tok")
+        .localCheckpoint(eager=True)
     )
     # Actual per-language top-list sizes: with < 100 distinct tokens
     # the true |A|/|B| is smaller, and overlap/(|A|+|B|-overlap) is the

@@ -335,3 +335,16 @@ def test_sq8_rerank_skips_null_vectors(spark, emb):
     )
     got = similarity.sq8_topk_rerank(nulled, q, k=5, oversample=4).collect()
     assert got and all(r["vec_id"] % 7 != 0 for r in got)
+
+
+def test_sq8_rerank_skips_null_query_vectors(spark, emb):
+    """A NULL query vector must be skipped like a NULL corpus vector
+    (review r8: an unguarded None crashed the int64 Arrow conversion)."""
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"),
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("qe"),
+    )
+    got = similarity.sq8_topk_rerank(emb, q, k=5, oversample=4).collect()
+    assert got and {r["qid"] for r in got} == {1}
