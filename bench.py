@@ -521,6 +521,62 @@ def bench_stream_quality_scorer(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_source_stats(spark, sf_dir: str) -> float:
+    """Per-source accumulator throughput: documents in 3 json
+    micro-batches folded into the persistent SourceStatsStore; asserts
+    the merged per-source totals equal the whole-corpus batch stats
+    exactly (integer merge)."""
+    from automated_data_pipeline_spark.streaming.source_stats import (
+        SourceStatsStore,
+        batch_source_stats,
+        start_source_stats_stream,
+    )
+    from automated_data_pipeline_spark.suite.round7 import _QLR
+    from pyspark.sql import functions as F
+
+    bias = _QLR["bias"]
+    coefs = [_QLR["f_logtok"], _QLR["f_wlen"], _QLR["f_punct"],
+             _QLR["f_stop"], _QLR["f_ttr"]]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    work = tempfile.mkdtemp(prefix="adp-bench-srcstats-")
+    src = os.path.join(work, "in")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    store = SourceStatsStore(os.path.join(work, "store"))
+    t0 = time.time()
+    q = start_source_stats_stream(
+        spark, src, store, bias, coefs, os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    got = {
+        r["source"]: (r["n"], r["c"], r["s"]) for r in
+        store.read(spark).groupBy("source")
+        .agg(F.sum("n_docs").alias("n"), F.sum("chars_total").alias("c"),
+             F.sum("sum_p_i").alias("s"))
+        .collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["chars_total"], r["sum_p_i"]) for r in
+        batch_source_stats(docs, "text", bias, coefs).collect()
+    }
+    assert got == want, "stream source stats != batch totals"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
     """Incremental distinct-count maintenance: the events table split
     into 4 json micro-batches (the 4th replaying the 1st), merged into
@@ -671,6 +727,7 @@ def main():
     timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
     timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
     timings["stream_quality_scorer"] = min2(bench_stream_quality_scorer)
+    timings["stream_source_stats"] = min2(bench_stream_source_stats)
 
     probe_end = _noise_probe(spark, SF_DIR)
 
