@@ -542,20 +542,24 @@ def hash_ranked_sample(
     rather than TakeOrdered — still fully parallel, and only ``cap``
     rows ever reach the driver; pre-thin with ``df.sample`` first when
     the corpus is huge relative to ``cap``."""
-    if "_r" in df.columns:
+    clash = {"_r", "_r2"} & set(df.columns)
+    if clash:
         raise ValueError(
-            "hash_ranked_sample reserves column name '_r'; "
-            "rename it on the input first"
+            f"hash_ranked_sample reserves column names {sorted(clash)}; "
+            "rename them on the input first"
         )
     # Spread before the per-row to_json+hash pass ONLY when the scan
     # arrives coarser than the cluster (the 1-file fixture would
     # otherwise serialize the hashing through one task — the r7
     # coarse-scan lesson; measured 1.1 s single-task at x10). The rank
-    # is a pure content hash, so repartitioning changes WHERE rows are
-    # hashed but never WHICH rows are selected. An unconditional
-    # repartition would be a full-corpus exchange of the vector
-    # payload on inputs that are already well-partitioned — exactly
-    # the shuffle the narrow-scan-plus-TakeOrdered plan avoids.
+    # is a pure content hash with a full-row hash tie-break, so the
+    # (_r, _r2) sort is a TOTAL order up to fully-identical rows
+    # (which are interchangeable) — repartitioning changes WHERE rows
+    # are hashed but never WHICH row content is selected, even when
+    # rows sharing hash_cols content tie at the cap boundary. An
+    # unconditional repartition would be a full-corpus exchange of the
+    # vector payload on inputs that are already well-partitioned —
+    # exactly the shuffle the narrow-scan-plus-TakeOrdered plan avoids.
     par = df.sparkSession.sparkContext.defaultParallelism
     spread = (
         df.repartition(par)
@@ -564,5 +568,7 @@ def hash_ranked_sample(
     )
     ranked = spread.withColumn(
         "_r", F.xxhash64(F.to_json(F.struct(*hash_cols)), F.lit(seed))
+    ).withColumn(
+        "_r2", F.xxhash64(F.to_json(F.struct(*df.columns)), F.lit(seed))
     )
-    return ranked.orderBy("_r").limit(cap).drop("_r")
+    return ranked.orderBy("_r", "_r2").limit(cap).drop("_r", "_r2")

@@ -51,7 +51,7 @@ def per_query_topk(
     ``order`` must be a TOTAL order (rounded score + id tie-break, the
     suite convention) or local pruning at the boundary would be
     nondeterministic."""
-    clash = {"_pqk_pid", "_pqk_lrk"} & set(scored.columns)
+    clash = {"_pqk_pid", "_pqk_lrk", rank_col} & set(scored.columns)
     if clash:
         raise ValueError(
             f"per_query_topk reserves column names {sorted(clash)}; "
@@ -266,9 +266,15 @@ def ivf_index(
     # literal-expression fold was n_clusters interpreted
     # zip_with/aggregate evaluations per row (the round-8 profiling
     # lesson: higher-order folds never enter codegen); NULL vectors
-    # still get a NULL cluster, and ties pick the smallest cluster id
-    # (numpy first-occurrence argmin), same as the fold's
-    # array_position-of-min rule.
+    # still get a NULL cluster, and EXACT ties pick the smallest
+    # cluster id (numpy first-occurrence argmin), same as the fold's
+    # array_position-of-min rule. Parity with the old sum((x-c)^2)
+    # fold holds only up to float rounding: the BLAS form
+    # (-2*x@C.T + |c|^2) can flip NEAR-tie assignments and may vary
+    # by BLAS/platform. That is fine here — cluster assignment is the
+    # approximate stage (shortlisting); the gated exact-mode
+    # companions score candidates with exact cosine regardless of
+    # which cluster a row landed in.
     assigned = corpus.withColumn(
         "ivf_cluster", _argmin_centroid_udf(cent)(F.col(vec_col))
     )
