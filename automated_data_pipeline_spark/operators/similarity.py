@@ -614,6 +614,110 @@ def pq_encode_pandas(
     return corpus.withColumn(out_col, _encode(F.col(vec_col).cast("array<double>")))
 
 
+def sq8_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "sq8_codes",
+) -> DataFrame:
+    """int8-quantize the non-NULL corpus vectors into the SQ8 code
+    table (id, codes) — the persistable form: 1 byte/dim of signal
+    carried as array<int> here. NULL vectors carry no similarity
+    evidence and are dropped from the index (same contract as
+    ``sq8_topk_rerank`` always had)."""
+    from ..functions.vectors import int8_quantize
+
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        id_col, int8_quantize(F.col(vec_col)).alias(codes_col)
+    )
+
+
+def _sq8_search(
+    enc: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    oversample: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    exclude_self: bool,
+    digits: int,
+    codes_col: str = "sq8_codes",
+) -> DataFrame:
+    """Shared SQ8 search tail: integer-dot shortlist over the code
+    table ``enc``, exact cosine re-rank against ``vectors`` (the
+    full-precision corpus — which the code table deliberately does
+    NOT carry; at scale the index is the 4x-smaller artifact and the
+    re-rank join reads only k*oversample rows per query from the
+    corpus). Both the in-session and the persisted entry points end
+    here, so parity between them is structural."""
+    from ..functions.vectors import cosine_rounded_safe, int8_quantize
+
+    # NULL query vectors are skipped like NULL corpus vectors (no
+    # similarity evidence either way; an unguarded None would crash
+    # the int64 numpy conversion below)
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
+        query_id_col,
+        int8_quantize(F.col(query_vec_col)).alias("_qqv"),
+    )
+    pairs = enc.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+
+    # Arrow-batched integer dot: a zip_with/aggregate fold here is the
+    # interpreted per-(row x query) shape round 8 profiled out of
+    # the PQ encode (folds never enter codegen); int64 numpy products
+    # are EXACT, so the oracle's integer sums replay bit-for-bit
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _int_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int64")
+        A = np.array(a.tolist(), dtype=np.int64)
+        B = np.array(b.tolist(), dtype=np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    # the shortlist ranks NARROW rows only (qid, id, dot) — carrying
+    # the full float vectors through the two window exchanges would
+    # shuffle corpus x queries x vector bytes; the <= k * oversample *
+    # partitions survivors join their vectors back below
+    scored = pairs.select(
+        query_id_col, id_col,
+        _int_dot(F.col(codes_col), F.col("_qqv")).alias("approx_dot"),
+    )
+    # two-phase shortlist (per_query_topk): the corpus-sized ranking
+    # never funnels through one reducer per query
+    short = per_query_topk(
+        scored, query_id_col,
+        [F.col("approx_dot").desc(), F.col(id_col)],
+        k * oversample, rank_col="_srk",
+    ).drop("_srk")
+    rer = (
+        short.join(vectors.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col, id_col, "approx_dot",
+            cosine_rounded_safe(
+                F.col(vec_col), F.col(query_vec_col), digits
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def sq8_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -643,71 +747,56 @@ def sq8_topk_rerank(
     Output: (qid, vec_id, approx_dot bigint, cosine rounded, rank) for
     the top-k per query — approx_dot kept visible so the shortlist
     stage itself is value-verified, not just the re-ranked answer."""
-    from ..functions.vectors import cosine_rounded_safe, int8_quantize
+    enc = sq8_encode(corpus, id_col=id_col, vec_col=vec_col)
+    return _sq8_search(
+        enc, corpus, queries, k, oversample, id_col, vec_col,
+        query_id_col, query_vec_col, exclude_self, digits,
+    )
 
-    enc = corpus.filter(F.col(vec_col).isNotNull()).select(
-        id_col, int8_quantize(F.col(vec_col)).alias("_qv")
-    )
-    # NULL query vectors are skipped like NULL corpus vectors (no
-    # similarity evidence either way; an unguarded None would crash
-    # the int64 numpy conversion below)
-    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
-        query_id_col,
-        int8_quantize(F.col(query_vec_col)).alias("_qqv"),
-    )
-    pairs = enc.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
 
-    # Arrow-batched integer dot: a zip_with/aggregate fold here is the
-    # interpreted per-(row x query) shape this round profiled out of
-    # the PQ encode (folds never enter codegen); int64 numpy products
-    # are EXACT, so the oracle's integer sums replay bit-for-bit
-    import numpy as np
+def write_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the SQ8 code table so ANN queries stop paying the
+    quantize pass: at 100 TB nobody re-encodes the corpus per query
+    batch — the index is written once (1 byte/dim of signal, 4x
+    smaller IO than the float corpus) and every query batch reads
+    codes only. Companion of ``write_ivf_index``; query back with
+    ``sq8_topk_rerank_persisted``."""
+    sq8_encode(corpus, id_col=id_col, vec_col=vec_col).write.mode(
+        mode
+    ).parquet(f"{path}/codes")
 
-    @F.pandas_udf("long")
-    def _int_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="int64")
-        A = np.array(a.tolist(), dtype=np.int64)
-        B = np.array(b.tolist(), dtype=np.int64)
-        return pd.Series((A * B).sum(axis=1))
 
-    # the shortlist ranks NARROW rows only (qid, id, dot) — carrying
-    # the full float vectors through the two window exchanges would
-    # shuffle corpus x queries x vector bytes; the <= k * oversample *
-    # partitions survivors join their vectors back below
-    scored = pairs.select(
-        query_id_col, id_col,
-        _int_dot(F.col("_qv"), F.col("_qqv")).alias("approx_dot"),
-    )
-    # two-phase shortlist (per_query_topk): the corpus-sized ranking
-    # never funnels through one reducer per query
-    short = per_query_topk(
-        scored, query_id_col,
-        [F.col("approx_dot").desc(), F.col(id_col)],
-        k * oversample, rank_col="_srk",
-    ).drop("_srk")
-    rer = (
-        short.join(corpus.select(id_col, vec_col), id_col)
-        .join(
-            F.broadcast(queries.select(query_id_col, query_vec_col)),
-            query_id_col,
-        )
-        .select(
-            query_id_col, id_col, "approx_dot",
-            cosine_rounded_safe(
-                F.col(vec_col), F.col(query_vec_col), digits
-            ).alias("cosine"),
-        )
-    )
-    w_rank = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .orderBy(query_id_col, "rank")
+def sq8_topk_rerank_persisted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """``sq8_topk_rerank`` against a persisted code table: the
+    shortlist scans the (narrow, 4x-smaller) codes parquet instead of
+    quantizing the corpus in-session; ``corpus`` supplies only the
+    full-precision vectors for the k*oversample-per-query re-rank
+    join. Same answer as the in-session path by construction (both
+    end in ``_sq8_search``; parity pinned by
+    tests/test_persisted_index.py)."""
+    enc = spark.read.parquet(f"{path}/codes")
+    return _sq8_search(
+        enc, corpus, queries, k, oversample, id_col, vec_col,
+        query_id_col, query_vec_col, exclude_self, digits,
     )
 
 
@@ -812,6 +901,7 @@ def pq_topk_rerank(
     query_vec_col: str = "qe",
     exclude_self: bool = True,
     digits: int = 6,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ pattern: ADC over the compressed codes produces
     a k*oversample shortlist (cheap — full vectors never read), then
@@ -821,7 +911,12 @@ def pq_topk_rerank(
     recall@10 from ~0.46 (raw ADC) to ~0.88 (pinned by
     tests/test_pq.py). At 100 TB the shortlist join is a semi-join on
     id against the (bucketed) corpus — IO proportional to
-    k*oversample*queries, not corpus size."""
+    k*oversample*queries, not corpus size.
+
+    ``vectors`` (default: ``encoded`` itself) is where the re-rank
+    reads full-precision vectors from — pass the raw corpus when
+    ``encoded`` is a persisted codes-only table that deliberately
+    does not carry the vectors (``pq_topk_rerank_persisted``)."""
     shortlist = pq_adc_topk(
         encoded, codebook_df, queries,
         k=k * oversample,
@@ -829,15 +924,67 @@ def pq_topk_rerank(
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         exclude_self=exclude_self, digits=digits,
     ).select(query_id_col, id_col)
+    src = encoded if vectors is None else vectors
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     rescored = (
-        shortlist.join(encoded.select(id_col, vec_col), id_col)
+        shortlist.join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def write_pq_index(
+    encoded: DataFrame,
+    codebook_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a PQ index: the code table (id, m small ints — the
+    32x-compressed corpus) and the codebook (m * n_codes rows). At
+    100 TB nobody re-trains the codebook or re-encodes the corpus per
+    query batch — this artifact is written once and every query batch
+    is LUT-build + a narrow scan of the codes. Companion of
+    ``write_ivf_index``; query back with ``pq_topk_rerank_persisted``."""
+    encoded.select(id_col, codes_col).write.mode(mode).parquet(
+        f"{path}/codes"
+    )
+    codebook_df.write.mode(mode).parquet(f"{path}/codebook")
+
+
+def pq_topk_rerank_persisted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """``pq_topk_rerank`` against a persisted index: codebook and
+    codes come off disk (no train, no encode — the query-only cost
+    path), ``corpus`` supplies full-precision vectors for the re-rank
+    join only. Same answer as the in-session path over the same codes
+    by construction (one shared implementation; parity pinned by
+    tests/test_persisted_index.py)."""
+    codes = spark.read.parquet(f"{path}/codes")
+    codebook_df = spark.read.parquet(f"{path}/codebook")
+    return pq_topk_rerank(
+        codes, codebook_df, queries, k=k, oversample=oversample,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        exclude_self=exclude_self, digits=digits, vectors=corpus,
     )
 
 

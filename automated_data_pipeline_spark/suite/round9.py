@@ -1,0 +1,105 @@
+"""Round-9 additions: persisted-index ANN twins (VERDICT r8 item 4).
+
+At 100 TB nobody re-trains a codebook or re-encodes the corpus per
+query batch: the index (IVF partitions, PQ codes+codebook, SQ8 codes)
+is written ONCE and each query batch pays only the query path. The
+in-session suite queries prove the math; these two prove the
+write -> read -> query seam carries full oracle value parity:
+
+- ann_sq8_persisted: ann_sq8_rerank's exact-replayable pipeline with
+  the int8 code table round-tripped through parquet — the SAME
+  full-value oracle (quantization is deterministic arithmetic and
+  parquet round-trips array<int> losslessly, so persisting cannot
+  change a single value).
+- ann_pq_persisted_exact: ann_pq_exact_rerank's provably-exact
+  configuration (shortlist covers the corpus) with codes AND codebook
+  round-tripped through parquet; the re-rank reads full vectors from
+  the corpus, never the index.
+
+Both write to a stable temp path with mode=overwrite (idempotent
+re-runs, no accumulation); the operator-level round-trip contracts are
+pinned separately by tests/test_persisted_index.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from . import QuerySpec, load
+from .round6 import (
+    _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample, _queries3,
+)
+from .round8 import _SQ8_SQL
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def _index_path(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"adps_index_{name}")
+
+
+@spec(
+    "ann_sq8_persisted",
+    _SQ8_SQL,
+    "ann_sq8_rerank through a persisted code table (write -> read -> "
+    "query): the one ANN family whose approximate stage is exactly "
+    "replayable keeps full oracle parity across the persistence seam",
+)
+def ann_sq8_persisted(spark, sf_dir):
+    """SQ8 ANN query-from-persisted-index. The quantize pass runs at
+    WRITE time (spread first — the r7 coarse-scan lesson applies to
+    the index build exactly as it did to the in-session pass); the
+    query pays the codes scan + integer-dot shortlist + exact re-rank
+    only. Values are identical to ann_sq8_rerank by construction
+    (shared ``_sq8_search`` tail), so the same SQL is the oracle."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    path = _index_path("sq8")
+    similarity.write_sq8_index(e, path)
+    out = similarity.sq8_topk_rerank_persisted(
+        spark, path, e, _queries3(e), k=5, oversample=4
+    )
+    return out.select(
+        "qid", "vec_id", "approx_dot", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@spec(
+    "ann_pq_persisted_exact",
+    _D2_PAIRS + _D2_TOP5,
+    "ann_pq_exact_rerank's provably-exact configuration through a "
+    "persisted codes+codebook index: the persistence seam reproduces "
+    "brute-force euclidean top-5",
+)
+def ann_pq_persisted_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    corpus, n = _exact_corpus(e)
+    # max_iter=1: the full-corpus shortlist reaches the exact re-rank
+    # regardless of codebook quality (see ann_ivf_exact_full_probe)
+    codebooks, cb_df = similarity.pq_train(
+        corpus, dim=64, m=8, n_codes=64, max_iter=1
+    )
+    enc = similarity.pq_encode_pandas(corpus, codebooks)
+    path = _index_path("pq_exact")
+    similarity.write_pq_index(enc, cb_df, path)
+    out = similarity.pq_topk_rerank_persisted(
+        spark, path, corpus, _queries3(e), k=5,
+        oversample=_exact_oversample(n, 5),
+    )
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

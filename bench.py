@@ -144,6 +144,9 @@ HEADLINE = [
     "blocklist_filter_stats",
     "source_quality_quantile_gate",
     "ann_sq8_rerank",
+    # round-9 additions: persisted-index ANN twins (suite/round9.py)
+    "ann_sq8_persisted",
+    "ann_pq_persisted_exact",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Persisted-index twins for PQ and SQ8 (VERDICT r8 item 4): at
+100 TB nobody re-trains a codebook or re-encodes the corpus per query
+batch — the index is written once and query batches pay only the
+query path. These tests pin write -> read -> query round-trip parity
+with the in-session pipelines (same answer, same columns), plus the
+storage contracts (codes-only tables; re-rank vectors come from the
+corpus, not the index).
+
+The IVF counterpart (write_ivf_index / ivf_topk_persisted) predates
+this file and is pinned by tests/test_scale_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.operators import similarity
+from automated_data_pipeline_spark.suite import load
+
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_ORACLE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries3(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sq8_persisted_matches_in_session(spark, emb, queries3, tmp_path):
+    path = str(tmp_path / "sq8_idx")
+    similarity.write_sq8_index(emb, path)
+    in_session = similarity.sq8_topk_rerank(emb, queries3, k=5, oversample=4)
+    persisted = similarity.sq8_topk_rerank_persisted(
+        spark, path, emb, queries3, k=5, oversample=4
+    )
+    assert persisted.columns == in_session.columns
+    assert _rows(persisted) == _rows(in_session)
+    # the index is codes-only: the full-precision vectors are NOT in
+    # the artifact (they'd quadruple it and defeat the point)
+    stored = spark.read.parquet(f"{path}/codes")
+    assert set(stored.columns) == {"vec_id", "sq8_codes"}
+
+
+def test_pq_persisted_matches_in_session(spark, emb, queries3, tmp_path):
+    path = str(tmp_path / "pq_idx")
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    enc = similarity.pq_encode_pandas(emb, codebooks)
+    similarity.write_pq_index(enc, cb_df, path)
+    in_session = similarity.pq_topk_rerank(
+        enc, cb_df, queries3, k=5, oversample=4
+    )
+    persisted = similarity.pq_topk_rerank_persisted(
+        spark, path, emb, queries3, k=5, oversample=4
+    )
+    assert persisted.columns == in_session.columns
+    assert _rows(persisted) == _rows(in_session)
+    stored = spark.read.parquet(f"{path}/codes")
+    assert set(stored.columns) == {"vec_id", "pq_codes"}
+    # codebook round-trips exactly (m * n_codes rows)
+    cb_back = spark.read.parquet(f"{path}/codebook")
+    assert _rows(cb_back) == _rows(cb_df)
+
+
+def test_pq_persisted_null_vectors_stay_unsearchable(spark, tmp_path):
+    # a NULL embedding is a legal corpus row: encoded with NULL codes,
+    # excluded from ADC candidates, and absent from any result —
+    # persisting must preserve that (parquet round-trips the NULL)
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    codebooks, cb_df = similarity.pq_train(df, dim=2, m=1, n_codes=2)
+    enc = similarity.pq_encode_pandas(df, codebooks)
+    path = str(tmp_path / "pq_null_idx")
+    similarity.write_pq_index(enc, cb_df, path)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.pq_topk_rerank_persisted(
+        spark, path, df, q, k=3, oversample=2
+    )
+    got_ids = {r["vec_id"] for r in out.collect()}
+    assert 2 not in got_ids and 0 not in got_ids
+    assert got_ids == {1, 3}
