@@ -580,6 +580,56 @@ def bench_stream_source_stats(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_source_histogram(spark, sf_dir: str) -> float:
+    """Quantile-gate streaming twin throughput: documents in 3 json
+    micro-batches folded into the persistent per-(source, score)
+    histogram store; asserts the gate report recovered from the store
+    (n_total / n_kept / threshold / avg_kept per source) equals the
+    batch source_quality_quantile_gate over the same corpus exactly."""
+    from automated_data_pipeline_spark.operators import quality_model as QM
+    from automated_data_pipeline_spark.streaming.source_histogram import (
+        SourceScoreHistogramStore,
+        recover_quantile_gate,
+        start_source_histogram_stream,
+    )
+    from automated_data_pipeline_spark.suite import all_specs
+    from automated_data_pipeline_spark.suite.round7 import _QLR
+    from pyspark.sql import functions as F
+
+    bias = _QLR["bias"]
+    coefs = [_QLR[n] for n in QM.FEATURE_NAMES]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    work = tempfile.mkdtemp(prefix="adp-bench-srchist-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    for i in range(3):
+        _write_flat(docs.filter(F.col("doc_id") % 3 == i), f"b{i}.json")
+    store = SourceScoreHistogramStore(os.path.join(work, "store"))
+    t0 = time.time()
+    q = start_source_histogram_stream(
+        spark, src, store, bias, coefs, os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    recovered = recover_quantile_gate(spark, store)
+    got = [tuple(r) for r in recovered.collect()]
+    took = round(time.time() - t0, 3)
+    gate_fn = {s.name: s.fn for s in all_specs()}["source_quality_quantile_gate"]
+    want = [tuple(r) for r in gate_fn(spark, sf_dir).collect()]
+    assert got == want, "recovered gate != batch quantile gate"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
     """Incremental distinct-count maintenance: the events table split
     into 4 json micro-batches (the 4th replaying the 1st), merged into
@@ -731,6 +781,7 @@ def main():
     timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
     timings["stream_quality_scorer"] = min2(bench_stream_quality_scorer)
     timings["stream_source_stats"] = min2(bench_stream_source_stats)
+    timings["stream_source_histogram"] = min2(bench_stream_source_histogram)
 
     probe_end = _noise_probe(spark, SF_DIR)
 

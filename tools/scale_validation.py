@@ -422,6 +422,7 @@ def main():
         ("stream_incremental_segments", bench.bench_stream_incremental_segments),
         ("stream_quality_scorer", bench.bench_stream_quality_scorer),
         ("stream_source_stats", bench.bench_stream_source_stats),
+        ("stream_source_histogram", bench.bench_stream_source_histogram),
         ("stream_stream_join_1h", bench.bench_stream_stream_join),
     ]:
         sec = fn(spark, sf_dir)
