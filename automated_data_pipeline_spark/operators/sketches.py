@@ -297,17 +297,16 @@ def bloom_probe(
         F.concat(F.col("seed"), F.lit(":"), F.col(item_col))
     ) % m_bits
     rows = rows.select(item_col, bit.alias("bit"))
-    hits = rows.join(F.broadcast(bloom), "bit", "left_semi")
-    per_item = rows.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("_n_bits")
-    ).join(
-        hits.groupBy(item_col).agg(F.count(F.lit(1)).alias("_n_set")),
-        item_col,
-        "left",
+    # per-bit membership via a LEFT join against the broadcast bits
+    # (distinct, so 0-or-1 match per row), folded by ONE aggregation:
+    # hit iff every one of the k rows matched. The former shape
+    # (semi-join + two groupBys + an item-level join) shuffled the
+    # probe table a second time through an un-hinted join that fell
+    # back to SortMergeJoin past the auto-broadcast threshold —
+    # caught by the 1M-source fan-out demo (scale_validation).
+    marked = rows.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
     )
-    return per_item.select(
-        item_col,
-        (F.coalesce(F.col("_n_set"), F.lit(0)) == F.col("_n_bits")).alias(
-            "bloom_hit"
-        ),
+    return marked.groupBy(item_col).agg(
+        (F.count(F.lit(1)) == F.count("_set")).alias("bloom_hit")
     )

@@ -721,3 +721,64 @@ def test_bpe_pair_counts_plan_topk_and_pruned_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan and "SinglePartition" not in plan
     assert "ReadSchema: struct<text:string>" in plan, "scan not pruned to text"
+
+
+def test_blocklist_fanout_joins_stay_broadcast(spark):
+    """The blocklist classification's 100 TB claim (suite/round8.py
+    blocklist_filter_stats): with the source table grown to realistic
+    fan-out (100k here; ~1M in scale_validation's
+    blocklist_fanout_demo), EVERY join in the classification stays
+    broadcast — the Bloom BITS table, the probed verdicts, and the
+    exact-confirm blocklist semi-join — and nothing shuffles the
+    source table (no SortMergeJoin). m_bits sized up with the
+    blocklist (2^22), as the operator prescribes."""
+    from automated_data_pipeline_spark.functions.text import stable_hash64
+    from automated_data_pipeline_spark.operators import sketches as SK
+
+    m_bits, k_hashes = 1 << 22, 4
+    per_src = (
+        spark.range(0, 100_000, 1, 8)
+        .select(
+            F.format_string("dom-%06d.example", F.col("id")).alias("source"),
+            (F.col("id") % 7 + 1).cast("bigint").alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bl = per_src.select("source").filter(
+        stable_hash64(F.concat(F.lit("bl:"), F.col("source"))) % 4 == 0
+    )
+    bloom = SK.bloom_build(
+        bl, F.col("source").cast("string"), m_bits=m_bits, k_hashes=k_hashes
+    )
+    probed = SK.bloom_probe(
+        bloom, per_src.select("source"), "source", m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    confirmed = (
+        probed.filter(F.col("bloom_hit"))
+        .join(F.broadcast(bl), "source", "left_semi")
+        .select("source", F.lit(True).alias("blocked"))
+    )
+    out = (
+        per_src.join(F.broadcast(probed), "source", "left")
+        .join(F.broadcast(confirmed), "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("bloom_hit"), F.lit(False)).alias("bloom_hit"),
+            F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"),
+            "n_docs",
+        )
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("blocked").cast("long")).alias("blocked"),
+        F.sum((F.col("bloom_hit") & ~F.col("blocked")).cast("long")).alias("fp"),
+        F.sum((~F.col("bloom_hit") & F.col("blocked")).cast("long")).alias("fn"),
+    ).collect()[0]
+    # Bloom guarantee: zero false negatives; exact confirm ran
+    assert agg["n"] == 100_000 and agg["fn"] == 0
+    assert agg["blocked"] == bl.count()
+    plan = _formatted_plan(out)
+    assert "SortMergeJoin" not in plan, "source-table join shuffled"
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan, "exact confirm is not a semi-join"

@@ -211,6 +211,96 @@ def run_skew_demo(spark, sf_dir: str) -> dict:
     return demo
 
 
+def run_blocklist_fanout_demo(spark, n_sources: int = 1_000_000) -> dict:
+    """blocklist_filter_stats at realistic fan-out (VERDICT r8 item 6):
+    the suite row proves the plan at 1k sources; this witnesses the
+    100 TB claim — "the Bloom BITS always broadcast even when the raw
+    URL strings may not" — at ~1M synthetic sources with m_bits sized
+    up (2^22 bits, k=4 over ~250k blocked sources: m/n ≈ 16.8, FP
+    ~0.2%).
+
+    Same composition as suite/round8.py blocklist_filter_stats
+    (generator input instead of the corpus fixture: the corpus
+    groupBy(source) stage is already timed by the suite row; fan-out
+    stresses the SOURCE-TABLE classification). Records timing, the
+    false-positive count actually observed, the broadcast sizes, and
+    asserts the executed plan kept every join broadcast (no
+    SortMergeJoin anywhere — the same contract
+    tests/test_scale_plans.py pins at 100k sources)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.functions.text import stable_hash64
+    from automated_data_pipeline_spark.operators import sketches as SK
+
+    m_bits = 1 << 22
+    k_hashes = 4
+    par = spark.sparkContext.defaultParallelism
+    per_src = (
+        spark.range(0, n_sources, 1, par)
+        .select(
+            F.format_string("dom-%07d.example", F.col("id")).alias("source"),
+            (F.col("id") % 97 + 1).cast("bigint").alias("n_docs"),
+            ((F.col("id") % 97 + 1) * 1800).cast("bigint").alias("chars_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = _t.time()
+    bl = per_src.select("source").filter(
+        stable_hash64(F.concat(F.lit("bl:"), F.col("source"))) % 4 == 0
+    )
+    bloom = SK.bloom_build(
+        bl, F.col("source").cast("string"), m_bits=m_bits, k_hashes=k_hashes
+    )
+    probed = SK.bloom_probe(
+        bloom, per_src.select("source"), "source", m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    confirmed = (
+        probed.filter(F.col("bloom_hit"))
+        .join(F.broadcast(bl), "source", "left_semi")
+        .select("source", F.lit(True).alias("blocked"))
+    )
+    out = (
+        per_src.join(F.broadcast(probed), "source", "left")
+        .join(F.broadcast(confirmed), "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("bloom_hit"), F.lit(False)).alias("bloom_hit"),
+            F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"),
+            "n_docs",
+            "chars_total",
+        )
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        F.sum((F.col("bloom_hit") & ~F.col("blocked")).cast("long")).alias(
+            "bloom_false_positives"
+        ),
+    ).collect()[0]
+    took = round(_t.time() - t0, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    demo = {
+        "n_sources": agg["n_sources"],
+        "n_blocked": agg["n_blocked"],
+        "bloom_false_positives": agg["bloom_false_positives"],
+        "fp_rate": round(
+            agg["bloom_false_positives"]
+            / max(agg["n_sources"] - agg["n_blocked"], 1), 6
+        ),
+        "m_bits": m_bits,
+        "k_hashes": k_hashes,
+        "bits_set": bloom.count(),
+        "classify_sec": took,
+        "all_joins_broadcast": "SortMergeJoin" not in plan
+        and "BroadcastHashJoin" in plan,
+    }
+    assert demo["all_joins_broadcast"], "fan-out plan fell back to a shuffle join"
+    return demo
+
+
 def run_persisted_index_demo(spark, sf_dir: str) -> dict:
     """Split the ANN cost into index build (once) vs query batch
     (every time) for the three persisted index families — the number
@@ -411,6 +501,12 @@ def main():
     # item 4: "at 100 TB nobody re-trains/re-encodes per query batch")
     report["persisted_index_demo"] = run_persisted_index_demo(spark, sf_dir)
     print(f"persisted_index_demo: {report['persisted_index_demo']}",
+          flush=True)
+
+    # ---- phase 2d: blocklist classification at ~1M sources (VERDICT
+    # r8 item 6: bits broadcast even when raw strings may not)
+    report["blocklist_fanout_demo"] = run_blocklist_fanout_demo(spark)
+    print(f"blocklist_fanout_demo: {report['blocklist_fanout_demo']}",
           flush=True)
 
     # ---- phase 3: streaming ingest paths at the scaled dir ----
