@@ -1044,6 +1044,31 @@ def ivfpq_index(
     return encoded, cent_df, codebooks, codebook_df
 
 
+def _ivfpq_probes(
+    cent_df: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """The nprobe nearest clusters per query by centroid L2 — (qid,
+    qe, ivf_cluster, centroid), queries x nprobe rows (tiny)."""
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.asc("qc_d2"), F.asc("ivf_cluster")
+    )
+    qdist = V.sq_l2(F.col(query_vec_col), F.col("centroid"))
+    return (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(
+            query_id_col, query_vec_col, "ivf_cluster", "centroid",
+            qdist.alias("qc_d2"),
+        )
+        .withColumn("_pr", F.row_number().over(qw))
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_pr", "qc_d2")
+    )
+
+
 def ivfpq_topk(
     encoded: DataFrame,
     cent_df: DataFrame,
@@ -1059,6 +1084,7 @@ def ivfpq_topk(
     query_vec_col: str = "qe",
     exclude_self: bool = True,
     digits: int = 6,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search: probe the nprobe nearest clusters per query, ADC
     against the RESIDUAL codes (the lookup table is built per (query,
@@ -1069,18 +1095,11 @@ def ivfpq_topk(
     tiny — and broadcast; the corpus side touches only probed clusters
     (partition-pruned when the index is persisted by cluster), scored
     in one narrow fold over the codes array; only the shortlist reads
-    full vectors."""
-    qw = Window.partitionBy(query_id_col).orderBy(F.asc("qc_d2"), F.asc("ivf_cluster"))
-    qdist = V.sq_l2(F.col(query_vec_col), F.col("centroid"))
-    probes = (
-        queries.crossJoin(F.broadcast(cent_df))
-        .select(
-            query_id_col, query_vec_col, "ivf_cluster", "centroid",
-            qdist.alias("qc_d2"),
-        )
-        .withColumn("_pr", F.row_number().over(qw))
-        .filter(F.col("_pr") <= nprobe)
-        .drop("_pr", "qc_d2")
+    full vectors. ``vectors`` (default ``encoded``) is the re-rank's
+    full-precision source — pass the raw corpus when ``encoded`` is a
+    persisted codes-only table (``ivfpq_topk_persisted``)."""
+    probes = _ivfpq_probes(
+        cent_df, queries, nprobe, query_id_col, query_vec_col
     )
     # per-(query, cluster) residual LUT: d2 between the query residual
     # slice and each residual codebook centroid
@@ -1152,15 +1171,87 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k * oversample)
         .select(query_id_col, id_col)
     )
+    src = encoded if vectors is None else vectors
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     rescored = (
-        shortlist.join(encoded.select(id_col, vec_col), id_col)
+        shortlist.join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def write_ivfpq_index(
+    encoded: DataFrame,
+    cent_df: DataFrame,
+    codebook_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ index — the billion-vector production layout:
+    the codes-only corpus partitioned by ``ivf_cluster`` (a probe
+    reads nprobe DIRECTORIES of m-byte codes: partition pruning AND
+    32x compression in one artifact), plus the coarse centroids and
+    the residual codebook as small side tables. Query back with
+    ``ivfpq_topk_persisted``."""
+    encoded.select(id_col, "ivf_cluster", codes_col).write.mode(
+        mode
+    ).partitionBy("ivf_cluster").parquet(f"{path}/corpus")
+    cent_df.write.mode(mode).parquet(f"{path}/centroids")
+    codebook_df.write.mode(mode).parquet(f"{path}/codebook")
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """``ivfpq_topk`` against a persisted index: the probe set is
+    computed first (centroids read, queries x nprobe rows), the codes
+    scan is PRUNED to the probed ``ivf_cluster=`` directories
+    (PartitionFilters — the plan never touches unprobed clusters),
+    and the re-rank reads full vectors from ``corpus``. Same answer as
+    the in-session path over the same index by construction (shared
+    probe + search tail; ADC only ever scores rows ivfpq_topk would
+    score, since a row's LUT join key is its own cluster); parity
+    pinned by tests/test_persisted_index.py.
+
+    Collect discipline matches ``ivf_topk_persisted``: probes are
+    localCheckpoint-pinned (the lineage would otherwise execute twice
+    — once for the cluster list, once in the LUT build), and the
+    driver-side collect is bounded by n_clusters, never queries."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    codebook_df = spark.read.parquet(f"{path}/codebook")
+    probes = _ivfpq_probes(
+        cent_df, queries, nprobe, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)
+    cluster_rows = probes.select("ivf_cluster").distinct().collect()
+    clusters = sorted(r["ivf_cluster"] for r in cluster_rows)
+    codes = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("ivf_cluster").isin([int(c) for c in clusters])
+    )
+    return ivfpq_topk(
+        codes, cent_df, codebook_df, queries, k=k, nprobe=nprobe,
+        oversample=oversample, id_col=id_col, vec_col=vec_col,
+        codes_col=codes_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, exclude_self=exclude_self,
+        digits=digits, vectors=corpus,
     )
 
 

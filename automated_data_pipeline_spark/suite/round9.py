@@ -103,3 +103,30 @@ def ann_pq_persisted_exact(spark, sf_dir):
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
     )
+
+
+@spec(
+    "ann_ivfpq_persisted_exact",
+    _D2_PAIRS + _D2_TOP5,
+    "ann_ivfpq_exact_full's provably-exact configuration (full probe + "
+    "full shortlist) through the persisted cluster-partitioned "
+    "codes index — the billion-vector layout reproduces brute-force "
+    "euclidean top-5",
+)
+def ann_ivfpq_persisted_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    corpus, n = _exact_corpus(e)
+    # max_iter=1 on both quantizers: full probe + full shortlist make
+    # the result brute-force-equal whatever the centroids are
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        corpus, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+    )
+    path = _index_path("ivfpq_exact")
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    out = similarity.ivfpq_topk_persisted(
+        spark, path, corpus, _queries3(e), k=5, nprobe=8,
+        oversample=_exact_oversample(n, 5),
+    )
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

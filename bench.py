@@ -147,6 +147,7 @@ HEADLINE = [
     # round-9 additions: persisted-index ANN twins (suite/round9.py)
     "ann_sq8_persisted",
     "ann_pq_persisted_exact",
+    "ann_ivfpq_persisted_exact",
 ]
 
 

@@ -93,3 +93,51 @@ def test_pq_persisted_null_vectors_stay_unsearchable(spark, tmp_path):
     got_ids = {r["vec_id"] for r in out.collect()}
     assert 2 not in got_ids and 0 not in got_ids
     assert got_ids == {1, 3}
+
+
+def test_ivfpq_persisted_matches_in_session(spark, emb, queries3, tmp_path):
+    path = str(tmp_path / "ivfpq_idx")
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        emb, dim=64, n_clusters=8, m=8, n_codes=16
+    )
+    enc = enc.localCheckpoint(eager=True)  # one encode for both paths
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    in_session = similarity.ivfpq_topk(
+        enc, cent_df, cb_df, queries3, k=5, nprobe=3, oversample=4
+    )
+    persisted = similarity.ivfpq_topk_persisted(
+        spark, path, emb, queries3, k=5, nprobe=3, oversample=4
+    )
+    assert persisted.columns == in_session.columns
+    assert _rows(persisted) == _rows(in_session)
+    # the persisted corpus is codes-only and cluster-partitioned
+    stored = spark.read.parquet(f"{path}/corpus")
+    assert set(stored.columns) == {"vec_id", "pq_codes", "ivf_cluster"}
+
+
+def test_ivfpq_persisted_codes_scan_is_partition_pruned(
+    spark, emb, queries3, tmp_path
+):
+    path = str(tmp_path / "ivfpq_prune")
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        emb, dim=64, n_clusters=8, m=8, n_codes=16
+    )
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    # the codes read ivfpq_topk_persisted builds (cluster isin filter
+    # over the partitioned corpus) must prune to the probed
+    # ivf_cluster= directories — PartitionFilters in the scan node,
+    # and only those partitions' rows arrive
+    codes = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("ivf_cluster").isin([1, 3])
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+    want = enc.filter(F.col("ivf_cluster").isin([1, 3])).count()
+    assert codes.count() == want > 0
+    # and the full persisted query returns k rows per query
+    out = similarity.ivfpq_topk_persisted(
+        spark, path, emb, queries3, k=5, nprobe=2, oversample=4
+    )
+    counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}

@@ -72,6 +72,7 @@ WORKLOADS = [
     # the build/query split is in persisted_index_demo)
     "ann_sq8_persisted",
     "ann_pq_persisted_exact",
+    "ann_ivfpq_persisted_exact",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
