@@ -1345,3 +1345,41 @@ def ivf_topk_persisted(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def append_to_ivf_index(
+    spark, path: str, new_vectors: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Incremental ingest into a persisted IVF index: assign the new
+    vectors against the index's FROZEN centroids (one Arrow/BLAS
+    narrow pass, no shuffle) and append them into the matching
+    ``ivf_cluster=N`` partition directories. The centroid table is
+    untouched — at 100 TB the coarse quantizer is trained once and
+    ingest batches only ever pay assignment + append, never a
+    re-train or re-write of the resident corpus (how FAISS add()
+    works against a trained quantizer). Queries via
+    ``ivf_topk_persisted`` see old + new rows with no code change:
+    probes read the same partition dirs, which now contain more
+    files.
+
+    NOT idempotent (parquet append): re-running an ingest batch
+    duplicates its rows. Exactly-once belongs to the caller's
+    batch-id discipline (e.g. foreachBatch with a processed-batch
+    ledger), matching the reference's run-scoped landing inserts.
+
+    Assignment uses positional argmin over the centroid matrix, so
+    the index's cluster ids must be the contiguous 0..n-1 range that
+    ``ivf_index`` writes — asserted here rather than assumed.
+    """
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("ivf_cluster").collect()
+    )
+    ids = [r["ivf_cluster"] for r in cent_rows]
+    assert ids == list(range(len(ids))), f"non-contiguous cluster ids: {ids}"
+    cent = [r["centroid"] for r in cent_rows]
+    assigned = new_vectors.withColumn(
+        "ivf_cluster", _argmin_centroid_udf(cent)(F.col(vec_col))
+    )
+    assigned.write.mode("append").partitionBy("ivf_cluster").parquet(
+        f"{path}/corpus"
+    )

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..operators import similarity
 from . import QuerySpec, load
 from .round6 import (
-    _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample, _queries3,
+    _COS_PAIRS, _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample,
+    _queries3,
 )
 from .round8 import _SQ8_SQL
 
@@ -129,4 +130,50 @@ def ann_ivfpq_persisted_exact(spark, sf_dir):
     )
     return out.select(
         "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@spec(
+    "ann_ivf_append_exact",
+    _COS_PAIRS
+    + """
+    , ranked AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "incremental ingest: build the persisted IVF index on 3/4 of the "
+    "corpus, append_to_ivf_index the remaining 1/4 against the frozen "
+    "centroids, then a full-probe query reproduces brute-force cosine "
+    "top-5 over the WHOLE corpus — ingest batches never retrain",
+)
+def ann_ivf_append_exact(spark, sf_dir):
+    """100 TB ingest semantics, oracle-checked end to end: documents
+    arriving after the index was built must be findable without a
+    re-train or corpus re-write. The base/delta split is by vec_id
+    residue (deterministic), the append assigns with the index's
+    frozen centroids, and exactness comes from nprobe == n_clusters
+    (every cluster scored with full vectors) exactly as in
+    ann_ivf_exact_full_probe — so the oracle is the same brute-force
+    cosine over the capped corpus, proving the appended rows are
+    fully resident and correctly clustered."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus, _ = _exact_corpus(e)
+    base = corpus.filter(F.col("vec_id") % 4 != 0)
+    delta = corpus.filter(F.col("vec_id") % 4 == 0)
+    # max_iter=1: exactness is independent of centroid quality here
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    path = _index_path("ivf_append")
+    # overwrite-then-append: re-runs reset the index before the one
+    # append, so the suite entry stays idempotent even though
+    # append_to_ivf_index itself (by design) is not
+    similarity.write_ivf_index(assigned, cent_df, path)
+    similarity.append_to_ivf_index(spark, path, delta)
+    out = similarity.ivf_topk_persisted(
+        spark, path, _queries3(e), k=5, nprobe=8
+    )
+    return out.select(
+        "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )

@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_sq8_persisted",
     "ann_pq_persisted_exact",
     "ann_ivfpq_persisted_exact",
+    "ann_ivf_append_exact",
 ]
 
 

@@ -141,3 +141,63 @@ def test_ivfpq_persisted_codes_scan_is_partition_pruned(
     counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_ivf_append_assigns_with_frozen_centroids(spark, emb, tmp_path):
+    # incremental ingest: append must (a) leave the centroid table
+    # byte-identical, (b) give every new row the argmin cluster under
+    # those FROZEN centroids, (c) leave the union queryable — and a
+    # full-probe query over the grown index equals one over an index
+    # built from the union with the same centroids (the seam itself
+    # adds/loses/moves nothing)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "ivf_grow")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    cent_before = _rows(spark.read.parquet(f"{path}/centroids"))
+    similarity.append_to_ivf_index(spark, path, delta)
+    assert _rows(spark.read.parquet(f"{path}/centroids")) == cent_before
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == emb.count()
+    # delta rows carry the same cluster direct assignment would give
+    cent = [r["centroid"] for r in spark.read.parquet(
+        f"{path}/centroids").orderBy("ivf_cluster").collect()]
+    want = delta.withColumn(
+        "ivf_cluster", similarity._argmin_centroid_udf(cent)(F.col("embedding"))
+    ).select("vec_id", "ivf_cluster")
+    got = corpus.join(delta.select("vec_id"), "vec_id").select(
+        "vec_id", "ivf_cluster"
+    )
+    assert _rows(got) == _rows(want)
+
+    # query parity: grown index == union index under the same centroids
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    union_path = str(tmp_path / "ivf_union")
+    union_assigned = emb.withColumn(
+        "ivf_cluster", similarity._argmin_centroid_udf(cent)(F.col("embedding"))
+    )
+    similarity.write_ivf_index(union_assigned, cent_df, union_path)
+    grown = similarity.ivf_topk_persisted(spark, path, q, k=5, nprobe=8)
+    union = similarity.ivf_topk_persisted(spark, union_path, q, k=5, nprobe=8)
+    assert _rows(grown) == _rows(union)
+
+
+def test_ivf_append_rejects_noncontiguous_cluster_ids(spark, tmp_path):
+    # positional argmin is only sound for 0..n-1 ids — a doctored
+    # centroid table must fail loudly, not misassign silently
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_bad")
+    cent_df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "ivf_cluster int, centroid array<double>",
+    )
+    assigned = df.withColumn("ivf_cluster", F.col("vec_id") * 2)
+    similarity.write_ivf_index(assigned, cent_df, path)
+    with pytest.raises(AssertionError, match="non-contiguous"):
+        similarity.append_to_ivf_index(spark, path, df)
