@@ -722,6 +722,70 @@ def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_decontaminate(spark, sf_dir: str) -> float:
+    """Incremental benchmark decontamination: the holdout docs'
+    3-gram hashes arrive as 3 json shards (the 3rd replaying the 1st),
+    merged into the persistent Bloom bit store; the whole corpus is
+    then screened against the bits-so-far. Asserts no false negatives
+    (every doc sharing an ingested gram is flagged — checked against
+    the exact join) and that the replayed shard changed nothing."""
+    from automated_data_pipeline_spark.operators.spans import shingle_positions
+    from automated_data_pipeline_spark.streaming.decontamination import (
+        BloomBitStore,
+        decontaminate_batch,
+        start_incremental_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench_grams = (
+        shingle_positions(docs.filter(F.col("doc_id") % 20 == 0), "text",
+                          "doc_id", 3)
+        .select(F.col("ghash").cast("string").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m_bits = 24 * bench_grams.count()
+    work = tempfile.mkdtemp(prefix="adp-bench-decon-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    shards = [
+        bench_grams.filter(F.abs(F.hash("gram")) % 2 == i) for i in range(2)
+    ]
+    _write_flat(shards[0], "b0.json")
+    _write_flat(shards[1], "b1.json")
+    _write_flat(shards[0], "b2.json")  # replay shard
+    store = BloomBitStore(os.path.join(work, "bloom"), m_bits=m_bits)
+    t0 = time.time()
+    q = start_incremental_bloom(
+        spark, src, store, os.path.join(work, "ckpt"), F.col("gram")
+    )
+    q.awaitTermination()
+    flagged = decontaminate_batch(store, docs)
+    n_flagged = flagged.filter(F.col("contaminated_bloom")).count()
+    took = round(time.time() - t0, 3)
+    g = (
+        shingle_positions(docs, "text", "doc_id", 3)
+        .select("doc_id", F.col("ghash").cast("string").alias("gram"))
+        .distinct()
+    )
+    n_exact = (
+        g.join(bench_grams, "gram").select("doc_id").distinct().count()
+    )
+    assert n_flagged >= n_exact > 0, (n_flagged, n_exact)
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def _noise_probe(spark, sf_dir: str) -> float:
     """Fixed reference workload for host-noise detection: a pushed-down
     lineitem scan-count, min of 3 after one untimed warm run (the
@@ -784,6 +848,7 @@ def main():
     timings["stream_quality_scorer"] = min2(bench_stream_quality_scorer)
     timings["stream_source_stats"] = min2(bench_stream_source_stats)
     timings["stream_source_histogram"] = min2(bench_stream_source_histogram)
+    timings["stream_decontaminate"] = min2(bench_stream_decontaminate)
 
     probe_end = _noise_probe(spark, SF_DIR)
 
