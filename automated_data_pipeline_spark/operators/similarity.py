@@ -1347,6 +1347,112 @@ def ivf_topk_persisted(
     )
 
 
+def _codebooks_from_df(codebook_df: DataFrame) -> list:
+    """Reconstruct the driver-side codebook list (m arrays of
+    n_codes x dim/m floats) from the persisted (subspace, code,
+    centroid) table — the inverse of ``pq_train``'s codebook_df leg,
+    so persisted indexes can ENCODE new rows, not just search.
+    Positional argmin requires contiguous 0..n-1 ids on both axes;
+    asserted, not assumed (a doctored table must fail loudly)."""
+    rows = codebook_df.orderBy("subspace", "code").collect()
+    books: list[list] = []
+    for r in rows:
+        if r["subspace"] == len(books):
+            books.append([])
+        assert r["subspace"] == len(books) - 1 and r["code"] == len(
+            books[-1]
+        ), f"non-contiguous codebook ids at {(r['subspace'], r['code'])}"
+        books[-1].append(r["centroid"])
+    assert books and len({len(b) for b in books}) == 1, "ragged codebook"
+    return books
+
+
+def append_to_sq8_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "sq8_codes",
+) -> None:
+    """Incremental ingest into a persisted SQ8 index. SQ8 quantization
+    is PER-ROW (each vector scaled by its own max-abs), so unlike the
+    IVF/PQ appends there are no frozen parameters to honor — the codes
+    a row gets are identical whether it was in the original build or
+    any later batch, and grown == rebuilt holds bit-for-bit. Not
+    idempotent (parquet append); see ``append_to_ivf_index``."""
+    sq8_encode(new_vectors, id_col, vec_col, codes_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def append_to_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> None:
+    """Incremental ingest into a persisted PQ index: encode the new
+    vectors against the index's FROZEN codebook (read back off disk,
+    one Arrow/BLAS argmin pass per subspace) and append the code rows.
+    The codebook is never retrained — the FAISS add() contract. Not
+    idempotent (parquet append); see ``append_to_ivf_index``."""
+    books = _codebooks_from_df(spark.read.parquet(f"{path}/codebook"))
+    enc = pq_encode_pandas(
+        new_vectors, books, vec_col=vec_col, out_col=codes_col
+    )
+    enc.select(id_col, codes_col).write.mode("append").parquet(
+        f"{path}/codes"
+    )
+
+
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> None:
+    """Incremental ingest into the persisted IVF-PQ layout: assign
+    each new vector to its frozen coarse centroid, product-quantize
+    the RESIDUAL against the frozen codebook (the same
+    assign -> subtract -> encode pipeline ``ivfpq_index`` runs, with
+    both quantizers read back instead of trained), and append into
+    the cluster-partitioned codes directories. NULL vectors carry no
+    similarity evidence and are dropped exactly as the initial build
+    drops them (the inner centroid join). Not idempotent (parquet
+    append); see ``append_to_ivf_index``."""
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("ivf_cluster").collect()
+    )
+    ids = [r["ivf_cluster"] for r in cent_rows]
+    assert ids == list(range(len(ids))), f"non-contiguous cluster ids: {ids}"
+    cent = [r["centroid"] for r in cent_rows]
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent)],
+        "ivf_cluster int, centroid array<double>",
+    )
+    assigned = new_vectors.withColumn(
+        "ivf_cluster", _argmin_centroid_udf(cent)(F.col(vec_col))
+    )
+    resid = assigned.join(F.broadcast(cent_df), "ivf_cluster").withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ),
+    ).drop("centroid")
+    books = _codebooks_from_df(spark.read.parquet(f"{path}/codebook"))
+    enc = pq_encode_pandas(
+        resid, books, vec_col="_resid", out_col=codes_col
+    ).drop("_resid")
+    enc.select(id_col, "ivf_cluster", codes_col).write.mode(
+        "append"
+    ).partitionBy("ivf_cluster").parquet(f"{path}/corpus")
+
+
 def append_to_ivf_index(
     spark, path: str, new_vectors: DataFrame, vec_col: str = "embedding"
 ) -> None:

@@ -177,3 +177,41 @@ def ann_ivf_append_exact(spark, sf_dir):
     return out.select(
         "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+@spec(
+    "ann_ivfpq_append_exact",
+    _D2_PAIRS + _D2_TOP5,
+    "incremental ingest into the billion-vector production layout: "
+    "build the persisted IVF-PQ index on 3/4 of the corpus, "
+    "append_to_ivfpq_index the rest (frozen coarse centroids AND "
+    "frozen residual codebook), full probe + full shortlist reproduce "
+    "brute-force euclidean top-5 over the whole corpus",
+)
+def ann_ivfpq_append_exact(spark, sf_dir):
+    """The strongest ingest claim: appended vectors go through the
+    same assign -> residual -> encode pipeline as the build, with
+    BOTH quantizers read back off disk instead of trained, and the
+    oracle proves the grown index answers exactly over base + delta.
+    Exactness comes from nprobe == n_clusters + shortlist >= |corpus|
+    (the re-rank sees every row), so frozen-quantizer code quality
+    cannot affect the answer — only whether the appended rows are
+    RESIDENT and routed, which is precisely what's under test."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus, n = _exact_corpus(e)
+    base = corpus.filter(F.col("vec_id") % 4 != 0)
+    delta = corpus.filter(F.col("vec_id") % 4 == 0)
+    # max_iter=1 on both quantizers (see ann_ivfpq_persisted_exact)
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        base, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+    )
+    path = _index_path("ivfpq_append")
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    similarity.append_to_ivfpq_index(spark, path, delta)
+    out = similarity.ivfpq_topk_persisted(
+        spark, path, corpus, _queries3(e), k=5, nprobe=8,
+        oversample=_exact_oversample(n, 5),
+    )
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

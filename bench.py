@@ -149,6 +149,7 @@ HEADLINE = [
     "ann_pq_persisted_exact",
     "ann_ivfpq_persisted_exact",
     "ann_ivf_append_exact",
+    "ann_ivfpq_append_exact",
 ]
 
 

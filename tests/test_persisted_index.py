@@ -201,3 +201,102 @@ def test_ivf_append_rejects_noncontiguous_cluster_ids(spark, tmp_path):
     similarity.write_ivf_index(assigned, cent_df, path)
     with pytest.raises(AssertionError, match="non-contiguous"):
         similarity.append_to_ivf_index(spark, path, df)
+
+
+def test_sq8_append_grown_equals_rebuilt(spark, emb, queries3, tmp_path):
+    # SQ8 quantization is per-row (own max-abs scale), so a grown
+    # index is BIT-IDENTICAL to one rebuilt over the union — the
+    # strongest grown==rebuilt claim of the three append families
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    grown, rebuilt = str(tmp_path / "g"), str(tmp_path / "r")
+    similarity.write_sq8_index(base, grown)
+    similarity.append_to_sq8_index(delta, grown)
+    similarity.write_sq8_index(emb, rebuilt)
+    assert _rows(spark.read.parquet(f"{grown}/codes")) == _rows(
+        spark.read.parquet(f"{rebuilt}/codes")
+    )
+    g = similarity.sq8_topk_rerank_persisted(
+        spark, grown, emb, queries3, k=5, oversample=4
+    )
+    r = similarity.sq8_topk_rerank_persisted(
+        spark, rebuilt, emb, queries3, k=5, oversample=4
+    )
+    assert _rows(g) == _rows(r)
+
+
+def test_pq_append_encodes_with_frozen_codebook(spark, emb, queries3, tmp_path):
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    codebooks, cb_df = similarity.pq_train(base, dim=64, m=8, n_codes=16)
+    path = str(tmp_path / "pq_grow")
+    similarity.write_pq_index(
+        similarity.pq_encode_pandas(base, codebooks), cb_df, path
+    )
+    cb_before = _rows(spark.read.parquet(f"{path}/codebook"))
+    similarity.append_to_pq_index(spark, path, delta)
+    # codebook untouched; the reconstruction helper round-trips it
+    assert _rows(spark.read.parquet(f"{path}/codebook")) == cb_before
+    books = similarity._codebooks_from_df(cb_df)
+    import numpy as np
+    for got, want in zip(books, codebooks):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+    # grown codes == encoding the union with the SAME (frozen) codebook
+    want_codes = _rows(
+        similarity.pq_encode_pandas(emb, codebooks).select("vec_id", "pq_codes")
+    )
+    got_codes = _rows(spark.read.parquet(f"{path}/codes"))
+    assert got_codes == want_codes
+    # and the query path sees the appended rows
+    out = similarity.pq_topk_rerank_persisted(
+        spark, path, emb, queries3, k=5, oversample=4
+    )
+    in_session = similarity.pq_topk_rerank(
+        similarity.pq_encode_pandas(emb, codebooks), cb_df, queries3,
+        k=5, oversample=4,
+    )
+    assert _rows(out) == _rows(in_session)
+
+
+def test_ivfpq_append_assign_and_encode_frozen(spark, emb, queries3, tmp_path):
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    enc, cent_df, codebooks, cb_df = similarity.ivfpq_index(
+        base, dim=64, n_clusters=8, m=8, n_codes=16
+    )
+    path = str(tmp_path / "ivfpq_grow")
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    cent_before = _rows(spark.read.parquet(f"{path}/centroids"))
+    cb_before = _rows(spark.read.parquet(f"{path}/codebook"))
+    similarity.append_to_ivfpq_index(spark, path, delta)
+    # both quantizers untouched
+    assert _rows(spark.read.parquet(f"{path}/centroids")) == cent_before
+    assert _rows(spark.read.parquet(f"{path}/codebook")) == cb_before
+    # grown corpus == the assign -> residual -> encode pipeline run
+    # over the union with the SAME frozen quantizers
+    cent = [r["centroid"] for r in spark.read.parquet(
+        f"{path}/centroids").orderBy("ivf_cluster").collect()]
+    assigned = emb.withColumn(
+        "ivf_cluster", similarity._argmin_centroid_udf(cent)(F.col("embedding"))
+    )
+    resid = assigned.join(F.broadcast(cent_df), "ivf_cluster").withColumn(
+        "_resid",
+        F.zip_with(F.col("embedding"), F.col("centroid"),
+                   lambda x, c: x.cast("double") - c),
+    ).drop("centroid")
+    want = _rows(
+        similarity.pq_encode_pandas(resid, codebooks, vec_col="_resid")
+        .select("vec_id", "ivf_cluster", "pq_codes")
+    )
+    got = _rows(
+        spark.read.parquet(f"{path}/corpus")
+        .select("vec_id", "ivf_cluster", "pq_codes")
+    )
+    assert got == want
+    # and the pruned query path sees appended rows (k per query)
+    out = similarity.ivfpq_topk_persisted(
+        spark, path, emb, queries3, k=5, nprobe=3, oversample=4
+    )
+    counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}

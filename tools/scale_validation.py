@@ -73,6 +73,8 @@ WORKLOADS = [
     "ann_sq8_persisted",
     "ann_pq_persisted_exact",
     "ann_ivfpq_persisted_exact",
+    "ann_ivf_append_exact",
+    "ann_ivfpq_append_exact",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
@@ -521,6 +523,7 @@ def main():
         ("stream_source_stats", bench.bench_stream_source_stats),
         ("stream_source_histogram", bench.bench_stream_source_histogram),
         ("stream_stream_join_1h", bench.bench_stream_stream_join),
+        ("stream_decontaminate", bench.bench_stream_decontaminate),
     ]:
         sec = fn(spark, sf_dir)
         report["workloads"][sname] = {"spark_sec": sec, "duck": "streaming"}
