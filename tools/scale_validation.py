@@ -331,6 +331,10 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
+    # a 10% ingest batch for the append leg (timed AFTER the query leg
+    # so build/query numbers stay comparable across rounds); append is
+    # a one-off write like build, timed once
+    delta = e.filter(F.col("vec_id") % 10 == 0)
     base = tempfile.mkdtemp(prefix="persisted_idx_demo_")
     demo: dict = {}
 
@@ -355,6 +359,9 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
             "in_session_sec": _min2(lambda: similarity.sq8_topk_rerank(
                 e, q, k=5, oversample=4)),
         }
+        t0 = _t.time()
+        similarity.append_to_sq8_index(delta, f"{base}/sq8")
+        demo["sq8"]["append_10pct_sec"] = round(_t.time() - t0, 3)
         # PQ: train + Arrow encode + write
         t0 = _t.time()
         codebooks, cb_df = similarity.pq_train(e, dim=64, m=8, n_codes=64)
@@ -373,6 +380,9 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
                 spark, f"{base}/pq", e, q, k=5, oversample=4)),
             "in_session_sec": _min2(_pq_in_session),
         }
+        t0 = _t.time()
+        similarity.append_to_pq_index(spark, f"{base}/pq", delta)
+        demo["pq"]["append_10pct_sec"] = round(_t.time() - t0, 3)
         # IVF (pre-existing persisted path, same split for comparison)
         t0 = _t.time()
         assigned, cent_df = similarity.ivf_index(e, n_clusters=16)
@@ -385,6 +395,25 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
                 spark, f"{base}/ivf", q, k=5, nprobe=4)),
             # in-session comparison is the standing ann_ivf_topk row
         }
+        t0 = _t.time()
+        similarity.append_to_ivf_index(spark, f"{base}/ivf", delta)
+        demo["ivf"]["append_10pct_sec"] = round(_t.time() - t0, 3)
+        # IVF-PQ: the production layout (coarse assign + residual PQ)
+        t0 = _t.time()
+        enc2, cent2, _, cb2 = similarity.ivfpq_index(
+            e, dim=64, n_clusters=16, m=8, n_codes=64
+        )
+        similarity.write_ivfpq_index(enc2, cent2, cb2, f"{base}/ivfpq")
+        ivfpq_build = round(_t.time() - t0, 3)
+        demo["ivfpq"] = {
+            "build_sec": ivfpq_build,
+            "query_only_sec": _min2(lambda: similarity.ivfpq_topk_persisted(
+                spark, f"{base}/ivfpq", e, q, k=5, nprobe=4, oversample=4)),
+            # in-session comparison is the standing ann_ivfpq_topk row
+        }
+        t0 = _t.time()
+        similarity.append_to_ivfpq_index(spark, f"{base}/ivfpq", delta)
+        demo["ivfpq"]["append_10pct_sec"] = round(_t.time() - t0, 3)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return demo
