@@ -8,7 +8,13 @@ Exactly-once: every appended row is stamped with its micro-batch key
 (``{checkpoint}#{batch_id}`` — the ``incremental_dedup`` convention),
 and only the FIRST batch after a (re)start probes the corpus for an
 already-landed key (a crashed attempt is always the restart batch;
-steady-state batches skip the probe job entirely). The probe is a
+steady-state batches skip the probe job entirely). This covers
+exactly Spark's recovery contract: committed batches never re-fire,
+so the only possible replay is the last uncommitted batch — which IS
+the first batch after the restart. Wholesale checkpoint deletion is
+outside the contract (it reprocesses committed batches under reused
+batch ids, of which only the first is probed); reprocess-from-scratch
+belongs with a fresh index, same as the other stores. The probe is a
 footer-only read at scale (parquet min/max stats on batch_key). For
 schema consistency the BASE index must carry the column too —
 ``write_ivf_index_for_ingest`` stamps it ``'build'`` — because a

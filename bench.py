@@ -787,6 +787,63 @@ def bench_stream_decontaminate(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_ann_ingest(spark, sf_dir: str) -> float:
+    """Streaming IVF index maintenance: build the persisted index on
+    3/4 of the embeddings, stream the remaining 1/4 in as 2 json
+    micro-batches, then simulate the genuine crash window — the LAST
+    batch's corpus write landed but its checkpoint commit did not
+    (marker + its local-FS .crc twin removed; the restart runs on a
+    new session, as a restarted driver is) — then compact. Asserts the
+    replay added nothing and the grown+compacted index holds exactly
+    the full corpus."""
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.operators import similarity
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        compact_ivf_index,
+        start_incremental_ann_ingest,
+        write_ivf_index_for_ingest,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_total = emb.count()
+    work = tempfile.mkdtemp(prefix="adp-bench-annstream-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    _write_flat(delta.filter(F.col("vec_id") % 8 == 0), "b0.json")
+    _write_flat(delta.filter(F.col("vec_id") % 8 == 4), "b1.json")
+    path = os.path.join(work, "idx")
+    ckpt = os.path.join(work, "ckpt")
+    t0 = time.time()
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=16, max_iter=1)
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    start_incremental_ann_ingest(spark, src, path, ckpt).awaitTermination()
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    start_incremental_ann_ingest(
+        spark.newSession(), src, path, ckpt
+    ).awaitTermination()
+    compact_ivf_index(spark, path)
+    took = round(time.time() - t0, 3)
+    n = spark.read.parquet(f"{path}/corpus").count()
+    assert n == n_total, f"ann ingest: {n} != {n_total}"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def _noise_probe(spark, sf_dir: str) -> float:
     """Fixed reference workload for host-noise detection: a pushed-down
     lineitem scan-count, min of 3 after one untimed warm run (the
@@ -850,6 +907,7 @@ def main():
     timings["stream_source_stats"] = min2(bench_stream_source_stats)
     timings["stream_source_histogram"] = min2(bench_stream_source_histogram)
     timings["stream_decontaminate"] = min2(bench_stream_decontaminate)
+    timings["stream_ann_ingest"] = min2(bench_stream_ann_ingest)
 
     probe_end = _noise_probe(spark, SF_DIR)
 

@@ -92,12 +92,18 @@ def test_restart_replay_does_not_duplicate(spark, emb, tmp_path):
     start_incremental_ann_ingest(spark, src, path, ckpt).awaitTermination(120)
     n = spark.read.parquet(f"{path}/corpus").count()
     assert n == emb.count()
-    # simulate the crash-after-write-before-commit window: wipe the
-    # checkpoint so the SAME file replays as the SAME batch_id; the
-    # restart probe must detect the landed key and skip the append
-    import shutil
-    shutil.rmtree(ckpt)
-    start_incremental_ann_ingest(spark, src, path, ckpt).awaitTermination(120)
+    # simulate the crash-after-write-before-commit window: the corpus
+    # append landed but the batch's commit marker did not (marker +
+    # its local-FS .crc twin removed); on restart — a NEW session,
+    # as a restarted driver is — Spark re-runs exactly that batch,
+    # and the key probe must detect the landed rows and skip
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    start_incremental_ann_ingest(
+        spark.newSession(), src, path, ckpt
+    ).awaitTermination(120)
     assert spark.read.parquet(f"{path}/corpus").count() == n
 
 

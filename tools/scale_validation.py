@@ -553,6 +553,7 @@ def main():
         ("stream_source_histogram", bench.bench_stream_source_histogram),
         ("stream_stream_join_1h", bench.bench_stream_stream_join),
         ("stream_decontaminate", bench.bench_stream_decontaminate),
+        ("stream_ann_ingest", bench.bench_stream_ann_ingest),
     ]:
         sec = fn(spark, sf_dir)
         report["workloads"][sname] = {"spark_sec": sec, "duck": "streaming"}
