@@ -43,6 +43,23 @@ from ..operators import sketches as SK
 from .incremental_dedup import _has_parquet, _recover_compact
 
 
+def suggest_m_bits(expected_items: int, target_fp: float = 0.002,
+                   k_hashes: int = 4) -> int:
+    """Size the frozen bit count for an EXPECTED final item
+    cardinality and a target false-positive rate: inverting
+    p = (1 - e^{-kn/m})^k gives m = -k*n / ln(1 - p^(1/k)). Rounded
+    up to the next power of two (cheap modulo, headroom in the safe
+    direction). The batch query's m = 24n convention lands at
+    ~0.2% for k=4 — this helper makes the same trade explicit for
+    stores whose n is a forecast rather than a count."""
+    import math
+
+    if expected_items <= 0:
+        return 1 << 10
+    m = -k_hashes * expected_items / math.log(1.0 - target_fp ** (1.0 / k_hashes))
+    return 1 << max(10, math.ceil(math.log2(m)))
+
+
 class BloomBitStore:
     """Append-only sparse Bloom filter over one item domain (e.g.
     benchmark n-gram hashes). ``m_bits``/``k_hashes`` are part of the

@@ -168,3 +168,25 @@ def test_stream_wiring_end_to_end(spark, store, tmp_path):
         )
     )
     assert _bits(store.read_bits(spark)) == expected
+
+
+def test_suggest_m_bits_hits_target_fp(spark, tmp_path):
+    """The sizing formula must deliver (at most) the target gram-level
+    FP rate when the forecast holds — measured empirically: ingest n
+    items into a store sized by the helper, probe n_probe DISJOINT
+    items, and check the hit rate against the target (with slack for
+    the power-of-two rounding making it conservative)."""
+    from automated_data_pipeline_spark.streaming.decontamination import (
+        suggest_m_bits,
+    )
+
+    n = 2000
+    m = suggest_m_bits(n, target_fp=0.01, k_hashes=K)
+    assert m & (m - 1) == 0  # power of two
+    store = BloomBitStore(str(tmp_path / "sized"), m_bits=m, k_hashes=K)
+    store.merge_batch(_grams(spark, 0, n), F.col("gram"))
+    probes = spark.range(n, n + 4000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("gram")
+    )
+    hits = store.probe(probes, "gram").filter(F.col("bloom_hit")).count()
+    assert hits / 4000 <= 0.01, hits
