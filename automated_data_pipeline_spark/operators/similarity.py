@@ -1199,7 +1199,10 @@ def write_ivfpq_index(
     32x compression in one artifact), plus the coarse centroids and
     the residual codebook as small side tables. Query back with
     ``ivfpq_topk_persisted``."""
-    encoded.select(id_col, "ivf_cluster", codes_col).write.mode(
+    keep = [id_col, "ivf_cluster", codes_col] + (
+        ["batch_key"] if "batch_key" in encoded.columns else []
+    )
+    encoded.select(*keep).write.mode(
         mode
     ).partitionBy("ivf_cluster").parquet(f"{path}/corpus")
     cent_df.write.mode(mode).parquet(f"{path}/centroids")
@@ -1448,7 +1451,10 @@ def append_to_ivfpq_index(
     enc = pq_encode_pandas(
         resid, books, vec_col="_resid", out_col=codes_col
     ).drop("_resid")
-    enc.select(id_col, "ivf_cluster", codes_col).write.mode(
+    keep = [id_col, "ivf_cluster", codes_col] + (
+        ["batch_key"] if "batch_key" in enc.columns else []
+    )
+    enc.select(*keep).write.mode(
         "append"
     ).partitionBy("ivf_cluster").parquet(f"{path}/corpus")
 

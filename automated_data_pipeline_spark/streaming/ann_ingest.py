@@ -40,7 +40,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import append_to_ivf_index, write_ivf_index
+from ..operators.similarity import (
+    append_to_ivf_index,
+    append_to_ivfpq_index,
+    write_ivf_index,
+    write_ivfpq_index,
+)
 from .incremental_dedup import _has_parquet, _recover_compact
 
 
@@ -55,6 +60,19 @@ def write_ivf_index_for_ingest(
     )
 
 
+def write_ivfpq_index_for_ingest(
+    encoded: DataFrame, cent_df: DataFrame, codebook_df: DataFrame,
+    path: str,
+) -> None:
+    """``write_ivfpq_index`` with build rows stamped ``'build'`` —
+    the IVF-PQ twin of ``write_ivf_index_for_ingest`` (the codes-only
+    writer keeps the stamp column when present)."""
+    write_ivfpq_index(
+        encoded.withColumn("batch_key", F.lit("build")), cent_df,
+        codebook_df, path,
+    )
+
+
 def start_incremental_ann_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -63,11 +81,17 @@ def start_incremental_ann_ingest(
     schema: str = "vec_id bigint, embedding array<double>",
     vec_col: str = "embedding",
     available_now: bool = True,
+    family: str = "ivf",
 ):
-    """Wire a file-source vector stream into the persisted IVF index:
-    every file is a micro-batch assigned against the frozen centroids
-    and appended (one zero-exchange Arrow pass + a partitioned
-    append). Returns the started StreamingQuery."""
+    """Wire a file-source vector stream into the persisted index:
+    every file is a micro-batch assigned against the frozen
+    quantizer(s) and appended (one zero-exchange Arrow pass + a
+    partitioned append). ``family``: 'ivf' (full vectors resident)
+    or 'ivfpq' (codes-only production layout — the batch additionally
+    passes the frozen residual-codebook encode). Returns the started
+    StreamingQuery."""
+    appenders = {"ivf": append_to_ivf_index, "ivfpq": append_to_ivfpq_index}
+    append = appenders[family]
     corpus_dir = f"{index_path}/corpus"
     maybe_replay = [True]
 
@@ -84,7 +108,7 @@ def start_incremental_ann_ingest(
             .take(1)
         )
         if not done:
-            append_to_ivf_index(
+            append(
                 spark,
                 index_path,
                 batch_df.withColumn("batch_key", F.lit(key)),

@@ -152,3 +152,60 @@ def test_mid_compact_crash_recovers_at_ingest(spark, emb, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == emb.count()
     assert not os.path.isdir(corpus + ".old")
+
+
+def test_ivfpq_stream_ingest_matches_operator_append(spark, emb, tmp_path):
+    """family='ivfpq': the streamed ingest must land EXACTLY the codes
+    the operator-level append lands (same frozen coarse centroids +
+    residual codebook — both paths read the same artifact), with every
+    row batch-stamped, and the codes-only layout intact."""
+    import shutil
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    enc, cent_df, _, cb_df = similarity.ivfpq_index(
+        base, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+    )
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        write_ivfpq_index_for_ingest,
+    )
+    p_stream = str(tmp_path / "via_stream")
+    write_ivfpq_index_for_ingest(enc, cent_df, cb_df, p_stream)
+    p_op = str(tmp_path / "via_op")
+    shutil.copytree(p_stream, p_op)
+
+    src = str(tmp_path / "in")
+    _write_shards(emb, src, [delta.filter(F.col("vec_id") % 8 == 0),
+                             delta.filter(F.col("vec_id") % 8 == 4)])
+    q = start_incremental_ann_ingest(
+        spark, src, p_stream, str(tmp_path / "ckpt"), family="ivfpq"
+    )
+    q.awaitTermination(120)
+    similarity.append_to_ivfpq_index(spark, p_op, delta)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{p_stream}/corpus")
+        .select("vec_id", "ivf_cluster", "pq_codes").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{p_op}/corpus")
+        .select("vec_id", "ivf_cluster", "pq_codes").collect()
+    )
+    assert got == want and len(got) == emb.count()
+    # codes-only (+ stamp): full vectors are NOT in the artifact
+    cols = set(spark.read.parquet(f"{p_stream}/corpus").columns)
+    assert cols == {"vec_id", "pq_codes", "ivf_cluster", "batch_key"}
+    # every row stamped: 'build' + one key per streamed batch
+    keys = {r["batch_key"] for r in spark.read.parquet(f"{p_stream}/corpus")
+            .select("batch_key").distinct().collect()}
+    assert "build" in keys and len(keys) == 3
+    # and the grown production layout answers k per query
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.ivfpq_topk_persisted(
+        spark, p_stream, emb, queries, k=5, nprobe=3, oversample=4
+    )
+    counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
