@@ -300,3 +300,44 @@ def test_ivfpq_append_assign_and_encode_frozen(spark, emb, queries3, tmp_path):
     counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_grown_index_recall_tracks_rebuilt(spark, emb):
+    """The frozen-quantizer trade quantified: appended vectors are
+    routed by centroids trained WITHOUT them, so a grown index's
+    recall at partial probe may trail an index rebuilt on the union —
+    but it must trail by little (the vectors are still resident and
+    exactly re-ranked; only routing quality differs). Deterministic
+    fixture + seeded k-means -> exact reproducible recalls."""
+    import tempfile as _tf
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(path):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.ivf_topk_persisted(
+                spark, path, q, k=5, nprobe=2
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    work = _tf.mkdtemp(prefix="recall_grown_")
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8)
+    similarity.write_ivf_index(assigned, cent_df, f"{work}/grown")
+    similarity.append_to_ivf_index(spark, f"{work}/grown", delta)
+    assigned_u, cent_u = similarity.ivf_index(emb, n_clusters=8)
+    similarity.write_ivf_index(assigned_u, cent_u, f"{work}/rebuilt")
+
+    r_grown, r_rebuilt = recall(f"{work}/grown"), recall(f"{work}/rebuilt")
+    # useful at partial probe, and within a small margin of a rebuild
+    assert r_grown >= 0.5, r_grown
+    assert r_grown >= r_rebuilt - 0.15, (r_grown, r_rebuilt)
