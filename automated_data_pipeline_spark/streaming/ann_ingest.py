@@ -37,6 +37,9 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints are lazy
+# strings under future-annotations and resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,14 +85,17 @@ def start_incremental_ann_ingest(
     vec_col: str = "embedding",
     available_now: bool = True,
     family: str = "ivf",
+    track_drift: bool = False,
 ):
     """Wire a file-source vector stream into the persisted index:
     every file is a micro-batch assigned against the frozen
     quantizer(s) and appended (one zero-exchange Arrow pass + a
     partitioned append). ``family``: 'ivf' (full vectors resident)
     or 'ivfpq' (codes-only production layout — the batch additionally
-    passes the frozen residual-codebook encode). Returns the started
-    StreamingQuery."""
+    passes the frozen residual-codebook encode). ``track_drift``
+    additionally records each batch's assignment-distance quantiles
+    (one extra narrow pass; see ``record_drift``/``drift_report`` —
+    the retrain signal). Returns the started StreamingQuery."""
     appenders = {"ivf": append_to_ivf_index, "ivfpq": append_to_ivfpq_index}
     append = appenders[family]
     corpus_dir = f"{index_path}/corpus"
@@ -114,6 +120,8 @@ def start_incremental_ann_ingest(
                 batch_df.withColumn("batch_key", F.lit(key)),
                 vec_col=vec_col,
             )
+            if track_drift:
+                record_drift(spark, index_path, batch_df, key, vec_col)
         maybe_replay[0] = False
 
     reader = (
@@ -159,3 +167,100 @@ def compact_ivf_index(
     os.rename(corpus_dir, old)
     os.rename(tmp, corpus_dir)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _assign_dist_udf(cent):
+    """Arrow-batched assignment WITH the squared L2 distance to the
+    assigned centroid — the drift signal. Distance computed as the
+    exact ((x - c)^2).sum over the argmin row (no cancellation-prone
+    expansion); NULL vectors yield a NULL struct."""
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.float64)
+    csq = (C * C).sum(1)
+
+    @F.pandas_udf("c int, d2 double")
+    def _f(v: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame({"c": pd.Series([None] * len(v), dtype=object),
+                            "d2": pd.Series([None] * len(v), dtype=object)})
+        mask = v.notna()
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            lab = np.argmin(-2.0 * (X @ C.T) + csq[None, :], axis=1)
+            d2 = ((X - C[lab]) ** 2).sum(1)
+            idx = mask.to_numpy().nonzero()[0]
+            out.loc[idx, "c"] = [int(x) for x in lab]
+            out.loc[idx, "d2"] = [float(x) for x in d2]
+        return out
+
+    return _f
+
+
+def record_drift(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    batch_key: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append one drift row for a vector batch: (batch_key, n,
+    mean_d2, p50_d2, p90_d2) of the squared distance to the FROZEN
+    assigned centroid. An ingest distribution the coarse quantizer
+    has never seen lands far from every centroid — rising quantiles
+    against the 'build' row are the retrain signal (record the build
+    corpus under batch_key='build' to set the baseline). One narrow
+    Arrow pass + one small agg per batch; replayed keys are absorbed
+    at read time (identical content, first-key-wins in
+    ``drift_report``)."""
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("ivf_cluster").collect()
+    )
+    cent = [r["centroid"] for r in cent_rows]
+    ad = _assign_dist_udf(cent)
+    stats = (
+        vectors.select(
+            ad(F.col(vec_col).cast("array<double>")).alias("_a")
+        )
+        .select(F.col("_a.d2").alias("d2"))
+        .filter(F.col("d2").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("d2").alias("mean_d2"),
+            F.percentile_approx("d2", 0.5).alias("p50_d2"),
+            F.percentile_approx("d2", 0.9).alias("p90_d2"),
+        )
+        .withColumn("batch_key", F.lit(batch_key))
+    )
+    stats.write.mode("append").parquet(f"{index_path}/drift")
+
+
+def drift_report(
+    spark: SparkSession, index_path: str, factor: float = 2.0
+) -> DataFrame:
+    """Per-batch drift verdicts against the 'build' baseline:
+    (batch_key, n, mean_d2, p90_d2, build_p90_d2, drift_flag) where
+    drift_flag = p90_d2 > factor * build p90. The drift table is one
+    tiny row per batch — reading it is O(batches), never the corpus;
+    a flagged batch means the frozen coarse quantizer no longer
+    represents the incoming distribution and a retrain (new index
+    generation) should be scheduled."""
+    rows = spark.read.parquet(f"{index_path}/drift")
+    # replays append identical rows — collapse per key
+    per_key = rows.groupBy("batch_key").agg(
+        F.first("n").alias("n"),
+        F.first("mean_d2").alias("mean_d2"),
+        F.first("p90_d2").alias("p90_d2"),
+    )
+    build = per_key.filter(F.col("batch_key") == "build").select(
+        F.col("p90_d2").alias("build_p90_d2")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(build))
+        .withColumn(
+            "drift_flag",
+            (F.col("batch_key") != "build")
+            & (F.col("p90_d2") > factor * F.col("build_p90_d2")),
+        )
+        .orderBy("batch_key")
+    )

@@ -209,3 +209,56 @@ def test_ivfpq_stream_ingest_matches_operator_append(spark, emb, tmp_path):
     counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_drift_monitor_flags_distribution_shift(spark, emb, tmp_path):
+    """record_drift + drift_report: a batch from the build
+    distribution stays unflagged; a shifted batch (vectors scaled 5x
+    — far from every frozen centroid) is flagged; replayed drift rows
+    collapse at read time."""
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        drift_report,
+        record_drift,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    record_drift(spark, path, base, "build")
+    record_drift(spark, path, delta, "b0")  # same distribution
+    shifted = delta.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(5.0))
+    )
+    record_drift(spark, path, shifted, "b1")  # distribution shift
+    record_drift(spark, path, delta, "b0")  # replay
+
+    rep = {r["batch_key"]: r for r in drift_report(spark, path).collect()}
+    assert set(rep) == {"build", "b0", "b1"}  # replay collapsed
+    assert not rep["build"]["drift_flag"]
+    assert not rep["b0"]["drift_flag"], rep["b0"]
+    assert rep["b1"]["drift_flag"], rep["b1"]
+    assert rep["b1"]["p90_d2"] > 4 * rep["b0"]["p90_d2"]
+
+
+def test_stream_track_drift_records_every_batch(spark, emb, tmp_path):
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        drift_report,
+        record_drift,
+    )
+
+    path = _build(spark, emb, tmp_path)
+    record_drift(spark, path, emb.filter(F.col("vec_id") % 4 != 0), "build")
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    src = str(tmp_path / "in")
+    _write_shards(emb, src, [delta.filter(F.col("vec_id") % 8 == 0),
+                             delta.filter(F.col("vec_id") % 8 == 4)])
+    q = start_incremental_ann_ingest(
+        spark, src, path, str(tmp_path / "ckpt"), track_drift=True
+    )
+    q.awaitTermination(120)
+    rep = drift_report(spark, path).collect()
+    keys = {r["batch_key"] for r in rep}
+    assert "build" in keys and len(keys) == 3
+    assert not any(r["drift_flag"] for r in rep)  # same distribution
