@@ -234,6 +234,57 @@ def test_pq_encode_null_vector_parity(spark, emb):
     assert arrow[0] is None and arrow == lit
 
 
+def test_ivfpq_arrow_residual_encode_parity(spark, emb):
+    """The in-UDF residual subtract (pq_encode_pandas(centroids=...),
+    the r10 build/ingest hot path) must produce codes bit-identical to
+    BOTH former paths: (a) zip_with-materialized residual + Arrow
+    encode (the r9 shape), (b) zip_with residual + the broadcast-join
+    fold encode — numpy float64 subtraction computes the same IEEE-754
+    residuals as the zip_with double subtraction. NULL vectors: NULL
+    cluster -> NULL codes, row kept by the encoder."""
+    base = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    resid = assigned.join(F.broadcast(cent_df), "ivf_cluster").withColumn(
+        "_resid",
+        F.zip_with(
+            F.col("embedding"), F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ),
+    ).drop("centroid")
+    codebooks, cb_df = similarity.pq_train(
+        resid, dim=64, m=8, n_codes=16, vec_col="_resid"
+    )
+    old_arrow = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_pandas(
+            resid, codebooks, vec_col="_resid"
+        ).select("vec_id", "pq_codes").collect()
+    }
+    old_fold = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_joined(
+            resid, cb_df, m=8, vec_col="_resid"
+        ).select("vec_id", "pq_codes").collect()
+    }
+    cent = similarity._centroids_from_df(cent_df)
+    new = {
+        r["vec_id"]: r["pq_codes"]
+        for r in similarity.pq_encode_pandas(
+            assigned, codebooks, centroids=cent
+        ).select("vec_id", "pq_codes").collect()
+    }
+    # the NULL-vector row (dropped by resid's inner join) is kept by
+    # the new path with NULL codes — compare it separately
+    assert new.pop(0) is None
+    assert new == old_arrow == old_fold
+    assert len(new) == emb.count() - 1
+
+
 def test_pq_search_ignores_null_code_rows(spark, emb):
     """ADVICE r4: NULL-codes rows (NULL embeddings, kept by the encode
     contract) must never surface in search results — Spark's asc() is
