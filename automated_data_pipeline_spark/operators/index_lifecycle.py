@@ -1,0 +1,276 @@
+"""Deletion and generation cutover for the persisted ANN indexes —
+the two missing pieces of the FAISS lifecycle (``remove_ids`` and
+retrain-rebuild) after round 9 delivered build/append/stream-ingest/
+compaction/drift.
+
+Reference parity note: the reference app has no vector machinery at
+all (its closest analog is the run-scoped landing-table lifecycle,
+``python_code/DatabaseManager.java``-style insert/sweep); this module
+is charter extension work for the 100 TB training-data pipeline, where
+deletion is a LEGAL requirement (opt-outs, contamination flags), not
+an optimization.
+
+Deletion model (the FAISS ``remove_ids`` analog, adapted to an
+immutable-file store): deletes are TOMBSTONES — an append-only,
+ids-only parquet set beside the index. Queries anti-join it
+(broadcast; a deletion set is small relative to the corpus), so a
+tombstoned vector can neither surface in results nor occupy a
+shortlist slot, effective the moment the tombstone lands. Physical
+removal happens at the next ``compact_index`` (which also clears the
+store) or generation rebuild. Appending the same id twice is harmless
+— DISTINCT at read time is the idempotent merge, the ``BloomBitStore``
+convention, so no processed-batch ledger is needed.
+
+Generation cutover (``rebuild_index_generation``): the consumer of
+``drift_report``'s retrain flag. The new generation is trained and
+written BESIDE the live one (queries keep answering against the old
+index for the whole build), then cut over with the same two-rename
+swap + ``_recover_compact`` self-healing discipline every store here
+uses. Tombstoned rows are excluded from the new training set and
+corpus, and the tombstone store dies with the old generation (the new
+one starts clean). At 100 TB the build cost is the one unavoidable
+full-corpus pass (sample-train + assign/encode + partitioned write);
+the swap itself is two metadata renames.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.incremental_dedup import _has_parquet, _recover_compact
+from . import similarity
+
+FAMILIES = ("ivf", "ivfpq", "pq", "sq8")
+
+# which parquet dir inside the index holds the (growing) row data, and
+# whether it is cluster-partitioned
+_DATA_DIR = {"ivf": "corpus", "ivfpq": "corpus", "pq": "codes", "sq8": "codes"}
+_PARTITIONED = {"ivf": True, "ivfpq": True, "pq": False, "sq8": False}
+
+
+def add_tombstones(
+    spark: SparkSession,
+    index_path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> None:
+    """Mark vectors deleted: append their ids to the index's tombstone
+    store. ``ids`` is a DataFrame carrying ``id_col`` or a plain
+    iterable of ids. Effective immediately for every
+    ``*_topk_persisted`` query (anti-join; see
+    ``similarity._minus_tombstones``); physically purged at the next
+    ``compact_index`` or ``rebuild_index_generation``. Idempotent by
+    merge: duplicate appends collapse under the read-time DISTINCT."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    tomb_dir = f"{index_path}/tombstones"
+    _recover_compact(tomb_dir)
+    ids.select(id_col).write.mode("append").parquet(tomb_dir)
+
+
+def read_tombstones(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The current deletion set (distinct ids; empty frame when the
+    index has none)."""
+    tomb_dir = f"{index_path}/tombstones"
+    _recover_compact(tomb_dir)
+    if not _has_parquet(tomb_dir):
+        return spark.createDataFrame([], f"{id_col} bigint")
+    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    family: str,
+    files_per_cluster: int = 1,
+    n_files: int = 8,
+    purge_tombstones: bool = True,
+    id_col: str = "vec_id",
+) -> None:
+    """One compaction entry point for all four index families
+    (VERDICT r9 item 5): rewrite the ingest-grown data directory into
+    a bounded file count — ``files_per_cluster`` per ``ivf_cluster=N``
+    directory for the partitioned layouts (ivf, ivfpq), ``n_files``
+    total for the flat code tables (pq, sq8) — and physically remove
+    tombstoned rows, clearing the tombstone store afterwards.
+
+    Discipline matches every store here: deterministic file split
+    (content hash, never rand() — a retried task writes the same
+    rows), two-rename swap, every crash window self-healed by
+    ``_recover_compact`` at the next maintenance entry point. Clearing
+    the tombstones AFTER the swap is crash-safe by construction: a
+    crash in between leaves tombstones whose ids are already absent,
+    and the query-time anti-join of an absent id is a no-op. Not safe
+    concurrently with an ingest (same contract as the r9 compactor).
+
+    At 100 TB this runs as a periodic job per hot partition range;
+    cadence note in PLANS.md."""
+    if family not in FAMILIES:
+        raise ValueError(f"unknown index family {family!r}; one of {FAMILIES}")
+    data_dir = f"{index_path}/{_DATA_DIR[family]}"
+    _recover_compact(index_path)  # heal a crashed generation swap first
+    _recover_compact(data_dir)
+    if not _has_parquet(data_dir):
+        return
+    df = spark.read.parquet(data_dir)
+    purged = False
+    if purge_tombstones:
+        tombs = read_tombstones(spark, index_path, id_col)
+        if tombs.take(1):
+            df = df.join(F.broadcast(tombs), id_col, "left_anti")
+            purged = True
+    if _PARTITIONED[family]:
+        if files_per_cluster <= 1:
+            out = df.repartition(F.col("ivf_cluster"))
+        else:
+            # deterministic sub-split: same row -> same file slot on retry
+            out = df.repartition(
+                F.col("ivf_cluster"),
+                F.pmod(
+                    F.xxhash64(*[c for c in df.columns if c != "ivf_cluster"]),
+                    F.lit(files_per_cluster),
+                ),
+            )
+    else:
+        out = df.repartition(
+            n_files, F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
+        )
+    tmp = data_dir.rstrip("/") + ".compact"
+    writer = out.write.mode("overwrite")
+    if _PARTITIONED[family]:
+        writer = writer.partitionBy("ivf_cluster")
+    writer.parquet(tmp)
+    old = data_dir.rstrip("/") + ".old"
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    if purged:
+        # after the swap: a crash before this line leaves tombstones
+        # for already-absent ids — harmless no-op anti-joins
+        shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
+
+
+def rebuild_index_generation(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame,
+    family: str,
+    *,
+    dim: int | None = None,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 6,
+    train_fraction: float = 1.0,
+    train_cap: int = 100_000,
+    record_baseline: bool = True,
+) -> None:
+    """Retrain and atomically cut over to a new index generation —
+    what ``drift_report``'s flag schedules. Quantizers are trained
+    FRESH on ``corpus`` minus the live tombstone set (frozen-quantizer
+    appends degrade recall as the distribution moves; the rebuild is
+    how the index catches up — the grown-vs-rebuilt recall pin in
+    tests/test_persisted_index.py quantifies the gap this closes).
+
+    The new generation is built at ``{index_path}.compact`` while the
+    live one keeps serving, then swapped in with the two-rename
+    discipline; ``_recover_compact`` on the index ROOT (run here and
+    at every maintenance entry) heals every crash window. Tombstones
+    and the drift history die with the old generation: the new corpus
+    was built without the tombstoned rows, and ``record_baseline``
+    stamps a fresh 'build' drift row (ivf/ivfpq) so the monitor's
+    baseline tracks the NEW quantizers, not the drifted ones."""
+    if family not in FAMILIES:
+        raise ValueError(f"unknown index family {family!r}; one of {FAMILIES}")
+    if family in ("ivfpq", "pq") and dim is None:
+        raise ValueError("dim is required for the PQ families")
+    _recover_compact(index_path)
+    tombs = read_tombstones(spark, index_path, id_col)
+    live = corpus
+    if tombs.take(1):
+        live = corpus.join(F.broadcast(tombs), id_col, "left_anti")
+    tmp = index_path.rstrip("/") + ".compact"
+
+    if family == "ivf":
+        assigned, cent_df = similarity.ivf_index(
+            live, n_clusters, vec_col, seed, max_iter=max_iter,
+            train_fraction=train_fraction, train_cap=train_cap,
+        )
+        similarity.write_ivf_index(
+            assigned.withColumn("batch_key", F.lit("build")), cent_df, tmp
+        )
+    elif family == "ivfpq":
+        enc, cent_df, _, cb_df = similarity.ivfpq_index(
+            live, dim=dim, n_clusters=n_clusters, m=m, n_codes=n_codes,
+            vec_col=vec_col, seed=seed, max_iter=max_iter,
+            train_fraction=train_fraction, train_cap=train_cap,
+        )
+        similarity.write_ivfpq_index(
+            enc.withColumn("batch_key", F.lit("build")), cent_df, cb_df,
+            tmp, id_col=id_col,
+        )
+    elif family == "pq":
+        codebooks, cb_df = similarity.pq_train(
+            live, dim=dim, m=m, n_codes=n_codes, vec_col=vec_col,
+            seed=seed, max_iter=max_iter, train_fraction=train_fraction,
+            train_cap=train_cap,
+        )
+        enc = similarity.pq_encode_pandas(live, codebooks, vec_col=vec_col)
+        similarity.write_pq_index(enc, cb_df, tmp, id_col=id_col)
+    else:  # sq8
+        similarity.write_sq8_index(live, tmp, id_col=id_col, vec_col=vec_col)
+
+    if record_baseline and family in ("ivf", "ivfpq"):
+        # lazy import: streaming.ann_ingest imports this module's
+        # sibling (similarity); keep the cycle call-time only
+        from ..streaming.ann_ingest import record_drift
+
+        record_drift(spark, tmp, live, "build", vec_col)
+
+    old = index_path.rstrip("/") + ".old"
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def rebuild_if_drifted(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame,
+    family: str,
+    factor: float = 2.0,
+    **rebuild_kwargs,
+) -> bool:
+    """The drift monitor's consumer: read ``drift_report``; if any
+    ingest batch is flagged (or batches exist with NO baseline — the
+    NULL-verdict case means the monitor cannot clear them), rebuild
+    the generation and return True, else leave the index alone and
+    return False. The decision reads the O(batches) drift table only —
+    never the corpus."""
+    from ..streaming.ann_ingest import drift_report
+
+    if not _has_parquet(f"{index_path}/drift"):
+        return False
+    rep = drift_report(spark, index_path, factor=factor)
+    needs = bool(
+        rep.filter(
+            F.col("drift_flag")
+            | (F.col("drift_flag").isNull() & (F.col("batch_key") != "build"))
+        ).take(1)
+    )
+    if needs:
+        rebuild_index_generation(
+            spark, index_path, corpus, family, **rebuild_kwargs
+        )
+    return needs

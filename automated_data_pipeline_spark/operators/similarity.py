@@ -795,6 +795,25 @@ def sq8_topk_rerank(
     )
 
 
+def _minus_tombstones(spark, path: str, df: DataFrame, id_col: str) -> DataFrame:
+    """The FAISS ``remove_ids`` analog at query time: if the index
+    carries a tombstone store (``operators/index_lifecycle.py`` —
+    opt-outs, contamination flags), anti-join it against the code/
+    corpus scan so a deleted vector can neither surface in results nor
+    occupy a shortlist slot. The store is ids-only and small relative
+    to the corpus (a deletion set, not a second corpus) — broadcast,
+    never shuffled. Physical removal happens at compaction or
+    generation rebuild; until then this join IS the deletion."""
+    tomb_dir = f"{path}/tombstones"
+    from ..streaming.incremental_dedup import _has_parquet, _recover_compact
+
+    _recover_compact(tomb_dir)
+    if not _has_parquet(tomb_dir):
+        return df
+    tombs = spark.read.parquet(tomb_dir).select(id_col).distinct()
+    return df.join(F.broadcast(tombs), id_col, "left_anti")
+
+
 def write_sq8_index(
     corpus: DataFrame,
     path: str,
@@ -834,7 +853,9 @@ def sq8_topk_rerank_persisted(
     join. Same answer as the in-session path by construction (both
     end in ``_sq8_search``; parity pinned by
     tests/test_persisted_index.py)."""
-    enc = spark.read.parquet(f"{path}/codes")
+    enc = _minus_tombstones(
+        spark, path, spark.read.parquet(f"{path}/codes"), id_col
+    )
     return _sq8_search(
         enc, corpus, queries, k, oversample, id_col, vec_col,
         query_id_col, query_vec_col, exclude_self, digits,
@@ -1019,7 +1040,9 @@ def pq_topk_rerank_persisted(
     join only. Same answer as the in-session path over the same codes
     by construction (one shared implementation; parity pinned by
     tests/test_persisted_index.py)."""
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _minus_tombstones(
+        spark, path, spark.read.parquet(f"{path}/codes"), id_col
+    )
     codebook_df = spark.read.parquet(f"{path}/codebook")
     return pq_topk_rerank(
         codes, codebook_df, queries, k=k, oversample=oversample,
@@ -1298,8 +1321,12 @@ def ivfpq_topk_persisted(
     ).localCheckpoint(eager=True)
     cluster_rows = probes.select("ivf_cluster").distinct().collect()
     clusters = sorted(r["ivf_cluster"] for r in cluster_rows)
-    codes = spark.read.parquet(f"{path}/corpus").filter(
-        F.col("ivf_cluster").isin([int(c) for c in clusters])
+    codes = _minus_tombstones(
+        spark, path,
+        spark.read.parquet(f"{path}/corpus").filter(
+            F.col("ivf_cluster").isin([int(c) for c in clusters])
+        ),
+        id_col,
     )
     return ivfpq_topk(
         codes, cent_df, codebook_df, queries, k=k, nprobe=nprobe,
@@ -1387,7 +1414,9 @@ def ivf_topk_persisted(
     # per-(query, cluster) probe frame stays distributed for the join.
     cluster_rows = probes.select("ivf_cluster").distinct().collect()
     clusters = sorted(r["ivf_cluster"] for r in cluster_rows)
-    corpus = read_ivf_probes(spark, path, clusters, vec_col)
+    corpus = _minus_tombstones(
+        spark, path, read_ivf_probes(spark, path, clusters, vec_col), id_col
+    )
     pairs = corpus.join(F.broadcast(probes), "ivf_cluster")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))

@@ -102,10 +102,13 @@ def start_incremental_ann_ingest(
     maybe_replay = [True]
 
     def process(batch_df: DataFrame, batch_id: int):
-        # a crash mid-compact leaves the corpus parked at '.old';
-        # heal before probing/appending (queries via similarity.py
-        # don't know about the swap, so recovery lives at the two
-        # maintenance entry points: compact start and ingest)
+        # a crash mid-compact leaves the corpus parked at '.old', and
+        # a crash mid-generation-swap parks the whole INDEX at
+        # '{index_path}.old' (operators/index_lifecycle.py); heal both
+        # before probing/appending (queries via similarity.py don't
+        # know about the swaps, so recovery lives at the maintenance
+        # entry points: compact start, rebuild start, and ingest)
+        _recover_compact(index_path)
         _recover_compact(corpus_dir)
         key = f"{checkpoint_dir}#{batch_id}"
         done = maybe_replay[0] and _has_parquet(corpus_dir) and bool(
@@ -142,31 +145,15 @@ def compact_ivf_index(
 ) -> None:
     """Rewrite the ingest-grown corpus into ``files_per_cluster``
     files per ``ivf_cluster=N`` directory. Rows (including batch_key
-    stamps) are preserved; not safe concurrently with an ingest; every
-    crash window self-heals via ``_recover_compact`` exactly as the
-    fingerprint/LSH/HLL/Bloom stores do."""
-    import shutil
+    stamps) are preserved — minus any tombstoned ids, which this purges
+    (r10); not safe concurrently with an ingest; every crash window
+    self-heals via ``_recover_compact`` exactly as the
+    fingerprint/LSH/HLL/Bloom stores do. Since r10 a thin alias of the
+    unified ``operators/index_lifecycle.compact_index`` (one entry
+    point for all four families)."""
+    from ..operators.index_lifecycle import compact_index
 
-    corpus_dir = f"{index_path}/corpus"
-    _recover_compact(corpus_dir)
-    if not _has_parquet(corpus_dir):
-        return
-    df = spark.read.parquet(corpus_dir)
-    if files_per_cluster <= 1:
-        out = df.repartition(F.col("ivf_cluster"))
-    else:
-        # deterministic sub-split: same row -> same file slot on retry
-        out = df.repartition(
-            F.col("ivf_cluster"),
-            F.pmod(F.xxhash64(*[c for c in df.columns if c != "ivf_cluster"]),
-                   F.lit(files_per_cluster)),
-        )
-    tmp = corpus_dir.rstrip("/") + ".compact"
-    out.write.mode("overwrite").partitionBy("ivf_cluster").parquet(tmp)
-    old = corpus_dir.rstrip("/") + ".old"
-    os.rename(corpus_dir, old)
-    os.rename(tmp, corpus_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    compact_index(spark, index_path, "ivf", files_per_cluster)
 
 
 def _assign_dist_udf(cent):
