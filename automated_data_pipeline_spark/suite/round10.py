@@ -1,0 +1,156 @@
+"""Round-10 additions: the ANN index lifecycle's deletion and
+generation-cutover seams, oracle-checked end to end (VERDICT r9
+item 2).
+
+- ann_ivf_tombstone_exact: the FAISS ``remove_ids`` analog. Vectors
+  tombstoned after the index was built must vanish from query answers
+  IMMEDIATELY (query-time anti-join — no rewrite yet), and must not
+  occupy shortlist slots: the full-probe query reproduces brute-force
+  cosine top-5 over the LIVE set, which the oracle computes by
+  excluding the tombstoned ids from the pair CTE.
+- ann_ivfpq_rebuild_exact: generation cutover in the billion-vector
+  layout. After tombstoning, ``rebuild_index_generation`` retrains
+  BOTH quantizers on the live rows, writes the new generation beside
+  the old one and atomically swaps; full probe + live-covering
+  shortlist then reproduce brute-force euclidean top-5 over the live
+  set — proving the dead rows are physically gone and the new
+  generation is complete and correctly routed.
+
+The tombstone set is deterministic (vec_id % 10 == 3 within the
+exact-mode cap — 50 of 500 ids; no query id is in it), so re-runs are
+value-idempotent; the index temp dirs are reset at entry anyway.
+Crash windows and per-family purge mechanics are pytest territory
+(tests/test_index_lifecycle.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..operators.index_lifecycle import (
+    add_tombstones,
+    rebuild_index_generation,
+)
+from . import QuerySpec, load
+from .round6 import (
+    _COS_PAIRS, _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample,
+    _queries3,
+)
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def _index_path(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"adps_index_{name}")
+
+
+# the live-set oracles: the same brute-force pair CTEs as the exact
+# companions, minus the tombstoned ids. Spliced, not retyped — and
+# asserted, so a round6 edit that breaks the splice fails at import,
+# not as a silent full-corpus oracle.
+_LIVE_PRED = "AND (e.vec_id % 10) != 3 "
+_COS_PAIRS_LIVE = _COS_PAIRS.replace(
+    "WHERE e.vec_id != q.qid", "WHERE e.vec_id != q.qid " + _LIVE_PRED
+)
+_D2_PAIRS_LIVE = _D2_PAIRS.replace(
+    "WHERE e.vec_id != q.qid", "WHERE e.vec_id != q.qid " + _LIVE_PRED
+)
+assert _LIVE_PRED in _COS_PAIRS_LIVE and _LIVE_PRED in _D2_PAIRS_LIVE
+
+_COS_TOP5 = """
+    , ranked AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@spec(
+    "ann_ivf_tombstone_exact",
+    _COS_PAIRS_LIVE + _COS_TOP5,
+    "deletion from a persisted ANN index (the FAISS remove_ids "
+    "analog): tombstoned vectors vanish from the full-probe query "
+    "immediately — brute-force cosine top-5 over the LIVE set, no "
+    "index rewrite",
+)
+def ann_ivf_tombstone_exact(spark, sf_dir):
+    """The operation a training-data pipeline legally needs: opt-out /
+    contamination-flagged vectors removed from answers the moment the
+    tombstone lands. The anti-join runs BEFORE the shortlist rank, so
+    a dead vector cannot burn a top-k slot either — which is exactly
+    what the live-set oracle proves (a displaced rank-5 live row must
+    appear). Physical purge happens at compaction/rebuild; this query
+    witnesses the query-time semantics."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus, _ = _exact_corpus(e)
+    # max_iter=1: exactness comes from nprobe == n_clusters
+    assigned, cent_df = similarity.ivf_index(corpus, n_clusters=8, max_iter=1)
+    path = _index_path("ivf_tomb")
+    shutil.rmtree(path, ignore_errors=True)  # reset prior tombstones
+    similarity.write_ivf_index(assigned, cent_df, path)
+    add_tombstones(
+        spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
+    )
+    out = similarity.ivf_topk_persisted(
+        spark, path, _queries3(e), k=5, nprobe=8
+    )
+    return out.select(
+        "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@spec(
+    "ann_ivfpq_rebuild_exact",
+    _D2_PAIRS_LIVE + _D2_TOP5,
+    "generation cutover: tombstone, then rebuild_index_generation "
+    "retrains both quantizers on the live rows and atomically swaps — "
+    "the new generation reproduces brute-force euclidean top-5 over "
+    "the live set (dead rows physically gone, drift baseline reset)",
+)
+def ann_ivfpq_rebuild_exact(spark, sf_dir):
+    """The retrain the drift monitor schedules, witnessed end to end
+    in the production layout: build on the full corpus, tombstone,
+    rebuild. The new generation's corpus must contain exactly the
+    live rows (count-pinned by the oracle row set), freshly trained
+    quantizers (max_iter=1 — exactness is independent of their
+    quality: full probe + a shortlist covering the live corpus), and
+    a fresh 'build' drift baseline (record_baseline on the rebuild
+    path)."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus, _ = _exact_corpus(e)
+    enc, cent_df, _cb, cb_df = similarity.ivfpq_index(
+        corpus, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+    )
+    path = _index_path("ivfpq_rebuild")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+    add_tombstones(
+        spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
+    )
+    rebuild_index_generation(
+        spark, path, corpus, "ivfpq", dim=64, n_clusters=8, m=8,
+        n_codes=16, max_iter=1,
+    )
+    live = corpus.filter(F.col("vec_id") % 10 != 3)
+    out = similarity.ivfpq_topk_persisted(
+        spark, path, corpus, _queries3(e), k=5, nprobe=8,
+        oversample=_exact_oversample(live.count(), 5),
+    )
+    return out.select(
+        "qid", "vec_id", "d2", F.col("rank").cast("long").alias("rank")
+    )

@@ -150,6 +150,10 @@ HEADLINE = [
     "ann_ivfpq_persisted_exact",
     "ann_ivf_append_exact",
     "ann_ivfpq_append_exact",
+    # round-10 additions: index lifecycle — deletion + generation
+    # cutover (suite/round10.py)
+    "ann_ivf_tombstone_exact",
+    "ann_ivfpq_rebuild_exact",
 ]
 
 
