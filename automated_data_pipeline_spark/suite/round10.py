@@ -41,6 +41,7 @@ from .round6 import (
     _COS_PAIRS, _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample,
     _queries3,
 )
+from .round7 import _DSIR_SQL, _r4
 
 SPECS: list[QuerySpec] = []
 
@@ -78,6 +79,53 @@ _COS_TOP5 = """
     )
     SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
     """
+
+
+@spec(
+    "dsir_weights_recovered",
+    _DSIR_SQL,
+    "the DSIR streaming twin witnessed end to end: per-bucket integer "
+    "token counts folded over 3 micro-batch splits, importance weights "
+    "recovered from the merged store — same oracle as "
+    "dsir_importance_topk because batch ≡ stream is exact",
+)
+def dsir_weights_recovered(spark, sf_dir):
+    """VERDICT r9 item 7: DSIR's whole-corpus state is two integers
+    per hashed-unigram bucket, so micro-batch folds merge exactly and
+    the batch operator's weights are recoverable from the store at any
+    moment. This entry folds the documents table through the
+    ``DsirBucketStore`` in 3 deterministic splits (the operator-level
+    path the file stream drives; the readStream wiring and the crash
+    window are pytest-pinned in tests/test_dsir_stream.py) and
+    reproduces ``dsir_importance_topk``'s exact output — hence the
+    same DuckDB oracle."""
+    from ..streaming.dsir_stream import (
+        DsirBucketStore,
+        recover_dsir_weights,
+        update_dsir_buckets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _index_path("dsir_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = DsirBucketStore(path)
+    for i in range(3):
+        update_dsir_buckets(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            is_target=F.col("lang") == "en", batch_key=f"b{i}",
+        )
+    w = recover_dsir_weights(
+        spark, store, docs, "text", "doc_id", keep_cols=["lang"]
+    )
+    return (
+        w.filter(F.col("lang") != "en")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            _r4(F.col("weight")).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(20)
+    )
 
 
 @spec(

@@ -151,9 +151,10 @@ HEADLINE = [
     "ann_ivf_append_exact",
     "ann_ivfpq_append_exact",
     # round-10 additions: index lifecycle — deletion + generation
-    # cutover (suite/round10.py)
+    # cutover — and the DSIR streaming twin (suite/round10.py)
     "ann_ivf_tombstone_exact",
     "ann_ivfpq_rebuild_exact",
+    "dsir_weights_recovered",
 ]
 
 
@@ -848,6 +849,59 @@ def bench_stream_ann_ingest(spark, sf_dir: str) -> float:
     return took
 
 
+def bench_stream_dsir(spark, sf_dir: str) -> float:
+    """Incremental DSIR throughput: the documents table as 3 json
+    micro-batches folded into the persistent bucket store; asserts the
+    merged integer statistics equal the one-shot whole-corpus counts
+    exactly. No content-replay shard: like the quality scorer, DSIR
+    intentionally counts repeated CONTENT again — exactly-once is per
+    batch_key, and the checkpoint-replay window is pytest-pinned
+    (tests/test_dsir_stream.py) instead."""
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_spark.streaming.dsir_stream import (
+        DsirBucketStore,
+        batch_dsir_buckets,
+        read_dsir_stats,
+        start_incremental_dsir,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="adp-bench-dsir-")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_flat(df, name: str) -> None:
+        d = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").json(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        os.replace(os.path.join(d, part), os.path.join(src, name))
+
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        _write_flat(p, f"b{i}.json")
+    store = DsirBucketStore(os.path.join(work, "store"))
+    t0 = time.time()
+    q = start_incremental_dsir(
+        spark, src, store, os.path.join(work, "ckpt"),
+        F.col("lang") == "en",
+    )
+    q.awaitTermination()
+    took = round(time.time() - t0, 3)
+    got = sorted(tuple(r) for r in read_dsir_stats(spark, store).collect())
+    want = sorted(
+        tuple(r)
+        for r in batch_dsir_buckets(
+            docs, "text", F.col("lang") == "en"
+        ).collect()
+    )
+    assert got == want, "stream dsir stats != batch bucket counts"
+    shutil.rmtree(work, ignore_errors=True)
+    return took
+
+
 def _noise_probe(spark, sf_dir: str) -> float:
     """Fixed reference workload for host-noise detection: a pushed-down
     lineitem scan-count, min of 3 after one untimed warm run (the
@@ -912,6 +966,7 @@ def main():
     timings["stream_source_histogram"] = min2(bench_stream_source_histogram)
     timings["stream_decontaminate"] = min2(bench_stream_decontaminate)
     timings["stream_ann_ingest"] = min2(bench_stream_ann_ingest)
+    timings["stream_dsir_buckets"] = min2(bench_stream_dsir)
 
     probe_end = _noise_probe(spark, SF_DIR)
 
