@@ -317,6 +317,14 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
     - query_only_sec: read index + shortlist + exact re-rank
     - in_session_sec: the full train+encode+query pipeline for
       comparison (the corresponding suite query's shape)
+
+    r10 additions: the lifecycle costs — query_tombstoned_sec (the
+    broadcast anti-join overhead of a 1% deletion set on the IVF
+    query path), rebuild_generation_sec (the retrain+cutover the
+    drift monitor schedules), and recall_curve: recall@5 for
+    nprobe in {1,2,4,8} on a grown (frozen-routing) vs rebuilt
+    (retrained) index — the frozen-quantizer trade as a CURVE, not
+    the single r9 anecdote.
     """
     import shutil
     import time as _t
@@ -398,6 +406,27 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
         t0 = _t.time()
         similarity.append_to_ivf_index(spark, f"{base}/ivf", delta)
         demo["ivf"]["append_10pct_sec"] = round(_t.time() - t0, 3)
+        # lifecycle: 1% deletion set -> query-with-tombstones overhead,
+        # then the full generation rebuild (retrain + atomic cutover)
+        from automated_data_pipeline_spark.operators.index_lifecycle import (
+            add_tombstones,
+            rebuild_index_generation,
+        )
+
+        add_tombstones(
+            spark, f"{base}/ivf", e.filter(F.col("vec_id") % 100 == 7)
+        )
+        demo["ivf"]["query_tombstoned_sec"] = _min2(
+            lambda: similarity.ivf_topk_persisted(
+                spark, f"{base}/ivf", q, k=5, nprobe=4
+            )
+        )
+        t0 = _t.time()
+        rebuild_index_generation(
+            spark, f"{base}/ivf", e, "ivf", n_clusters=16,
+            record_baseline=False,
+        )
+        demo["ivf"]["rebuild_generation_sec"] = round(_t.time() - t0, 3)
         # IVF-PQ: the production layout (coarse assign + residual PQ)
         t0 = _t.time()
         enc2, cent2, _, cb2 = similarity.ivfpq_index(
@@ -414,6 +443,42 @@ def run_persisted_index_demo(spark, sf_dir: str) -> dict:
         t0 = _t.time()
         similarity.append_to_ivfpq_index(spark, f"{base}/ivfpq", delta)
         demo["ivfpq"]["append_10pct_sec"] = round(_t.time() - t0, 3)
+
+        # recall/nprobe operating curve (VERDICT r9 item 6): grown =
+        # built on 3/4, delta appended under FROZEN routing; rebuilt =
+        # trained on the union. Same k-means seed, deterministic
+        # fixture -> reproducible recalls round-to-round.
+        grown_base = e.filter(F.col("vec_id") % 4 != 0)
+        grown_delta = e.filter(F.col("vec_id") % 4 == 0)
+        qr = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+        truth = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.cosine_topk(e, qr, k=5).collect()
+        }
+        a_g, c_g = similarity.ivf_index(grown_base, n_clusters=16)
+        similarity.write_ivf_index(a_g, c_g, f"{base}/rc_grown")
+        similarity.append_to_ivf_index(spark, f"{base}/rc_grown", grown_delta)
+        a_r, c_r = similarity.ivf_index(e, n_clusters=16)
+        similarity.write_ivf_index(a_r, c_r, f"{base}/rc_rebuilt")
+
+        def _recall(path, nprobe):
+            got = {
+                (r["qid"], r["vec_id"])
+                for r in similarity.ivf_topk_persisted(
+                    spark, path, qr, k=5, nprobe=nprobe
+                ).collect()
+            }
+            return round(len(got & truth) / len(truth), 4)
+
+        demo["recall_curve"] = {
+            variant: {
+                f"nprobe_{np_}": _recall(f"{base}/rc_{variant}", np_)
+                for np_ in (1, 2, 4, 8)
+            }
+            for variant in ("grown", "rebuilt")
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return demo
