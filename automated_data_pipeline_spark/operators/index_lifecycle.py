@@ -158,6 +158,62 @@ def compact_index(
         shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
 
 
+def needs_compaction(
+    index_path: str,
+    family: str,
+    max_files: int = 64,
+) -> bool:
+    """The compaction-cadence trigger: True when the index's data
+    directory has accumulated more than ``max_files`` parquet part
+    files (each ingest batch lands one small file per touched
+    partition directory, so the pile grows O(batches x clusters)).
+    A driver-side directory walk — no Spark job; at cluster scale the
+    same check is one object-store LIST per hot partition range."""
+    if family not in FAMILIES:
+        raise ValueError(f"unknown index family {family!r}; one of {FAMILIES}")
+    data_dir = f"{index_path}/{_DATA_DIR[family]}"
+    n = 0
+    for _root, _dirs, files in os.walk(data_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+        if n > max_files:
+            return True
+    return False
+
+
+def start_incremental_tombstones(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    schema: str = "vec_id bigint",
+    available_now: bool = True,
+):
+    """Wire an opt-out/contamination feed as a file-source stream:
+    every file dropped in ``source_dir`` is a micro-batch of ids
+    appended to the index's tombstone store — deletions take effect
+    at the next query, no rewrite. No replay probe is needed, unlike
+    the corpus/codes ingests: the read path DISTINCTs the ids, so a
+    replayed batch is absorbed by the merge itself (the BloomBitStore
+    argument — set union is idempotent). Returns the started
+    StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        add_tombstones(spark, index_path, batch_df, id_col)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rebuild_index_generation(
     spark: SparkSession,
     index_path: str,

@@ -280,6 +280,60 @@ def test_crash_between_swap_and_tombstone_clear_is_harmless(
     assert not os.path.isdir(f"{path}/tombstones")
 
 
+def test_needs_compaction_trigger(spark, emb, tmp_path):
+    """The cadence check: a freshly-built index is under the bound; a
+    pile of tiny appends crosses it; compaction brings it back under."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        needs_compaction,
+    )
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    base_files = len(_data_files(path, "corpus"))
+    for i in range(4):
+        similarity.append_to_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") % 16 == 4 * i)
+        )
+    assert needs_compaction(path, "ivf", max_files=base_files + 8)
+    compact_index(spark, path, "ivf")
+    assert not needs_compaction(path, "ivf", max_files=base_files + 8)
+    with pytest.raises(ValueError, match="unknown index family"):
+        needs_compaction(path, "flat")
+
+
+def test_streaming_tombstone_feed(spark, emb, queries3, tmp_path):
+    """Opt-out ids arriving as a stream: after the feed drains, the
+    persisted query answers over the live set; a REPLAYED feed file
+    (duplicate ids) changes nothing — distinct-is-merge needs no
+    ledger."""
+    import json as _json
+
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        start_incremental_tombstones,
+    )
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    src = str(tmp_path / "optout")
+    os.makedirs(src, exist_ok=True)
+    for i, ids in enumerate([DEAD[:3], DEAD[3:] + DEAD[:1]]):  # overlap
+        with open(os.path.join(src, f"f{i}.json"), "w") as f:
+            for v in ids:
+                f.write(_json.dumps({"vec_id": v}) + "\n")
+    q = start_incremental_tombstones(
+        spark, src, path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["vec_id"] for r in read_tombstones(spark, path).collect()
+    ) == DEAD
+    got = similarity.ivf_topk_persisted(spark, path, queries3, k=5, nprobe=8)
+    live = emb.filter(~F.col("vec_id").isin(DEAD))
+    assert _pairs(got) == _pairs(similarity.cosine_topk(live, queries3, k=5))
+
+
 # ------------------------------------------------- generation rebuild
 
 
