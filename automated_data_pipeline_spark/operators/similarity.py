@@ -665,11 +665,13 @@ def sq8_encode(
     table (id, codes) — the persistable form: 1 byte/dim of signal
     carried as array<int> here. NULL vectors carry no similarity
     evidence and are dropped from the index (same contract as
-    ``sq8_topk_rerank`` always had)."""
+    ``sq8_topk_rerank`` always had). A ``batch_key`` column, when
+    present, rides through — the streaming-ingest replay stamp."""
     from ..functions.vectors import int8_quantize
 
+    keep = ["batch_key"] if "batch_key" in corpus.columns else []
     return corpus.filter(F.col(vec_col).isNotNull()).select(
-        id_col, int8_quantize(F.col(vec_col)).alias(codes_col)
+        id_col, int8_quantize(F.col(vec_col)).alias(codes_col), *keep
     )
 
 
@@ -1012,10 +1014,13 @@ def write_pq_index(
     100 TB nobody re-trains the codebook or re-encodes the corpus per
     query batch — this artifact is written once and every query batch
     is LUT-build + a narrow scan of the codes. Companion of
-    ``write_ivf_index``; query back with ``pq_topk_rerank_persisted``."""
-    encoded.select(id_col, codes_col).write.mode(mode).parquet(
-        f"{path}/codes"
+    ``write_ivf_index``; query back with ``pq_topk_rerank_persisted``.
+    A ``batch_key`` column, when present, persists with the codes
+    (the streaming-ingest replay stamp)."""
+    keep = [id_col, codes_col] + (
+        ["batch_key"] if "batch_key" in encoded.columns else []
     )
+    encoded.select(*keep).write.mode(mode).parquet(f"{path}/codes")
     codebook_df.write.mode(mode).parquet(f"{path}/codebook")
 
 
@@ -1499,9 +1504,10 @@ def append_to_pq_index(
     enc = pq_encode_pandas(
         new_vectors, books, vec_col=vec_col, out_col=codes_col
     )
-    enc.select(id_col, codes_col).write.mode("append").parquet(
-        f"{path}/codes"
+    keep = [id_col, codes_col] + (
+        ["batch_key"] if "batch_key" in enc.columns else []
     )
+    enc.select(*keep).write.mode("append").parquet(f"{path}/codes")
 
 
 def append_to_ivfpq_index(

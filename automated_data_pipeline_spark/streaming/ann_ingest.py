@@ -46,8 +46,12 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     append_to_ivf_index,
     append_to_ivfpq_index,
+    append_to_pq_index,
+    append_to_sq8_index,
     write_ivf_index,
     write_ivfpq_index,
+    write_pq_index,
+    write_sq8_index,
 )
 from .incremental_dedup import _has_parquet, _recover_compact
 
@@ -76,6 +80,23 @@ def write_ivfpq_index_for_ingest(
     )
 
 
+def write_pq_index_for_ingest(
+    encoded: DataFrame, codebook_df: DataFrame, path: str
+) -> None:
+    """``write_pq_index`` with build rows stamped ``'build'`` — the
+    flat-code-table twin (the codes writer keeps the stamp column
+    when present)."""
+    write_pq_index(
+        encoded.withColumn("batch_key", F.lit("build")), codebook_df, path
+    )
+
+
+def write_sq8_index_for_ingest(corpus: DataFrame, path: str) -> None:
+    """``write_sq8_index`` with build rows stamped ``'build'`` (the
+    encode keeps the stamp column when present)."""
+    write_sq8_index(corpus.withColumn("batch_key", F.lit("build")), path)
+
+
 def start_incremental_ann_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -88,17 +109,35 @@ def start_incremental_ann_ingest(
     track_drift: bool = False,
 ):
     """Wire a file-source vector stream into the persisted index:
-    every file is a micro-batch assigned against the frozen
-    quantizer(s) and appended (one zero-exchange Arrow pass + a
-    partitioned append). ``family``: 'ivf' (full vectors resident)
-    or 'ivfpq' (codes-only production layout — the batch additionally
-    passes the frozen residual-codebook encode). ``track_drift``
-    additionally records each batch's assignment-distance quantiles
-    (one extra narrow pass; see ``record_drift``/``drift_report`` —
-    the retrain signal). Returns the started StreamingQuery."""
-    appenders = {"ivf": append_to_ivf_index, "ivfpq": append_to_ivfpq_index}
+    every file is a micro-batch assigned/encoded against the frozen
+    quantizer(s) and appended (narrow Arrow passes, zero Exchange).
+    ``family`` covers all four layouts: 'ivf' (full vectors, cluster-
+    partitioned), 'ivfpq' (codes-only production layout — frozen
+    residual-codebook encode per batch), 'pq' and 'sq8' (flat code
+    tables; the base index must be written via the matching
+    ``write_*_for_ingest`` so the batch_key schema is uniform).
+    ``track_drift`` additionally records each batch's assignment-
+    distance quantiles (one extra narrow pass; see ``record_drift``/
+    ``drift_report`` — the retrain signal); it requires a coarse
+    quantizer, so only the ivf/ivfpq families support it (loud
+    ValueError otherwise). Returns the started StreamingQuery."""
+    appenders = {
+        "ivf": append_to_ivf_index,
+        "ivfpq": append_to_ivfpq_index,
+        "pq": append_to_pq_index,
+        "sq8": lambda spark_, path_, batch, vec_col: append_to_sq8_index(
+            batch, path_, vec_col=vec_col
+        ),
+    }
     append = appenders[family]
-    corpus_dir = f"{index_path}/corpus"
+    if track_drift and family not in ("ivf", "ivfpq"):
+        raise ValueError(
+            f"track_drift needs a coarse quantizer; family {family!r} "
+            "has none (ivf/ivfpq only)"
+        )
+    from ..operators.index_lifecycle import _DATA_DIR
+
+    corpus_dir = f"{index_path}/{_DATA_DIR[family]}"
     maybe_replay = [True]
 
     def process(batch_df: DataFrame, batch_id: int):

@@ -211,6 +211,98 @@ def test_ivfpq_stream_ingest_matches_operator_append(spark, emb, tmp_path):
     assert counts == {0: 5, 1: 5, 2: 5}
 
 
+def test_flat_family_stream_ingest_matches_operator_append(
+    spark, emb, tmp_path
+):
+    """family='pq' and 'sq8' (the flat code tables): the streamed
+    ingest lands exactly the codes the operator-level append lands —
+    PQ against the frozen codebook, SQ8 per-row — every row
+    batch-stamped, and the replay window (commit marker + .crc gone,
+    restart on a new session) adds nothing."""
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        write_pq_index_for_ingest,
+        write_sq8_index_for_ingest,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    src = str(tmp_path / "in")
+    _write_shards(emb, src, [delta.filter(F.col("vec_id") % 8 == 0),
+                             delta.filter(F.col("vec_id") % 8 == 4)])
+
+    # --- pq
+    codebooks, cb_df = similarity.pq_train(base, dim=64, m=8, n_codes=16)
+    enc = similarity.pq_encode_pandas(base, codebooks)
+    p_stream = str(tmp_path / "pq_stream")
+    write_pq_index_for_ingest(enc, cb_df, p_stream)
+    ckpt = str(tmp_path / "pq_ckpt")
+    start_incremental_ann_ingest(
+        spark, src, p_stream, ckpt, family="pq"
+    ).awaitTermination(120)
+    p_op = str(tmp_path / "pq_op")
+    similarity.write_pq_index(enc, cb_df, p_op)
+    similarity.append_to_pq_index(spark, p_op, delta)
+    got = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in spark.read.parquet(f"{p_stream}/codes").collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in spark.read.parquet(f"{p_op}/codes").collect()
+    )
+    assert got == want and len(got) == emb.count()
+    keys = {r["batch_key"] for r in spark.read.parquet(f"{p_stream}/codes")
+            .select("batch_key").distinct().collect()}
+    assert "build" in keys and len(keys) == 3
+    # the genuine crash window on the flat layout
+    n = len(got)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    start_incremental_ann_ingest(
+        spark.newSession(), src, p_stream, ckpt, family="pq"
+    ).awaitTermination(120)
+    assert spark.read.parquet(f"{p_stream}/codes").count() == n
+
+    # --- sq8
+    s_stream = str(tmp_path / "sq8_stream")
+    write_sq8_index_for_ingest(base, s_stream)
+    start_incremental_ann_ingest(
+        spark, src, s_stream, str(tmp_path / "sq8_ckpt"), family="sq8"
+    ).awaitTermination(120)
+    s_op = str(tmp_path / "sq8_op")
+    similarity.write_sq8_index(base, s_op)
+    similarity.append_to_sq8_index(delta, s_op)
+    got = sorted(
+        (r["vec_id"], tuple(r["sq8_codes"]))
+        for r in spark.read.parquet(f"{s_stream}/codes").collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["sq8_codes"]))
+        for r in spark.read.parquet(f"{s_op}/codes").collect()
+    )
+    assert got == want and len(got) == emb.count()
+    # and the grown flat index still answers through the query path
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.sq8_topk_rerank_persisted(
+        spark, s_stream, emb, queries, k=5, oversample=4
+    )
+    counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_track_drift_rejects_flat_families(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="track_drift needs a coarse"):
+        start_incremental_ann_ingest(
+            spark, str(tmp_path / "in"), str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"), family="sq8", track_drift=True,
+        )
+
+
 def test_drift_monitor_flags_distribution_shift(spark, emb, tmp_path):
     """record_drift + drift_report: a batch from the build
     distribution stays unflagged; a shifted batch (vectors scaled 5x
