@@ -41,7 +41,7 @@ from .round6 import (
     _COS_PAIRS, _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample,
     _queries3,
 )
-from .round7 import _DSIR_SQL, _r4
+from .round7 import _DSIR_SQL, _NOVELTY_SQL, _r4
 
 SPECS: list[QuerySpec] = []
 
@@ -126,6 +126,38 @@ def dsir_weights_recovered(spark, sf_dir):
         .orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(20)
     )
+
+
+@spec(
+    "trigram_novelty_recovered",
+    _NOVELTY_SQL,
+    "the trigram-novelty streaming twin witnessed end to end: the "
+    "distinct gram-doc index folded over 3 micro-batch splits, the "
+    "per-source report recovered from the merged store — same oracle "
+    "as trigram_novelty_by_source because batch ≡ stream is exact",
+)
+def trigram_novelty_recovered(spark, sf_dir):
+    """Novelty is a cross-corpus property the batch operator re-derives
+    by re-tokenizing the world; its entire state is the distinct
+    (doc, source, gram-hash) index, which merges by DISTINCT alone.
+    This entry folds the documents table through the ``GramDocStore``
+    in 3 deterministic splits (the operator-level path the file stream
+    drives; stream wiring, replay absorption and compaction are
+    pytest-pinned in tests/test_novelty_stream.py) and reproduces the
+    batch report — hence the same DuckDB oracle."""
+    from ..streaming.novelty_stream import (
+        GramDocStore,
+        batch_doc_grams,
+        recover_novelty_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _index_path("novelty_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = GramDocStore(path)
+    for i in range(3):
+        store.append(batch_doc_grams(docs.filter(F.col("doc_id") % 3 == i)))
+    return recover_novelty_report(spark, store)
 
 
 @spec(

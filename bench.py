@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_ivf_tombstone_exact",
     "ann_ivfpq_rebuild_exact",
     "dsir_weights_recovered",
+    "trigram_novelty_recovered",
 ]
 
 
