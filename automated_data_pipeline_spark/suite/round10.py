@@ -41,7 +41,7 @@ from .round6 import (
     _COS_PAIRS, _D2_PAIRS, _D2_TOP5, _exact_corpus, _exact_oversample,
     _queries3,
 )
-from .round7 import _DSIR_SQL, _NOVELTY_SQL, _r4
+from .round7 import _DSIR_SQL, _NOVELTY_SQL, _VOCAB_OVERLAP_SQL, _r4
 
 SPECS: list[QuerySpec] = []
 
@@ -158,6 +158,42 @@ def trigram_novelty_recovered(spark, sf_dir):
     for i in range(3):
         store.append(batch_doc_grams(docs.filter(F.col("doc_id") % 3 == i)))
     return recover_novelty_report(spark, store)
+
+
+@spec(
+    "lang_vocab_overlap_recovered",
+    _VOCAB_OVERLAP_SQL,
+    "the vocabulary-overlap streaming twin witnessed end to end: "
+    "per-(lang, token) integer counts folded over 3 micro-batch "
+    "splits, the contamination screen recovered from the merged "
+    "store — same oracle as lang_vocab_overlap because batch ≡ "
+    "stream is exact",
+)
+def lang_vocab_overlap_recovered(spark, sf_dir):
+    """The contamination screen's whole-corpus state is the
+    per-(lang, token) count table — exact integers that merge exactly
+    across micro-batch splits. This entry folds the documents table
+    through the ``VocabCountStore`` in 3 deterministic splits (the
+    operator-level path the file stream drives; stream wiring and the
+    crash window are pytest-pinned in tests/test_vocab_stream.py) and
+    reproduces ``lang_vocab_overlap``'s exact output — hence the same
+    DuckDB oracle."""
+    from ..streaming.vocab_stream import (
+        VocabCountStore,
+        recover_vocab_overlap,
+        update_vocab_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _index_path("vocab_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = VocabCountStore(path)
+    for i in range(3):
+        update_vocab_counts(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
+        )
+    return recover_vocab_overlap(spark, store)
 
 
 @spec(

@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_ivfpq_rebuild_exact",
     "dsir_weights_recovered",
     "trigram_novelty_recovered",
+    "lang_vocab_overlap_recovered",
 ]
 
 
