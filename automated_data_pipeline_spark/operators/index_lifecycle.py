@@ -105,11 +105,16 @@ def compact_index(
     Discipline matches every store here: deterministic file split
     (content hash, never rand() — a retried task writes the same
     rows), two-rename swap, every crash window self-healed by
-    ``_recover_compact`` at the next maintenance entry point. Clearing
-    the tombstones AFTER the swap is crash-safe by construction: a
-    crash in between leaves tombstones whose ids are already absent,
-    and the query-time anti-join of an absent id is a no-op. Not safe
-    concurrently with an ingest (same contract as the r9 compactor).
+    ``_recover_compact`` at the next maintenance entry point. The
+    tombstone store is trimmed AFTER the swap to exactly the ids that
+    were NOT applied to the rewrite (a tombstone landing DURING the
+    compaction job survives into the trimmed store and keeps applying
+    at query time — never silently dropped); a crash before the trim
+    leaves extra tombstones for already-absent ids, which are no-op
+    anti-joins. Not safe concurrently with a vector ingest (same
+    contract as the r9 compactor); the tombstone FEED may keep
+    running — only a tombstone landing inside the store trim's own
+    two-rename window (microseconds, not the rewrite) can race.
 
     At 100 TB this runs as a periodic job per hot partition range;
     cadence note in PLANS.md."""
@@ -121,12 +126,17 @@ def compact_index(
     if not _has_parquet(data_dir):
         return
     df = spark.read.parquet(data_dir)
-    purged = False
+    applied = None
     if purge_tombstones:
-        tombs = read_tombstones(spark, index_path, id_col)
+        # pin the applied set: the anti-join below evaluates lazily
+        # DURING the rewrite, and the post-swap trim must subtract
+        # exactly what was applied, not whatever landed since
+        tombs = read_tombstones(spark, index_path, id_col).localCheckpoint(
+            eager=True
+        )
         if tombs.take(1):
             df = df.join(F.broadcast(tombs), id_col, "left_anti")
-            purged = True
+            applied = tombs
     if _PARTITIONED[family]:
         if files_per_cluster <= 1:
             out = df.repartition(F.col("ivf_cluster"))
@@ -152,10 +162,35 @@ def compact_index(
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
     shutil.rmtree(old, ignore_errors=True)
-    if purged:
-        # after the swap: a crash before this line leaves tombstones
-        # for already-absent ids — harmless no-op anti-joins
-        shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
+    if applied is not None:
+        _trim_tombstones(spark, index_path, applied, id_col)
+
+
+def _trim_tombstones(
+    spark: SparkSession, index_path: str, applied: DataFrame, id_col: str
+) -> None:
+    """After a rewrite physically removed the ``applied`` tombstone
+    ids, shrink the store to the ids that were NOT applied — i.e. any
+    tombstones that landed while the rewrite ran, which must keep
+    applying at query time (the silent-loss race the r10 review
+    caught). The leftover is materialized (localCheckpoint) BEFORE the
+    store directory is replaced, then swapped in under the standard
+    two-rename discipline; empty leftover drops the store entirely."""
+    leftover = (
+        read_tombstones(spark, index_path, id_col)
+        .join(applied, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    tomb_dir = f"{index_path}/tombstones"
+    if not leftover.take(1):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        return
+    tmp = tomb_dir + ".compact"
+    leftover.write.mode("overwrite").parquet(tmp)
+    old = tomb_dir + ".old"
+    os.rename(tomb_dir, old)
+    os.rename(tmp, tomb_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def needs_compaction(
@@ -168,10 +203,15 @@ def needs_compaction(
     files (each ingest batch lands one small file per touched
     partition directory, so the pile grows O(batches x clusters)).
     A driver-side directory walk — no Spark job; at cluster scale the
-    same check is one object-store LIST per hot partition range."""
+    same check is one object-store LIST per hot partition range.
+    Heals crashed swaps first (an index parked at '.old' would
+    otherwise read as 0 files = False, and the compact_index call
+    that would heal it never fires — the r10 review's finding)."""
     if family not in FAMILIES:
         raise ValueError(f"unknown index family {family!r}; one of {FAMILIES}")
     data_dir = f"{index_path}/{_DATA_DIR[family]}"
+    _recover_compact(index_path)
+    _recover_compact(data_dir)
     n = 0
     for _root, _dirs, files in os.walk(data_dir):
         n += sum(1 for f in files if f.endswith(".parquet"))
@@ -242,17 +282,28 @@ def rebuild_index_generation(
     The new generation is built at ``{index_path}.compact`` while the
     live one keeps serving, then swapped in with the two-rename
     discipline; ``_recover_compact`` on the index ROOT (run here and
-    at every maintenance entry) heals every crash window. Tombstones
-    and the drift history die with the old generation: the new corpus
-    was built without the tombstoned rows, and ``record_baseline``
-    stamps a fresh 'build' drift row (ivf/ivfpq) so the monitor's
-    baseline tracks the NEW quantizers, not the drifted ones."""
+    at every maintenance entry) heals every crash window. The drift
+    history dies with the old generation (``record_baseline`` stamps
+    a fresh 'build' drift row for ivf/ivfpq so the monitor's baseline
+    tracks the NEW quantizers); tombstones that were EXCLUDED from
+    the new corpus die with it too, but any tombstone that landed
+    while the (at scale, long) build ran is CARRIED into the new
+    generation's store and keeps applying at query time — deletions
+    are never silently lost to the rebuild window (the r10 review's
+    finding); they purge physically at the next compaction. Every
+    row of every family is stamped ``batch_key='build'`` so a
+    rebuilt index keeps the uniform schema the streaming-ingest
+    replay probe requires."""
     if family not in FAMILIES:
         raise ValueError(f"unknown index family {family!r}; one of {FAMILIES}")
     if family in ("ivfpq", "pq") and dim is None:
         raise ValueError("dim is required for the PQ families")
     _recover_compact(index_path)
-    tombs = read_tombstones(spark, index_path, id_col)
+    # pinned snapshot: the anti-join evaluates lazily during the
+    # build, and the pre-swap carry must subtract exactly this set
+    tombs = read_tombstones(spark, index_path, id_col).localCheckpoint(
+        eager=True
+    )
     live = corpus
     if tombs.take(1):
         live = corpus.join(F.broadcast(tombs), id_col, "left_anti")
@@ -283,9 +334,15 @@ def rebuild_index_generation(
             train_cap=train_cap,
         )
         enc = similarity.pq_encode_pandas(live, codebooks, vec_col=vec_col)
-        similarity.write_pq_index(enc, cb_df, tmp, id_col=id_col)
+        similarity.write_pq_index(
+            enc.withColumn("batch_key", F.lit("build")), cb_df, tmp,
+            id_col=id_col,
+        )
     else:  # sq8
-        similarity.write_sq8_index(live, tmp, id_col=id_col, vec_col=vec_col)
+        similarity.write_sq8_index(
+            live.withColumn("batch_key", F.lit("build")), tmp,
+            id_col=id_col, vec_col=vec_col,
+        )
 
     if record_baseline and family in ("ivf", "ivfpq"):
         # lazy import: streaming.ann_ingest imports this module's
@@ -293,6 +350,18 @@ def rebuild_index_generation(
         from ..streaming.ann_ingest import record_drift
 
         record_drift(spark, tmp, live, "build", vec_col)
+
+    # carry tombstones that landed during the build into the new
+    # generation (materialized before any directory moves); ids in
+    # the pinned snapshot are already physically absent from the new
+    # corpus and die with the old generation
+    late = (
+        read_tombstones(spark, index_path, id_col)
+        .join(tombs, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if late.take(1):
+        late.write.mode("overwrite").parquet(f"{tmp}/tombstones")
 
     old = index_path.rstrip("/") + ".old"
     os.rename(index_path, old)
@@ -313,9 +382,12 @@ def rebuild_if_drifted(
     NULL-verdict case means the monitor cannot clear them), rebuild
     the generation and return True, else leave the index alone and
     return False. The decision reads the O(batches) drift table only —
-    never the corpus."""
+    never the corpus. Heals a crashed generation swap FIRST: an index
+    parked at '.old' has no drift dir and would otherwise read as
+    'no drift' forever (the r10 review's finding)."""
     from ..streaming.ann_ingest import drift_report
 
+    _recover_compact(index_path)
     if not _has_parquet(f"{index_path}/drift"):
         return False
     rep = drift_report(spark, index_path, factor=factor)

@@ -129,6 +129,10 @@ def start_incremental_ann_ingest(
             batch, path_, vec_col=vec_col
         ),
     }
+    if family not in appenders:
+        raise ValueError(
+            f"unknown index family {family!r}; one of {tuple(appenders)}"
+        )
     append = appenders[family]
     if track_drift and family not in ("ivf", "ivfpq"):
         raise ValueError(

@@ -185,6 +185,17 @@ def _gen_csv(spark, n_rows: int, path: str, offset: int = 0) -> None:
     df.write.option("header", True).csv(path)
 
 
+def _write_flat(work: str, src: str, df, name: str) -> None:
+    """Stage a DataFrame as ONE flat json file inside ``src`` (the
+    file-stream source doesn't recurse into part-file dirs; write,
+    then hoist the single part file to a flat name). Shared by every
+    streaming bench below."""
+    d = os.path.join(work, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").json(d)
+    part = next(f for f in os.listdir(d) if f.startswith("part-"))
+    os.replace(os.path.join(d, part), os.path.join(src, name))
+
+
 def bench_pipelines(spark) -> dict[str, float]:
     """B1/B2/B4: 4-stage pipeline at 100k and 1M rows, then a 1M re-run
     with 50% overlapping keys merging into the existing 1M-row target
@@ -399,17 +410,10 @@ def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
     ]
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        # the file-stream source doesn't recurse into part-file dirs;
-        # write then hoist the single part file to a flat name
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
-    _write_flat(parts[0], "b3.json")
+        _write_flat(work, src, p, f"b{i}.json")
+    _write_flat(work, src, parts[0], "b3.json")
     store = FingerprintStore(os.path.join(work, "fp"))
     out = os.path.join(work, "curated")
     t0 = time.time()
@@ -449,15 +453,10 @@ def bench_stream_incremental_segments(spark, sf_dir: str) -> float:
     parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
-    _write_flat(parts[0], "b3.json")
+        _write_flat(work, src, p, f"b{i}.json")
+    _write_flat(work, src, parts[0], "b3.json")
     store = SegmentHashStore(os.path.join(work, "seg"))
     out = os.path.join(work, "curated")
     t0 = time.time()
@@ -503,14 +502,9 @@ def bench_stream_quality_scorer(spark, sf_dir: str) -> float:
     parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
+        _write_flat(work, src, p, f"b{i}.json")
     metrics = os.path.join(work, "metrics")
     t0 = time.time()
     q = start_quality_score_stream(
@@ -558,14 +552,9 @@ def bench_stream_source_stats(spark, sf_dir: str) -> float:
     parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
+        _write_flat(work, src, p, f"b{i}.json")
     store = SourceStatsStore(os.path.join(work, "store"))
     t0 = time.time()
     q = start_source_stats_stream(
@@ -615,14 +604,9 @@ def bench_stream_source_histogram(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     for i in range(3):
-        _write_flat(docs.filter(F.col("doc_id") % 3 == i), f"b{i}.json")
+        _write_flat(work, src, docs.filter(F.col("doc_id") % 3 == i), f"b{i}.json")
     store = SourceScoreHistogramStore(os.path.join(work, "store"))
     t0 = time.time()
     q = start_source_histogram_stream(
@@ -659,16 +643,11 @@ def bench_stream_incremental_hll(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     parts = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
-    _write_flat(parts[0], "b3.json")  # replay shard
+        _write_flat(work, src, p, f"b{i}.json")
+    _write_flat(work, src, parts[0], "b3.json")  # replay shard
     store = HllSketchStore(os.path.join(work, "hll"), ["event_type"], p=9)
     t0 = time.time()
     q = start_incremental_hll(
@@ -705,16 +684,11 @@ def bench_stream_incremental_lsh(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     half = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
-    _write_flat(half[0], "b0.json")
-    _write_flat(half[1], "b1.json")
-    _write_flat(half[0].withColumn("doc_id", F.col("doc_id") + 1_000_000), "b2.json")
+    _write_flat(work, src, half[0], "b0.json")
+    _write_flat(work, src, half[1], "b1.json")
+    _write_flat(work, src, half[0].withColumn("doc_id", F.col("doc_id") + 1_000_000), "b2.json")
     store = LshStore(os.path.join(work, "lsh"))
     out = os.path.join(work, "curated")
     t0 = time.time()
@@ -760,18 +734,13 @@ def bench_stream_decontaminate(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     shards = [
         bench_grams.filter(F.abs(F.hash("gram")) % 2 == i) for i in range(2)
     ]
-    _write_flat(shards[0], "b0.json")
-    _write_flat(shards[1], "b1.json")
-    _write_flat(shards[0], "b2.json")  # replay shard
+    _write_flat(work, src, shards[0], "b0.json")
+    _write_flat(work, src, shards[1], "b1.json")
+    _write_flat(work, src, shards[0], "b2.json")  # replay shard
     store = BloomBitStore(os.path.join(work, "bloom"), m_bits=m_bits)
     t0 = time.time()
     q = start_incremental_bloom(
@@ -820,16 +789,11 @@ def bench_stream_ann_ingest(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     base = emb.filter(F.col("vec_id") % 4 != 0)
     delta = emb.filter(F.col("vec_id") % 4 == 0)
-    _write_flat(delta.filter(F.col("vec_id") % 8 == 0), "b0.json")
-    _write_flat(delta.filter(F.col("vec_id") % 8 == 4), "b1.json")
+    _write_flat(work, src, delta.filter(F.col("vec_id") % 8 == 0), "b0.json")
+    _write_flat(work, src, delta.filter(F.col("vec_id") % 8 == 4), "b1.json")
     path = os.path.join(work, "idx")
     ckpt = os.path.join(work, "ckpt")
     t0 = time.time()
@@ -875,15 +839,10 @@ def bench_stream_dsir(spark, sf_dir: str) -> float:
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
 
-    def _write_flat(df, name: str) -> None:
-        d = os.path.join(work, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").json(d)
-        part = next(f for f in os.listdir(d) if f.startswith("part-"))
-        os.replace(os.path.join(d, part), os.path.join(src, name))
 
     parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     for i, p in enumerate(parts):
-        _write_flat(p, f"b{i}.json")
+        _write_flat(work, src, p, f"b{i}.json")
     store = DsirBucketStore(os.path.join(work, "store"))
     t0 = time.time()
     q = start_incremental_dsir(

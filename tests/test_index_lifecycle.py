@@ -334,6 +334,126 @@ def test_streaming_tombstone_feed(spark, emb, queries3, tmp_path):
     assert _pairs(got) == _pairs(similarity.cosine_topk(live, queries3, k=5))
 
 
+def test_trim_keeps_tombstones_not_applied_by_the_rewrite(
+    spark, emb, queries3, tmp_path
+):
+    """The r10 review's race, pinned at the mechanism: the post-swap
+    store trim removes ONLY the ids the rewrite actually anti-joined
+    (the pinned entry snapshot) — an id that landed during the job
+    survives the trim and keeps applying at query time."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        _trim_tombstones,
+    )
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    add_tombstones(spark, path, DEAD)
+    late = [100, 101]
+    add_tombstones(spark, path, late)  # "landed during the rewrite"
+    applied = spark.createDataFrame([(int(i),) for i in DEAD], "vec_id bigint")
+    _trim_tombstones(spark, path, applied, "vec_id")
+    left = sorted(r["vec_id"] for r in read_tombstones(spark, path).collect())
+    assert left == late
+    got = similarity.ivf_topk_persisted(spark, path, queries3, k=5, nprobe=8)
+    assert not {r["vec_id"] for r in got.collect()} & set(late)
+    # and a trim where everything was applied drops the store entirely
+    _trim_tombstones(
+        spark, path,
+        spark.createDataFrame([(int(i),) for i in late], "vec_id bigint"),
+        "vec_id",
+    )
+    assert not os.path.isdir(f"{path}/tombstones")
+
+
+def test_rebuild_carries_tombstones_that_land_mid_build(
+    spark, emb, queries3, tmp_path, monkeypatch
+):
+    """The rebuild twin of the trim race: an opt-out arriving while
+    the (at scale, hours-long) generation build runs must survive the
+    cutover — carried into the new generation's store and applied at
+    query time — even though the new corpus was trained before it
+    landed."""
+    from automated_data_pipeline_spark.operators import index_lifecycle as IL
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    add_tombstones(spark, path, DEAD)
+    late = [7, 11]
+    real_ivf_index = similarity.ivf_index
+
+    def slow_build(*a, **kw):
+        out = real_ivf_index(*a, **kw)
+        add_tombstones(spark, path, late)  # lands mid-build
+        return out
+
+    monkeypatch.setattr(IL.similarity, "ivf_index", slow_build)
+    rebuild_index_generation(spark, path, emb, "ivf", n_clusters=8, max_iter=1)
+    # entry set physically gone AND absent from the carried store
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.filter(F.col("vec_id").isin(DEAD)).count() == 0
+    carried = sorted(r["vec_id"] for r in read_tombstones(spark, path).collect())
+    assert carried == late
+    # the late ids are still IN the corpus (built before they landed)
+    # but the query-time anti-join hides them
+    assert corpus.filter(F.col("vec_id").isin(late)).count() == len(late)
+    got = similarity.ivf_topk_persisted(spark, path, queries3, k=5, nprobe=8)
+    live = emb.filter(~F.col("vec_id").isin(DEAD + late))
+    assert _pairs(got) == _pairs(similarity.cosine_topk(live, queries3, k=5))
+
+
+def test_rebuild_stamps_build_key_on_flat_families(spark, emb, tmp_path):
+    """r10 review: pq/sq8 rebuilds must stamp batch_key='build' like
+    ivf/ivfpq do, or a rebuilt base violates the uniform schema the
+    streaming replay probe requires."""
+    codebooks, cb_df = similarity.pq_train(emb, dim=64, m=8, n_codes=16)
+    path = str(tmp_path / "pq")
+    similarity.write_pq_index(
+        similarity.pq_encode_pandas(emb, codebooks), cb_df, path
+    )
+    rebuild_index_generation(spark, path, emb, "pq", dim=64, m=8, n_codes=16)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert set(codes.columns) == {"vec_id", "pq_codes", "batch_key"}
+    keys = {r["batch_key"] for r in codes.select("batch_key").distinct().collect()}
+    assert keys == {"build"}
+    s_path = str(tmp_path / "sq8")
+    similarity.write_sq8_index(emb, s_path)
+    rebuild_index_generation(spark, s_path, emb, "sq8")
+    sc = spark.read.parquet(f"{s_path}/codes")
+    assert "batch_key" in sc.columns
+
+
+def test_maintenance_entry_points_heal_a_parked_index(spark, emb, tmp_path):
+    """r10 review: needs_compaction and rebuild_if_drifted must heal a
+    crashed generation swap FIRST — a parked index otherwise reads as
+    'empty / no drift' forever and the healing call never fires."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        needs_compaction,
+    )
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        record_drift,
+        write_ivf_index_for_ingest,
+    )
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    record_drift(spark, path, emb, "build")
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(5.0))
+    )
+    record_drift(spark, path, shifted, "b1")  # flagged drift
+    os.rename(path, path + ".old")  # crashed swap window
+    assert needs_compaction(path, "ivf", max_files=0)  # healed + counted
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    os.rename(path, path + ".old")
+    assert rebuild_if_drifted(
+        spark, path, emb, "ivf", n_clusters=8, max_iter=1
+    ) is True  # healed, saw the flag, rebuilt
+    assert os.path.isdir(path)
+
+
 # ------------------------------------------------- generation rebuild
 
 
