@@ -3,11 +3,15 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 over ``mapInPandas``.
 
 The Spark-side machinery (schemas, partition-sized batch iteration, UDF
-signatures) is real and tested; the actual media decode is STUBBED —
-the container ships no image/audio libraries — behind an import-try
-with a deterministic fake featurizer, so the pipeline shape (what runs
-where, what shuffles, what schema flows) is exactly what a production
-deployment with PIL/torchaudio would run.
+signatures) is real and tested, and so is the decode for the formats
+the fixtures carry: decode_png/encode_png (zlib+struct, full filter
+reconstruction), APNG frame extraction, and WAV PCM parsing are real
+in-container stdlib codecs (see decode_png below and operators/
+audio.py) with byte-level SQL oracles. Only formats needing external
+libs (JPEG/MP3/H.264) stay behind an import-try with a deterministic
+fake featurizer, so the pipeline shape (what runs where, what
+shuffles, what schema flows) is exactly what a production deployment
+with PIL/torchaudio would run for those.
 """
 
 from __future__ import annotations
