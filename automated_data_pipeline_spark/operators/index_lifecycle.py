@@ -19,7 +19,23 @@ shortlist slot, effective the moment the tombstone lands. Physical
 removal happens at the next ``compact_index`` (which also clears the
 store) or generation rebuild. Appending the same id twice is harmless
 — DISTINCT at read time is the idempotent merge, the ``BloomBitStore``
-convention, so no processed-batch ledger is needed.
+convention, so the TOMBSTONE store needs no processed-batch ledger.
+
+The INGEST replay probe does need one (``ingest_ledger`` beside the
+index, maintained by ``record_applied_batch_keys``): the streaming
+probe's "was this batch applied?" question was originally answered by
+scanning the corpus for the batch_key stamp, but physical purges
+erase stamps — if a crash leaves a batch uncommitted in the stream
+checkpoint and every row of that batch is then tombstoned and purged
+by ``compact_index`` (which by contract runs between ingest sessions,
+exactly when an uncommitted batch can exist), the restart replay
+would find no stamp, re-append the batch, and silently RESURRECT
+deleted vectors — a safety gap when deletion is a legal requirement
+(the r10 advisor's finding). The ledger records every applied
+batch_key in a tiny ids-only parquet store that purges can't touch;
+``compact_index`` and ``rebuild_index_generation`` fold the corpus's
+surviving stamps into it BEFORE their swap, so "applied" survives any
+physical rewrite.
 
 Generation cutover (``rebuild_index_generation``): the consumer of
 ``drift_report``'s retrain flag. The new generation is trained and
@@ -86,6 +102,35 @@ def read_tombstones(
     return spark.read.parquet(tomb_dir).select(id_col).distinct()
 
 
+def record_applied_batch_keys(
+    spark: SparkSession, index_path: str, keys
+) -> None:
+    """Append ingest batch_keys to the index's applied-batch ledger —
+    the replay probe's purge-proof memory (see the module docstring:
+    corpus batch_key stamps die with physical purges; ledger entries
+    don't). ``keys`` is a DataFrame carrying ``batch_key`` or a plain
+    iterable of strings. Append-only + read-time DISTINCT, the same
+    idempotent-merge convention as the tombstone store; one tiny file
+    per append, bounded O(batches)."""
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame(
+            [(str(k),) for k in keys], "batch_key string"
+        )
+    ledger = f"{index_path}/ingest_ledger"
+    _recover_compact(ledger)
+    keys.select("batch_key").distinct().write.mode("append").parquet(ledger)
+
+
+def applied_batch_keys(spark: SparkSession, index_path: str) -> DataFrame:
+    """The distinct set of ingest batch_keys known applied to this
+    index (empty frame when none were ever recorded)."""
+    ledger = f"{index_path}/ingest_ledger"
+    _recover_compact(ledger)
+    if not _has_parquet(ledger):
+        return spark.createDataFrame([], "batch_key string")
+    return spark.read.parquet(ledger).select("batch_key").distinct()
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
@@ -135,6 +180,18 @@ def compact_index(
             eager=True
         )
         if tombs.take(1):
+            if "batch_key" in df.columns:
+                # a purge can erase EVERY row of an ingest batch — fold
+                # the pre-rewrite stamps into the ledger first so the
+                # streaming replay probe still sees the batch as
+                # applied (else a replay resurrects deleted vectors;
+                # module docstring). Before the swap: a crash after the
+                # swap must already have the ledger entry.
+                record_applied_batch_keys(
+                    spark, index_path,
+                    df.select("batch_key")
+                    .filter(F.col("batch_key") != "build").distinct(),
+                )
             df = df.join(F.broadcast(tombs), id_col, "left_anti")
             applied = tombs
     if _PARTITIONED[family]:
@@ -158,6 +215,15 @@ def compact_index(
     if _PARTITIONED[family]:
         writer = writer.partitionBy("ivf_cluster")
     writer.parquet(tmp)
+    if not _has_parquet(tmp):
+        # every row tombstoned: a partitionBy overwrite of an empty
+        # frame writes no part files (only _SUCCESS) and the persisted
+        # readers would die on schema inference (the r10 advisor's
+        # finding). Swap in an explicit schema-carrying empty marker
+        # instead — non-partitioned limit(0), so the partition column
+        # stays a regular (typed) column and pruning filters still
+        # resolve against the empty scan.
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
     old = data_dir.rstrip("/") + ".old"
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
@@ -350,6 +416,26 @@ def rebuild_index_generation(
         from ..streaming.ann_ingest import record_drift
 
         record_drift(spark, tmp, live, "build", vec_col)
+
+    # carry the applied-batch ledger into the new generation, folded
+    # with every batch_key stamped on the OLD corpus: the rebuild
+    # restamps all rows 'build' (and drops tombstoned ones entirely),
+    # so after the cutover a restart replay probe can no longer see
+    # the old stamps — without the carry, the stream's last
+    # uncommitted batch would re-append (worse: resurrect its
+    # tombstoned rows). Materialized before any directory moves.
+    data_dir = f"{index_path}/{_DATA_DIR[family]}"
+    led = applied_batch_keys(spark, index_path)
+    if _has_parquet(data_dir):
+        old_corpus = spark.read.parquet(data_dir)
+        if "batch_key" in old_corpus.columns:
+            led = led.union(
+                old_corpus.select("batch_key")
+                .filter(F.col("batch_key") != "build").distinct()
+            )
+    led = led.distinct().localCheckpoint(eager=True)
+    if led.take(1):
+        led.write.mode("overwrite").parquet(f"{tmp}/ingest_ledger")
 
     # carry tombstones that landed during the build into the new
     # generation (materialized before any directory moves); ids in

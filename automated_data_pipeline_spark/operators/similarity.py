@@ -805,14 +805,31 @@ def _minus_tombstones(spark, path: str, df: DataFrame, id_col: str) -> DataFrame
     occupy a shortlist slot. The store is ids-only and small relative
     to the corpus (a deletion set, not a second corpus) — broadcast,
     never shuffled. Physical removal happens at compaction or
-    generation rebuild; until then this join IS the deletion."""
-    tomb_dir = f"{path}/tombstones"
-    from ..streaming.incremental_dedup import _has_parquet, _recover_compact
+    generation rebuild; until then this join IS the deletion.
 
-    _recover_compact(tomb_dir)
-    if not _has_parquet(tomb_dir):
+    Crash-window handling here is strictly READ-ONLY: queries are
+    expected to keep serving WHILE maintenance trims the store, so
+    the query path must never run ``_recover_compact`` (an rmtree of
+    '.compact' from here could delete an in-flight trim's output
+    mid-write, and moving '.old' back could make the trim's rename
+    explode — the r10 advisor's finding). Instead: read the live dir
+    when it has data; fall back to the '.old' backup when the live
+    dir is mid-swap (a conservative pre-trim SUPERSET — extra
+    tombstones for already-purged ids are no-op anti-joins); actual
+    healing stays with the maintenance entry points
+    (``index_lifecycle``), which are by-contract never concurrent
+    with each other."""
+    from ..streaming.incremental_dedup import _has_parquet
+
+    tomb_dir = f"{path}/tombstones"
+    src = None
+    if _has_parquet(tomb_dir):
+        src = tomb_dir
+    elif _has_parquet(tomb_dir + ".old"):
+        src = tomb_dir + ".old"
+    if src is None:
         return df
-    tombs = spark.read.parquet(tomb_dir).select(id_col).distinct()
+    tombs = spark.read.parquet(src).select(id_col).distinct()
     return df.join(F.broadcast(tombs), id_col, "left_anti")
 
 

@@ -14,8 +14,14 @@ so the only possible replay is the last uncommitted batch — which IS
 the first batch after the restart. Wholesale checkpoint deletion is
 outside the contract (it reprocesses committed batches under reused
 batch ids, of which only the first is probed); reprocess-from-scratch
-belongs with a fresh index, same as the other stores. The probe is a
-footer-only read at scale (parquet min/max stats on batch_key). For
+belongs with a fresh index, same as the other stores. The probe asks
+two stores: the tiny applied-batch LEDGER first (O(batches) rows —
+``index_lifecycle.record_applied_batch_keys``; compact/rebuild fold
+corpus stamps into it before their swap, so a batch whose rows were
+all tombstoned and physically purged between sessions still reads as
+applied and is never resurrected by the replay — the r10 advisor's
+finding), then the corpus batch_key stamps (a footer-only read at
+scale: parquet min/max stats on batch_key). For
 schema consistency the BASE index must carry the column too —
 ``write_ivf_index_for_ingest`` stamps it ``'build'`` — because a
 parquet directory mixing stamped and unstamped files would resolve to
@@ -139,7 +145,11 @@ def start_incremental_ann_ingest(
             f"track_drift needs a coarse quantizer; family {family!r} "
             "has none (ivf/ivfpq only)"
         )
-    from ..operators.index_lifecycle import _DATA_DIR
+    from ..operators.index_lifecycle import (
+        _DATA_DIR,
+        applied_batch_keys,
+        record_applied_batch_keys,
+    )
 
     corpus_dir = f"{index_path}/{_DATA_DIR[family]}"
     maybe_replay = [True]
@@ -154,10 +164,24 @@ def start_incremental_ann_ingest(
         _recover_compact(index_path)
         _recover_compact(corpus_dir)
         key = f"{checkpoint_dir}#{batch_id}"
-        done = maybe_replay[0] and _has_parquet(corpus_dir) and bool(
-            spark.read.parquet(corpus_dir)
-            .filter(F.col("batch_key") == key)
-            .take(1)
+        # applied = stamped on the corpus OR recorded in the ledger.
+        # The ledger leg is what survives physical purges: if every
+        # row of an uncommitted batch was tombstoned and compacted
+        # away between sessions, the stamp probe alone would re-append
+        # it and resurrect deleted vectors (the r10 advisor's finding;
+        # compact/rebuild fold stamps into the ledger pre-swap).
+        done = maybe_replay[0] and (
+            bool(
+                applied_batch_keys(spark, index_path)
+                .filter(F.col("batch_key") == key).take(1)
+            )
+            or (
+                _has_parquet(corpus_dir) and bool(
+                    spark.read.parquet(corpus_dir)
+                    .filter(F.col("batch_key") == key)
+                    .take(1)
+                )
+            )
         )
         if not done:
             append(
@@ -168,6 +192,10 @@ def start_incremental_ann_ingest(
             )
             if track_drift:
                 record_drift(spark, index_path, batch_df, key, vec_col)
+            # AFTER the corpus append: a crash in between leaves the
+            # stamp probe (or, post-purge, the compactor's pre-swap
+            # ledger fold) to detect the landed rows
+            record_applied_batch_keys(spark, index_path, [key])
         maybe_replay[0] = False
 
     reader = (

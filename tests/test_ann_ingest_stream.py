@@ -383,3 +383,45 @@ def test_stream_track_drift_records_every_batch(spark, emb, tmp_path):
     keys = {r["batch_key"] for r in rep}
     assert "build" in keys and len(keys) == 3
     assert not any(r["drift_flag"] for r in rep)  # same distribution
+
+
+def test_fully_purged_batch_never_resurrects_on_replay(spark, emb, tmp_path):
+    """r11 advisor (medium): crash after a batch's corpus append but
+    before its checkpoint commit, then every row of that batch is
+    tombstoned AND physically purged by compact_index (which runs
+    between sessions — exactly when an uncommitted batch exists). The
+    old stamp-only replay probe found no rows and re-appended the
+    DELETED vectors. The applied-batch ledger (folded from the corpus
+    stamps before the compactor's swap) must make the restart skip."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        add_tombstones,
+        compact_index,
+    )
+
+    path = _build(spark, emb, tmp_path)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    dead = [r["vec_id"] for r in delta.select("vec_id").collect()]
+    src = str(tmp_path / "in")
+    _write_shards(emb, src, [delta])
+    ckpt = str(tmp_path / "ckpt")
+    start_incremental_ann_ingest(spark, src, path, ckpt).awaitTermination(120)
+    n_base = spark.read.parquet(f"{path}/corpus").count() - len(dead)
+
+    # crash window: append landed, commit marker did not
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # between sessions: the whole batch is deleted and purged
+    add_tombstones(spark, path, dead)
+    compact_index(spark, path, "ivf")
+    assert spark.read.parquet(f"{path}/corpus").count() == n_base
+
+    # restart replays batch 0 — the ledger must veto the re-append
+    start_incremental_ann_ingest(
+        spark.newSession(), src, path, ckpt
+    ).awaitTermination(120)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == n_base
+    assert corpus.filter(F.col("vec_id").isin(dead)).count() == 0

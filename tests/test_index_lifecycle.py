@@ -601,3 +601,131 @@ def test_rebuild_if_drifted_consumes_the_flag(spark, emb, tmp_path):
     assert rebuild_if_drifted(
         spark, path, emb, "ivf", n_clusters=8, max_iter=1
     ) is False
+
+
+# ------------------------------------------- r11 advisor findings
+
+
+def test_compact_all_tombstoned_leaves_readable_empty_index(
+    spark, emb, queries3, tmp_path
+):
+    """r11 advisor: compacting an index whose EVERY row is tombstoned
+    used to swap in a dataless directory (partitionBy of an empty
+    frame writes only _SUCCESS), and the next persisted query died on
+    schema inference. The compactor now swaps in a schema-carrying
+    empty marker: queries answer EMPTY, not AnalysisException."""
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+
+    # partitioned family (the originally-broken layout)
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    p = str(tmp_path / "ivf")
+    similarity.write_ivf_index(assigned, cent_df, p)
+    add_tombstones(spark, p, all_ids)
+    compact_index(spark, p, "ivf")
+    got = similarity.ivf_topk_persisted(spark, p, queries3, k=5, nprobe=8)
+    assert got.count() == 0
+    # schema survived (incl. the former partition column as a column)
+    cols = set(spark.read.parquet(f"{p}/corpus").columns)
+    assert {"vec_id", "ivf_cluster"} <= cols
+    # tombstone store fully applied -> dropped
+    assert read_tombstones(spark, p).count() == 0
+
+    # flat family
+    p2 = str(tmp_path / "sq8")
+    similarity.write_sq8_index(emb, p2)
+    add_tombstones(spark, p2, all_ids)
+    compact_index(spark, p2, "sq8")
+    got2 = similarity.sq8_topk_rerank_persisted(
+        spark, p2, emb, queries3, k=5, oversample=4
+    )
+    assert got2.count() == 0
+
+
+def test_query_side_tombstone_heal_is_read_only(spark, emb, queries3, tmp_path):
+    """r11 advisor: queries serve WHILE maintenance trims the store,
+    so the query path must not rmtree/rename ('_recover_compact') —
+    it now reads the live dir, falling back to the '.old' backup
+    mid-swap, and leaves BOTH untouched."""
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(assigned, cent_df, path)
+    add_tombstones(spark, path, DEAD)
+    tomb = f"{path}/tombstones"
+
+    # mid-swap window: live dir renamed away, backup IS the store
+    os.rename(tomb, tomb + ".old")
+    got = similarity.ivf_topk_persisted(spark, path, queries3, k=5, nprobe=8)
+    assert not {r["vec_id"] for r in got.collect()} & set(DEAD)
+    # the query healed nothing: window state exactly as it found it
+    assert os.path.isdir(tomb + ".old") and not os.path.isdir(tomb)
+    os.rename(tomb + ".old", tomb)
+
+    # stale '.compact' debris must also survive a query untouched
+    os.makedirs(tomb + ".compact", exist_ok=True)
+    with open(os.path.join(tomb + ".compact", "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight trim output")
+    got = similarity.ivf_topk_persisted(spark, path, queries3, k=5, nprobe=8)
+    assert not {r["vec_id"] for r in got.collect()} & set(DEAD)
+    assert os.path.isfile(os.path.join(tomb + ".compact", "part-0.parquet"))
+
+
+def test_compact_records_purged_batch_keys_in_ledger(spark, emb, tmp_path):
+    """The ledger fold that makes purges replay-safe: compacting away
+    a tombstoned ingest batch records its batch_key as applied."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        applied_batch_keys,
+    )
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        write_ivf_index_for_ingest,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    similarity.append_to_ivf_index(
+        spark, path, delta.withColumn("batch_key", F.lit("ck#0"))
+    )
+    add_tombstones(spark, path, [r["vec_id"] for r in delta.collect()])
+    compact_index(spark, path, "ivf")
+    keys = {r["batch_key"] for r in applied_batch_keys(spark, path).collect()}
+    assert "ck#0" in keys and "build" not in keys
+    # the purge really removed the rows (stamp probe alone would miss)
+    assert spark.read.parquet(f"{path}/corpus").filter(
+        F.col("batch_key") == "ck#0"
+    ).count() == 0
+
+
+def test_rebuild_carries_applied_batch_ledger(spark, emb, tmp_path):
+    """Generation rebuild restamps every row 'build', erasing ingest
+    stamps — the applied-batch ledger (old ledger + old corpus stamps)
+    must ride into the new generation so a restart replay can't
+    re-append (or resurrect) the last uncommitted batch."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        applied_batch_keys,
+        record_applied_batch_keys,
+    )
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        write_ivf_index_for_ingest,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    assigned, cent_df = similarity.ivf_index(base, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    similarity.append_to_ivf_index(
+        spark, path, delta.withColumn("batch_key", F.lit("ck#0"))
+    )
+    record_applied_batch_keys(spark, path, ["ck#0"])
+    rebuild_index_generation(spark, path, emb, "ivf", n_clusters=8, max_iter=1)
+    keys = {r["batch_key"] for r in applied_batch_keys(spark, path).collect()}
+    assert "ck#0" in keys
+    # rebuilt corpus carries only 'build' stamps — the ledger is the
+    # only remaining witness that ck#0 was applied
+    stamps = {
+        r["batch_key"] for r in spark.read.parquet(f"{path}/corpus")
+        .select("batch_key").distinct().collect()
+    }
+    assert stamps == {"build"}
