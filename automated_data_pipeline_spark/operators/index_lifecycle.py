@@ -350,8 +350,9 @@ def rebuild_index_generation(
     discipline; ``_recover_compact`` on the index ROOT (run here and
     at every maintenance entry) heals every crash window. The drift
     history dies with the old generation (``record_baseline`` stamps
-    a fresh 'build' drift row for ivf/ivfpq so the monitor's baseline
-    tracks the NEW quantizers); tombstones that were EXCLUDED from
+    a fresh 'build' drift row — every family carries a drift metric
+    since r11 — so the monitor's baseline tracks the NEW quantizers);
+    tombstones that were EXCLUDED from
     the new corpus die with it too, but any tombstone that landed
     while the (at scale, long) build ran is CARRIED into the new
     generation's store and keeps applying at query time — deletions
@@ -410,12 +411,12 @@ def rebuild_index_generation(
             id_col=id_col, vec_col=vec_col,
         )
 
-    if record_baseline and family in ("ivf", "ivfpq"):
+    if record_baseline:
         # lazy import: streaming.ann_ingest imports this module's
         # sibling (similarity); keep the cycle call-time only
         from ..streaming.ann_ingest import record_drift
 
-        record_drift(spark, tmp, live, "build", vec_col)
+        record_drift(spark, tmp, live, "build", vec_col, family=family)
 
     # carry the applied-batch ledger into the new generation, folded
     # with every batch_key stamped on the OLD corpus: the rebuild

@@ -122,11 +122,12 @@ def start_incremental_ann_ingest(
     residual-codebook encode per batch), 'pq' and 'sq8' (flat code
     tables; the base index must be written via the matching
     ``write_*_for_ingest`` so the batch_key schema is uniform).
-    ``track_drift`` additionally records each batch's assignment-
-    distance quantiles (one extra narrow pass; see ``record_drift``/
-    ``drift_report`` — the retrain signal); it requires a coarse
-    quantizer, so only the ivf/ivfpq families support it (loud
-    ValueError otherwise). Returns the started StreamingQuery."""
+    ``track_drift`` additionally records each batch's drift-metric
+    quantiles (one extra narrow pass; see ``record_drift``/
+    ``drift_report`` — the retrain signal). All four families carry a
+    metric: assignment distance for the IVF layouts, frozen-codebook
+    reconstruction error for pq, relative int8 round-trip error for
+    sq8. Returns the started StreamingQuery."""
     appenders = {
         "ivf": append_to_ivf_index,
         "ivfpq": append_to_ivfpq_index,
@@ -140,11 +141,6 @@ def start_incremental_ann_ingest(
             f"unknown index family {family!r}; one of {tuple(appenders)}"
         )
     append = appenders[family]
-    if track_drift and family not in ("ivf", "ivfpq"):
-        raise ValueError(
-            f"track_drift needs a coarse quantizer; family {family!r} "
-            "has none (ivf/ivfpq only)"
-        )
     from ..operators.index_lifecycle import (
         _DATA_DIR,
         applied_batch_keys,
@@ -191,7 +187,9 @@ def start_incremental_ann_ingest(
                 vec_col=vec_col,
             )
             if track_drift:
-                record_drift(spark, index_path, batch_df, key, vec_col)
+                record_drift(
+                    spark, index_path, batch_df, key, vec_col, family=family
+                )
             # AFTER the corpus append: a crash in between leaves the
             # stamp probe (or, post-purge, the compactor's pre-swap
             # ledger fold) to detect the landed rows
@@ -254,33 +252,119 @@ def _assign_dist_udf(cent):
     return _f
 
 
+def _pq_recon_udf(codebooks):
+    """Arrow-batched PQ reconstruction error with FROZEN codebooks —
+    the flat-PQ drift signal: per row, the summed squared distance of
+    each subvector to its NEAREST codeword (exactly the quantization
+    error the encoder commits to). A distribution the codebooks never
+    saw reconstructs badly everywhere; NULL vectors yield NULL."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("double")
+    def _f(v: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(v), dtype=object)
+        mask = v.notna()
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            d2 = np.zeros(len(X))
+            for j, B in enumerate(books):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                d = (
+                    (Xj * Xj).sum(1)[:, None]
+                    - 2 * Xj @ B.T
+                    + (B * B).sum(1)[None, :]
+                )
+                d2 += np.maximum(d.min(1), 0.0)
+            out[mask.to_numpy().nonzero()[0]] = [float(x) for x in d2]
+        return out
+
+    return _f
+
+
+def _sq8_recon_udf():
+    """Arrow-batched SQ8 round-trip error — the scalar-quantizer drift
+    signal: RELATIVE reconstruction error ||x - dequant(quant(x))||^2
+    / ||x||^2 under the per-vector max-abs/127 scale (mirrors
+    ``functions.vectors.int8_quantize``'s rule exactly). Scale-
+    invariant by construction (the per-vector scale adapts to norm
+    growth — that is NOT drift for an int-dot shortlist); what rises
+    is SHAPE change: mass concentrating in few dimensions saturates
+    the shared scale and rounds the rest to zero. Zero vectors
+    reconstruct exactly (0.0); NULL vectors yield NULL."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _f(v: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(v), dtype=object)
+        mask = v.notna()
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            s = np.abs(X).max(1) / 127.0
+            safe = np.where(s == 0, 1.0, s)
+            q = np.clip(np.round(X / safe[:, None]), -127, 127)
+            err = ((X - q * safe[:, None]) ** 2).sum(1)
+            norm = (X * X).sum(1)
+            rel = np.where(norm == 0, 0.0, err / np.where(norm == 0, 1, norm))
+            out[mask.to_numpy().nonzero()[0]] = [float(x) for x in rel]
+        return out
+
+    return _f
+
+
+def _drift_metric(spark: SparkSession, index_path: str, family: str):
+    """The per-family drift metric column builder: squared assignment
+    distance to the frozen coarse centroid (ivf/ivfpq), frozen-
+    codebook reconstruction error (pq), or relative int8 round-trip
+    error (sq8). All land in one 'd2' column so ``drift_report`` and
+    ``rebuild_if_drifted`` stay family-agnostic."""
+    if family in ("ivf", "ivfpq"):
+        cent_rows = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("ivf_cluster").collect()
+        )
+        ad = _assign_dist_udf([r["centroid"] for r in cent_rows])
+        return lambda col: ad(col)["d2"]
+    if family == "pq":
+        from ..operators.similarity import _codebooks_from_df
+
+        books = _codebooks_from_df(
+            spark.read.parquet(f"{index_path}/codebook")
+        )
+        pr = _pq_recon_udf(books)
+        return lambda col: pr(col)
+    if family == "sq8":
+        sr = _sq8_recon_udf()
+        return lambda col: sr(col)
+    raise ValueError(f"unknown index family {family!r}")
+
+
 def record_drift(
     spark: SparkSession,
     index_path: str,
     vectors: DataFrame,
     batch_key: str,
     vec_col: str = "embedding",
+    family: str = "ivf",
 ) -> None:
     """Append one drift row for a vector batch: (batch_key, n,
-    mean_d2, p50_d2, p90_d2) of the squared distance to the FROZEN
-    assigned centroid. An ingest distribution the coarse quantizer
-    has never seen lands far from every centroid — rising quantiles
-    against the 'build' row are the retrain signal (record the build
-    corpus under batch_key='build' to set the baseline). One narrow
-    Arrow pass + one small agg per batch; replayed keys are absorbed
-    at read time (identical content, first-key-wins in
-    ``drift_report``)."""
-    cent_rows = (
-        spark.read.parquet(f"{index_path}/centroids")
-        .orderBy("ivf_cluster").collect()
-    )
-    cent = [r["centroid"] for r in cent_rows]
-    ad = _assign_dist_udf(cent)
+    mean_d2, p50_d2, p90_d2) of the family's drift metric — squared
+    distance to the FROZEN assigned centroid for the IVF layouts,
+    frozen-codebook reconstruction error for flat PQ, relative int8
+    round-trip error for SQ8 (see ``_drift_metric``). An ingest
+    distribution the frozen quantizers have never seen scores high on
+    all of them — rising quantiles against the 'build' row are the
+    retrain signal (record the build corpus under batch_key='build'
+    to set the baseline). One narrow Arrow pass + one small agg per
+    batch; replayed keys are absorbed at read time (identical
+    content, first-key-wins in ``drift_report``)."""
+    metric = _drift_metric(spark, index_path, family)
     stats = (
         vectors.select(
-            ad(F.col(vec_col).cast("array<double>")).alias("_a")
+            metric(F.col(vec_col).cast("array<double>")).alias("d2")
         )
-        .select(F.col("_a.d2").alias("d2"))
         .filter(F.col("d2").isNotNull())
         .agg(
             F.count(F.lit(1)).alias("n"),
