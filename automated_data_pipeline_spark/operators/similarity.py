@@ -738,8 +738,13 @@ def _sq8_search(
         [F.col("approx_dot").desc(), F.col(id_col)],
         k * oversample, rank_col="_srk",
     ).drop("_srk")
+    # the shortlist is bounded at queries x k x oversample (query_id,
+    # id) pairs — broadcast it so the corpus side streams in place; a
+    # size-estimated SortMergeJoin here would shuffle the FULL corpus
+    # per query batch (caught by the r11 grown-corpus scale demo; at
+    # fixture scale AQE happened to rescue it, at 2M+ rows it didn't)
     rer = (
-        short.join(vectors.select(id_col, vec_col), id_col)
+        F.broadcast(short).join(vectors.select(id_col, vec_col), id_col)
         .join(
             F.broadcast(queries.select(query_id_col, query_vec_col)),
             query_id_col,
@@ -1007,8 +1012,11 @@ def pq_topk_rerank(
     ).select(query_id_col, id_col)
     src = encoded if vectors is None else vectors
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
+    # broadcast the bounded (queries x k x oversample)-row shortlist:
+    # a size-estimated SortMergeJoin would shuffle the FULL corpus per
+    # query batch (the r11 grown-corpus demo caught exactly that)
     rescored = (
-        shortlist.join(src.select(id_col, vec_col), id_col)
+        F.broadcast(shortlist).join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )
@@ -1270,8 +1278,11 @@ def ivfpq_topk(
     )
     src = encoded if vectors is None else vectors
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
+    # broadcast the bounded (queries x k x oversample)-row shortlist:
+    # a size-estimated SortMergeJoin would shuffle the FULL corpus per
+    # query batch (the r11 grown-corpus demo caught exactly that)
     rescored = (
-        shortlist.join(src.select(id_col, vec_col), id_col)
+        F.broadcast(shortlist).join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )

@@ -874,3 +874,43 @@ def test_hash_ranked_sample_prethin_plan_filters_before_rank(spark):
     out_small = sampling.hash_ranked_sample(small, ["k", "v"], cap=100, seed=5)
     plan_small = out_small._jdf.queryExecution().optimizedPlan().toString()
     assert "pmod" not in plan_small, plan_small
+
+
+def test_ann_rerank_joins_broadcast_the_shortlist(spark, tmp_path):
+    """r11 (grown-corpus demo finding): the exact re-rank joins a
+    bounded (queries x k x oversample)-row shortlist against the full
+    corpus — that side must be broadcast by HINT, not by size
+    estimate. At fixture scale AQE happened to rescue the unhinted
+    join; at 2M rows it planned a SortMergeJoin that shuffled the
+    whole corpus per query batch. Pin: with size-based broadcast OFF,
+    the ivfpq/pq/sq8 re-rank plans still contain no SortMergeJoin."""
+    import os
+
+    from automated_data_pipeline_spark.operators import similarity
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = str(tmp_path / "ivfpq")
+        enc, cent, _, cb = similarity.ivfpq_index(
+            e, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+        )
+        similarity.write_ivfpq_index(enc, cent, cb, p)
+        out = similarity.ivfpq_topk_persisted(spark, p, e, q, k=5, nprobe=8)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+
+        out2 = similarity.sq8_topk_rerank(e, q, k=5, oversample=4)
+        out2.count()
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
