@@ -533,7 +533,8 @@ _PRETHIN_TARGET = 8
 
 
 def hash_ranked_sample(
-    df: DataFrame, hash_cols: list[str], cap: int, seed: int = 42
+    df: DataFrame, hash_cols: list[str], cap: int, seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic bounded UNIFORM sample: rank rows by a content
     hash of ``hash_cols`` and keep the smallest ``cap`` — the shared
@@ -565,14 +566,24 @@ def hash_ranked_sample(
     boundaries); a slice that lands under ``cap`` rows (vanishingly
     unlikely at 8x headroom) falls back to the unthinned rank. Inputs
     at or below ``_PRETHIN_MIN x cap`` rows never pre-thin, so
-    fixture-scale selections are bit-identical to the pre-r11 ones."""
+    fixture-scale selections are bit-identical to the pre-r11 ones.
+
+    ``n_rows``: optional row-count hint. The threshold check needs the
+    input size, and ``df.count()`` EXECUTES the input's lineage — on
+    the IVF-PQ residual training sample that lineage is a full Arrow
+    assignment + residual pass over the corpus, which turned the
+    size probe itself into the cost it was meant to avoid (r11 bench
+    diff: ann_ivfpq_exact_full +60%). Callers whose input carries
+    heavy lineage pass the count of the cheap SOURCE instead (an
+    overestimate just makes the thin slice larger; the short-draw
+    fallback still guarantees cap rows)."""
     clash = {"_r", "_r2"} & set(df.columns)
     if clash:
         raise ValueError(
             f"hash_ranked_sample reserves column names {sorted(clash)}; "
             "rename them on the input first"
         )
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     if n > _PRETHIN_MIN * cap:
         denom = max(2, n // (_PRETHIN_TARGET * cap))
         thinned = df.filter(

@@ -28,6 +28,29 @@ from pyspark.sql.window import Window
 from ..functions import vectors as V
 
 
+# re-rank shortlist broadcast-hint bound: per-query shortlists up to
+# this size are forced onto the broadcast side of the exact re-rank
+# join (the production ANN regime — k*oversample is tens of rows, and
+# leaving the choice to size estimates let a 2M-row corpus fall into a
+# corpus-shuffling SortMergeJoin); above it (the exact-mode witnesses,
+# where oversample ~ corpus/k makes the "shortlist" corpus-sized) the
+# hint is withheld and AQE decides, since force-broadcasting a
+# corpus-sized frame is wrong at scale and measurably slower even at
+# fixture scale (r11 A/B: 5.2 s vs 3.9 s on ann_ivfpq_exact_full —
+# the broadcast build serializes the whole ADC-scored shortlist
+# subtree through the driver before the join can start). 256 sits an
+# order of magnitude above every production config (k 5-10 x
+# oversample 4-5) and below every exact-mode witness (>= corpus/k =
+# 500 at the smallest fixture).
+_SHORTLIST_BROADCAST_MAX = 256
+
+
+def _shortlist_hint(short: DataFrame, k: int, oversample: int) -> DataFrame:
+    if k * oversample <= _SHORTLIST_BROADCAST_MAX:
+        return F.broadcast(short)
+    return short
+
+
 def per_query_topk(
     scored: DataFrame,
     query_id_col: str,
@@ -214,9 +237,14 @@ def ivf_index(
     max_iter: int = 6,
     train_fraction: float = 1.0,
     train_cap: int = 100_000,
+    train_rows_hint: int | None = None,
 ):
     """IVF coarse index: k-means centroids + cluster assignment per
     vector. Returns (assigned_corpus, centroids_df).
+
+    ``train_rows_hint``: optional non-null-vector row count, forwarded
+    to the sampler's pre-thin threshold check so it never has to
+    count a heavy lineage itself (see ``hash_ranked_sample``).
 
     Scale split (how FAISS-style IVF trains too): the coarse quantizer
     is fit on a bounded driver-side SAMPLE (``train_fraction`` capped at
@@ -242,11 +270,16 @@ def ivf_index(
     sample = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).cast("array<double>").alias("v")
     )
+    n_hint = train_rows_hint
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
+        if n_hint is not None:
+            n_hint = int(n_hint * train_fraction)
     from .sampling import hash_ranked_sample
 
-    rows = hash_ranked_sample(sample, ["v"], train_cap, seed).collect()
+    rows = hash_ranked_sample(
+        sample, ["v"], train_cap, seed, n_rows=n_hint
+    ).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(X) < n_clusters:
         raise ValueError(f"need >= {n_clusters} training vectors, got {len(X)}")
@@ -423,6 +456,7 @@ def pq_train(
     max_iter: int = 8,
     train_fraction: float = 1.0,
     train_cap: int = 100_000,
+    train_rows_hint: int | None = None,
 ):
     """Product-quantization codebook (Jégou et al. 2011): split each
     vector into ``m`` contiguous subspaces of dim/m components and fit
@@ -451,11 +485,16 @@ def pq_train(
     sample = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).cast("array<double>").alias("v")
     )
+    n_hint = train_rows_hint
     if train_fraction < 1.0:
         sample = sample.sample(train_fraction, seed=seed)
+        if n_hint is not None:
+            n_hint = int(n_hint * train_fraction)
     from .sampling import hash_ranked_sample
 
-    rows = hash_ranked_sample(sample, ["v"], train_cap, seed).collect()
+    rows = hash_ranked_sample(
+        sample, ["v"], train_cap, seed, n_rows=n_hint
+    ).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(X) < n_codes:
         raise ValueError(f"need >= {n_codes} training vectors, got {len(X)}")
@@ -742,9 +781,15 @@ def _sq8_search(
     # id) pairs — broadcast it so the corpus side streams in place; a
     # size-estimated SortMergeJoin here would shuffle the FULL corpus
     # per query batch (caught by the r11 grown-corpus scale demo; at
-    # fixture scale AQE happened to rescue it, at 2M+ rows it didn't)
+    # fixture scale AQE happened to rescue it, at 2M+ rows it didn't).
+    # Hint only when the per-query bound is genuinely small: the
+    # exact-mode witnesses set oversample ~ corpus/k, making the
+    # "shortlist" corpus-sized — forcing a broadcast there is wrong at
+    # scale and measurably slower at fixture scale (r11 bench diff);
+    # those fall through to AQE's choice exactly as before.
     rer = (
-        F.broadcast(short).join(vectors.select(id_col, vec_col), id_col)
+        _shortlist_hint(short, k, oversample)
+        .join(vectors.select(id_col, vec_col), id_col)
         .join(
             F.broadcast(queries.select(query_id_col, query_vec_col)),
             query_id_col,
@@ -1014,9 +1059,12 @@ def pq_topk_rerank(
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     # broadcast the bounded (queries x k x oversample)-row shortlist:
     # a size-estimated SortMergeJoin would shuffle the FULL corpus per
-    # query batch (the r11 grown-corpus demo caught exactly that)
+    # query batch (the r11 grown-corpus demo caught exactly that);
+    # exact-mode corpus-sized "shortlists" fall through to AQE — see
+    # _shortlist_hint
     rescored = (
-        F.broadcast(shortlist).join(src.select(id_col, vec_col), id_col)
+        _shortlist_hint(shortlist, k, oversample)
+        .join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )
@@ -1112,9 +1160,17 @@ def ivfpq_index(
     the encoded corpus persists partitioned by ``ivf_cluster`` (see
     ``write_ivf_index``) so a probe reads nprobe directories of 8-byte
     codes — the billion-vector layout."""
+    # one cheap source-side count feeds BOTH trainers' pre-thin
+    # threshold checks: the residual sample's lineage below carries
+    # the Arrow assignment UDF, and letting the sampler count THAT
+    # would pay a full extra corpus pass (r11 bench diff); non-null
+    # vectors == non-null residuals by construction, so the count is
+    # exact for both
+    n_vec = corpus.filter(F.col(vec_col).isNotNull()).count()
     assigned, cent_df = ivf_index(
         corpus, n_clusters, vec_col, seed, max_iter=max_iter,
         train_fraction=train_fraction, train_cap=train_cap,
+        train_rows_hint=n_vec,
     )
     # the materialized residual column exists only on the TRAINING
     # sample's lineage (pq_train bounds it at train_cap rows); the
@@ -1131,7 +1187,7 @@ def ivfpq_index(
     codebooks, codebook_df = pq_train(
         resid, dim=dim, m=m, n_codes=n_codes, vec_col="_resid", seed=seed,
         max_iter=max_iter, train_fraction=train_fraction,
-        train_cap=train_cap,
+        train_cap=train_cap, train_rows_hint=n_vec,
     )
     # Arrow-batched residual encode, subtract + BLAS argmin in ONE
     # narrow pass: the literal-expression variant spends ~5 s
@@ -1280,9 +1336,12 @@ def ivfpq_topk(
     exact_d2 = F.round(V.sq_l2(F.col(vec_col), F.col(query_vec_col)), digits)
     # broadcast the bounded (queries x k x oversample)-row shortlist:
     # a size-estimated SortMergeJoin would shuffle the FULL corpus per
-    # query batch (the r11 grown-corpus demo caught exactly that)
+    # query batch (the r11 grown-corpus demo caught exactly that);
+    # exact-mode corpus-sized "shortlists" fall through to AQE — see
+    # _shortlist_hint
     rescored = (
-        F.broadcast(shortlist).join(src.select(id_col, vec_col), id_col)
+        _shortlist_hint(shortlist, k, oversample)
+        .join(src.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(F.col(query_id_col), F.col(id_col), exact_d2.alias("d2"))
     )

@@ -863,23 +863,37 @@ def bench_stream_dsir(spark, sf_dir: str) -> float:
     return took
 
 
-def _noise_probe(spark, sf_dir: str) -> float:
+def _noise_probe(spark, sf_dir: str) -> dict:
     """Fixed reference workload for host-noise detection: a pushed-down
-    lineitem scan-count, min of 3 after one untimed warm run (the
-    session's first-ever job pays codegen/scan-listing startup costs
-    that aren't host noise; the probe itself must be noise-resistant
-    or it can't measure noise). Residual JIT warmup can still inflate
-    the START probe a bit (measured ~2x on a quiet host), so read the
-    ratio as an upper bound on noise, not an exact figure."""
-    for _ in range(3):
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    best = None
-    for _ in range(3):
+    lineitem scan-count, 3 timed runs after up-to-10 warm rounds (warm
+    stops when two consecutive timings agree within 20%).
+
+    Returns {'sec': min, 'spread': max/min of the timed samples}.
+    Measurement note (r11): the START probe sits on a ~2.4x-slower
+    plateau than the END probe on a PROVABLY quiet host (four
+    back-to-back full runs, totals within ±4%, end probes within
+    ±8%) — the whole JVM speeds up across the 131 workloads as C2
+    compiles Spark's scan stack, and no amount of single-query warm
+    rounds flattens that. So the start/end ratio is a JIT artifact,
+    NOT a host-noise figure; the honest noise signals are each probe's
+    intra-probe 'spread' and the agreement of probe_end/totals across
+    repeated runs (recorded per close in BASELINE.md)."""
+    def scan():
         t0 = time.time()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-        took = time.time() - t0
-        best = took if best is None else min(best, took)
-    return round(best, 4)
+        return time.time() - t0
+
+    prev = None
+    for _ in range(10):
+        dt = scan()
+        if prev is not None and abs(dt - prev) <= 0.2 * max(dt, prev):
+            break
+        prev = dt
+    samples = [scan() for _ in range(3)]
+    return {
+        "sec": round(min(samples), 4),
+        "spread": round(max(samples) / max(min(samples), 1e-9), 2),
+    }
 
 
 def main():
@@ -889,6 +903,29 @@ def main():
     spark = get_spark("adp-bench")
     specs = {s.name: s for s in all_specs()}
     timings: dict[str, float] = {}
+
+    # Bench-only shared ANN build lineage (VERDICT r10 item 8): the
+    # witness queries rebuild their index per call by design, which
+    # made the bench top-10 measure build lineage, not serving cost.
+    # Clear any stale stamps (a previous bench run's artifacts may
+    # predate code changes), then let the warm run build ONCE and the
+    # timed min-of-2 measure the serve/query path. The driver gate
+    # and check_oracles never set this flag — their runs keep the
+    # full independent lineage.
+    import glob
+    import tempfile as _tf
+
+    for st in glob.glob(
+        os.path.join(_tf.gettempdir(), "adps_index_*", ".bench_build_stamp")
+    ):
+        os.remove(st)
+    os.environ["SPARK_GRAFT_ANN_REUSE_BUILD"] = "1"
+    ann_shared = [
+        "ann_sq8_persisted", "ann_pq_persisted_exact",
+        "ann_ivfpq_persisted_exact", "ann_ivf_append_exact",
+        "ann_ivfpq_append_exact", "ann_ivf_tombstone_exact",
+        "ann_ivfpq_rebuild_exact",
+    ]
 
     probe_start = _noise_probe(spark, SF_DIR)
 
@@ -937,10 +974,16 @@ def main():
     except ValueError:
         sf_val = None
     host_noise = {
-        "probe_start_sec": probe_start,
-        "probe_end_sec": probe_end,
-        "ratio": round(max(probe_start, probe_end)
-                       / max(min(probe_start, probe_end), 1e-9), 2),
+        "probe_start_sec": probe_start["sec"],
+        "probe_start_spread": probe_start["spread"],
+        "probe_end_sec": probe_end["sec"],
+        "probe_end_spread": probe_end["spread"],
+        # start/end ratio is JIT-dominated (see _noise_probe) — the
+        # noise figures are the two spreads above
+        "start_end_ratio_jit_dominated": round(
+            max(probe_start["sec"], probe_end["sec"])
+            / max(min(probe_start["sec"], probe_end["sec"]), 1e-9), 2
+        ),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -954,6 +997,13 @@ def main():
                 "sf": sf_val,
                 "n": len(timings),
                 "host_noise": host_noise,
+                "ann_shared_build_fixture": {
+                    "note": "warm run builds the index lineage once; "
+                    "timed runs measure the serve/query path "
+                    "(SPARK_GRAFT_ANN_REUSE_BUILD=1, bench-only — "
+                    "gate runs keep full independent lineage)",
+                    "rows": ann_shared,
+                },
                 "queries": timings,
             },
             f,
