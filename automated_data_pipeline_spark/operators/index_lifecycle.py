@@ -110,25 +110,57 @@ def record_applied_batch_keys(
     corpus batch_key stamps die with physical purges; ledger entries
     don't). ``keys`` is a DataFrame carrying ``batch_key`` or a plain
     iterable of strings. Append-only + read-time DISTINCT, the same
-    idempotent-merge convention as the tombstone store; one tiny file
-    per append, bounded O(batches)."""
-    if not isinstance(keys, DataFrame):
-        keys = spark.createDataFrame(
-            [(str(k),) for k in keys], "batch_key string"
-        )
+    idempotent-merge convention as the tombstone store.
+
+    Storage is driver-side newline-text, one file per append (written
+    to a dot-tmp then renamed — atomic on a same-filesystem store, so
+    a crash mid-write leaves only an invisible tmp, never a torn
+    entry): the ledger is a bounded O(batches) list of short strings,
+    and the original parquet implementation paid a full Spark write
+    JOB per ingest batch for it — measured +~0.3 s/batch on the r11
+    bench, more than the appends it protects."""
+    import uuid
+
+    if isinstance(keys, DataFrame):
+        keys = [
+            r["batch_key"]
+            for r in keys.select("batch_key").distinct().collect()
+        ]
+    keys = [str(k) for k in keys if k is not None]
+    if not keys:
+        return
     ledger = f"{index_path}/ingest_ledger"
-    _recover_compact(ledger)
-    keys.select("batch_key").distinct().write.mode("append").parquet(ledger)
+    os.makedirs(ledger, exist_ok=True)
+    name = f"{uuid.uuid4().hex}.keys"
+    tmp = os.path.join(ledger, f".tmp-{name}")
+    with open(tmp, "w") as f:
+        f.write("\n".join(keys) + "\n")
+    os.rename(tmp, os.path.join(ledger, name))
+
+
+def applied_batch_key_set(index_path: str) -> set:
+    """The distinct set of ingest batch_keys known applied to this
+    index — the replay probe's membership test (driver-side, no Spark
+    job; the ledger is O(batches) short strings)."""
+    ledger = f"{index_path}/ingest_ledger"
+    out: set = set()
+    if not os.path.isdir(ledger):
+        return out
+    for fname in os.listdir(ledger):
+        if fname.startswith(".") or not fname.endswith(".keys"):
+            continue
+        with open(os.path.join(ledger, fname)) as f:
+            out.update(line.strip() for line in f if line.strip())
+    return out
 
 
 def applied_batch_keys(spark: SparkSession, index_path: str) -> DataFrame:
-    """The distinct set of ingest batch_keys known applied to this
-    index (empty frame when none were ever recorded)."""
-    ledger = f"{index_path}/ingest_ledger"
-    _recover_compact(ledger)
-    if not _has_parquet(ledger):
-        return spark.createDataFrame([], "batch_key string")
-    return spark.read.parquet(ledger).select("batch_key").distinct()
+    """``applied_batch_key_set`` as a one-column DataFrame (empty when
+    none were ever recorded) — for callers composing it into plans."""
+    return spark.createDataFrame(
+        [(k,) for k in sorted(applied_batch_key_set(index_path))],
+        "batch_key string",
+    )
 
 
 def compact_index(
@@ -426,17 +458,17 @@ def rebuild_index_generation(
     # uncommitted batch would re-append (worse: resurrect its
     # tombstoned rows). Materialized before any directory moves.
     data_dir = f"{index_path}/{_DATA_DIR[family]}"
-    led = applied_batch_keys(spark, index_path)
+    led = applied_batch_key_set(index_path)
     if _has_parquet(data_dir):
         old_corpus = spark.read.parquet(data_dir)
         if "batch_key" in old_corpus.columns:
-            led = led.union(
-                old_corpus.select("batch_key")
-                .filter(F.col("batch_key") != "build").distinct()
-            )
-    led = led.distinct().localCheckpoint(eager=True)
-    if led.take(1):
-        led.write.mode("overwrite").parquet(f"{tmp}/ingest_ledger")
+            led |= {
+                r["batch_key"]
+                for r in old_corpus.select("batch_key")
+                .filter(F.col("batch_key") != "build").distinct().collect()
+            }
+    if led:
+        record_applied_batch_keys(spark, tmp, sorted(led))
 
     # carry tombstones that landed during the build into the new
     # generation (materialized before any directory moves); ids in

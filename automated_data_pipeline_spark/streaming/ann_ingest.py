@@ -143,7 +143,7 @@ def start_incremental_ann_ingest(
     append = appenders[family]
     from ..operators.index_lifecycle import (
         _DATA_DIR,
-        applied_batch_keys,
+        applied_batch_key_set,
         record_applied_batch_keys,
     )
 
@@ -167,10 +167,7 @@ def start_incremental_ann_ingest(
         # it and resurrect deleted vectors (the r10 advisor's finding;
         # compact/rebuild fold stamps into the ledger pre-swap).
         done = maybe_replay[0] and (
-            bool(
-                applied_batch_keys(spark, index_path)
-                .filter(F.col("batch_key") == key).take(1)
-            )
+            key in applied_batch_key_set(index_path)
             or (
                 _has_parquet(corpus_dir) and bool(
                     spark.read.parquet(corpus_dir)
