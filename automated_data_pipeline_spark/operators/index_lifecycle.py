@@ -262,6 +262,33 @@ def compact_index(
     shutil.rmtree(old, ignore_errors=True)
     if applied is not None:
         _trim_tombstones(spark, index_path, applied, id_col)
+    _consolidate_ledger(spark, index_path)
+
+
+def _consolidate_ledger(spark: SparkSession, index_path: str) -> None:
+    """Rewrite the applied-batch ledger's one-file-per-append pile into
+    a single file (compaction housekeeping — the ledger is append-only
+    text, one tiny file per ingest batch, so a long-lived index
+    accumulates O(batches) files). Crash-safe by ordering alone: the
+    consolidated file is written (and visible) BEFORE the originals
+    are removed, and duplicate keys are harmless under the read-time
+    set union — any crash window leaves a superset, never a loss."""
+    ledger = f"{index_path}/ingest_ledger"
+    if not os.path.isdir(ledger):
+        return
+    originals = [
+        f for f in os.listdir(ledger)
+        if f.endswith(".keys") and not f.startswith(".")
+    ]
+    if len(originals) <= 1:
+        return
+    keys = applied_batch_key_set(index_path)
+    record_applied_batch_keys(spark, index_path, sorted(keys))
+    for fname in originals:
+        try:
+            os.remove(os.path.join(ledger, fname))
+        except OSError:
+            pass  # a concurrent cleanup already removed it; superset-safe
 
 
 def _trim_tombstones(

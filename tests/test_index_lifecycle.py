@@ -729,3 +729,27 @@ def test_rebuild_carries_applied_batch_ledger(spark, emb, tmp_path):
         .select("batch_key").distinct().collect()
     }
     assert stamps == {"build"}
+
+
+def test_compact_consolidates_ledger_files(spark, emb, tmp_path):
+    """Compaction housekeeping: the one-file-per-batch ledger pile is
+    rewritten to a single file with the key SET unchanged."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        applied_batch_key_set,
+        record_applied_batch_keys,
+    )
+    from automated_data_pipeline_spark.streaming.ann_ingest import (
+        write_ivf_index_for_ingest,
+    )
+
+    assigned, cent_df = similarity.ivf_index(emb, n_clusters=8, max_iter=1)
+    path = str(tmp_path / "idx")
+    write_ivf_index_for_ingest(assigned, cent_df, path)
+    for i in range(5):
+        record_applied_batch_keys(spark, path, [f"ck#{i}"])
+    ledger = f"{path}/ingest_ledger"
+    assert len([f for f in os.listdir(ledger) if f.endswith(".keys")]) == 5
+    before = applied_batch_key_set(path)
+    compact_index(spark, path, "ivf")
+    assert applied_batch_key_set(path) == before
+    assert len([f for f in os.listdir(ledger) if f.endswith(".keys")]) == 1
