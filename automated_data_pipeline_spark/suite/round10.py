@@ -42,6 +42,7 @@ from .round6 import (
     _queries3,
 )
 from .round7 import _DSIR_SQL, _NOVELTY_SQL, _VOCAB_OVERLAP_SQL, _r4
+from .round9 import _reuse_lineage, _stamp_lineage
 
 SPECS: list[QuerySpec] = []
 
@@ -214,14 +215,18 @@ def ann_ivf_tombstone_exact(spark, sf_dir):
     witnesses the query-time semantics."""
     e = load(spark, sf_dir, "embeddings")
     corpus, _ = _exact_corpus(e)
-    # max_iter=1: exactness comes from nprobe == n_clusters
-    assigned, cent_df = similarity.ivf_index(corpus, n_clusters=8, max_iter=1)
     path = _index_path("ivf_tomb")
-    shutil.rmtree(path, ignore_errors=True)  # reset prior tombstones
-    similarity.write_ivf_index(assigned, cent_df, path)
-    add_tombstones(
-        spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
-    )
+    if not _reuse_lineage(path, sf_dir, "ivf-tomb-v1"):
+        # max_iter=1: exactness comes from nprobe == n_clusters
+        assigned, cent_df = similarity.ivf_index(
+            corpus, n_clusters=8, max_iter=1
+        )
+        shutil.rmtree(path, ignore_errors=True)  # reset prior tombstones
+        similarity.write_ivf_index(assigned, cent_df, path)
+        add_tombstones(
+            spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
+        )
+        _stamp_lineage(path, sf_dir, "ivf-tomb-v1")
     out = similarity.ivf_topk_persisted(
         spark, path, _queries3(e), k=5, nprobe=8
     )
@@ -249,19 +254,21 @@ def ann_ivfpq_rebuild_exact(spark, sf_dir):
     path)."""
     e = load(spark, sf_dir, "embeddings")
     corpus, _ = _exact_corpus(e)
-    enc, cent_df, _cb, cb_df = similarity.ivfpq_index(
-        corpus, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
-    )
     path = _index_path("ivfpq_rebuild")
-    shutil.rmtree(path, ignore_errors=True)
-    similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
-    add_tombstones(
-        spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
-    )
-    rebuild_index_generation(
-        spark, path, corpus, "ivfpq", dim=64, n_clusters=8, m=8,
-        n_codes=16, max_iter=1,
-    )
+    if not _reuse_lineage(path, sf_dir, "ivfpq-rebuild-v1"):
+        enc, cent_df, _cb, cb_df = similarity.ivfpq_index(
+            corpus, dim=64, n_clusters=8, m=8, n_codes=16, max_iter=1
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        similarity.write_ivfpq_index(enc, cent_df, cb_df, path)
+        add_tombstones(
+            spark, path, corpus.filter(F.col("vec_id") % 10 == 3)
+        )
+        rebuild_index_generation(
+            spark, path, corpus, "ivfpq", dim=64, n_clusters=8, m=8,
+            n_codes=16, max_iter=1,
+        )
+        _stamp_lineage(path, sf_dir, "ivfpq-rebuild-v1")
     live = corpus.filter(F.col("vec_id") % 10 != 3)
     out = similarity.ivfpq_topk_persisted(
         spark, path, corpus, _queries3(e), k=5, nprobe=8,

@@ -341,3 +341,33 @@ def test_grown_index_recall_tracks_rebuilt(spark, emb):
     # useful at partial probe, and within a small margin of a rebuild
     assert r_grown >= 0.5, r_grown
     assert r_grown >= r_rebuilt - 0.15, (r_grown, r_rebuilt)
+
+
+def test_bench_build_memo_is_value_transparent(spark, monkeypatch):
+    """r11 (VERDICT r10 item 8): under SPARK_GRAFT_ANN_REUSE_BUILD=1
+    (bench-only) a witness query's second call skips the index-build
+    lineage and must return EXACTLY the first call's values; without
+    the flag no stamp is ever written (gate runs keep full
+    independent lineage)."""
+    import os
+
+    from automated_data_pipeline_spark.suite import all_specs
+    from automated_data_pipeline_spark.suite.round9 import _index_path
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    fn = {s.name: s.fn for s in all_specs()}["ann_ivfpq_append_exact"]
+    stamp = os.path.join(_index_path("ivfpq_append"), ".bench_build_stamp")
+    if os.path.exists(stamp):
+        os.remove(stamp)
+
+    # gate mode: no flag -> no stamp
+    monkeypatch.delenv("SPARK_GRAFT_ANN_REUSE_BUILD", raising=False)
+    fn(spark, sf).count()
+    assert not os.path.exists(stamp)
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_REUSE_BUILD", "1")
+    first = sorted(tuple(r) for r in fn(spark, sf).collect())  # builds+stamps
+    assert os.path.exists(stamp)
+    again = sorted(tuple(r) for r in fn(spark, sf).collect())  # reuses
+    assert again == first
+    os.remove(stamp)
