@@ -863,3 +863,105 @@ def simhash_pairs(
         bits=TX.SIMHASH_BITS, max_hamming=max_hamming,
         n_blocks=n_rotations,
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    seed: str = "win",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS local fingerprinting scheme): hash every char ``k``-gram
+    of the lowercased text, then keep the MINIMUM hash of every window
+    of ``w`` consecutive grams. The distinct set of selected hashes is
+    the document's fingerprint — winnowing guarantees any shared
+    substring of length >= k + w - 1 contributes at least one shared
+    fingerprint, so overlap detection is recall-complete above that
+    threshold (unlike a global min-hash, which keeps ONE hash per doc).
+
+    Scale shape: the whole extraction is a single narrow projection —
+    gram hashing and window minima are array expressions (whole-stage
+    codegen, ZERO exchange, no explode until the caller needs
+    per-fingerprint rows). Window minima use a sparse-table doubling
+    scheme over ``zip_with`` (m_2p[s] = least(m_p[s], m_p[s+p])), so
+    the gram array is re-evaluated O(w) times total, NOT once per
+    window — naively nesting the gram expression inside a per-window
+    lambda is O(L*w) md5 calls per WINDOW (O(L^2) per doc), because
+    Spark higher-order lambdas re-evaluate captured subexpressions per
+    element. Documents shorter than k + w - 1 chars yield an empty
+    fingerprint set.
+
+    Returns (id_col, fps: array<bigint> — distinct window minima).
+    """
+    low = F.lower(F.col(text_col))
+    n_grams = F.length(low) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: TX.stable_hash64(F.substr(low, i, F.lit(k)), seed=seed),
+    )
+    # sparse-table minima: after the loop, m[s] = min(grams[s .. s+p-1])
+    # for the largest power of two p <= w; one final least() merges the
+    # (possibly overlapping) tail window. zip_with pads the shorter side
+    # with NULL and least() skips nulls, so trailing entries degrade to
+    # shorter suffixes — they are sliced off below.
+    big = 1 << 30
+    m, p = grams, 1
+    while p * 2 <= w:
+        m = F.zip_with(
+            m, F.slice(m, p + 1, big), lambda a, b: F.least(a, b)
+        )
+        p *= 2
+    if p < w:
+        m = F.zip_with(
+            m, F.slice(m, (w - p) + 1, big), lambda a, b: F.least(a, b)
+        )
+    fps = F.array_distinct(F.slice(m, 1, F.greatest(n_grams - (w - 1), F.lit(0))))
+    guarded = F.when(
+        F.length(low) >= k + w - 1, fps
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), guarded.alias("fps"))
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 3,
+    seed: str = "win",
+) -> DataFrame:
+    """Document-pair overlap via shared winnowing fingerprints — the
+    plagiarism/boilerplate-overlap detector. Candidate pairs come from
+    a self-join on the fingerprint value (same shape as the LSH bucket
+    join: linear-ish in corpus size, NEVER all-pairs); fingerprints
+    shared by more than ``max_df`` documents are dropped first
+    (boilerplate grams — the frequency cap that bounds the join
+    fan-out, exactly the stop-shingle rule from the dedup family).
+
+    Returns (doc_a, doc_b, shared) for pairs sharing >= ``min_shared``
+    distinct fingerprints, doc_a < doc_b.
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col, k, w, seed)
+    e = fp.select(
+        F.col(id_col).alias("doc"), F.explode("fps").alias("f")
+    )
+    freq = e.groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = freq.filter(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_df)
+    ).select("f")
+    kept = e.join(keep, "f")
+    a = kept.select(F.col("f"), F.col("doc").alias("doc_a"))
+    b_side = kept.select(F.col("f"), F.col("doc").alias("doc_b"))
+    pairs = (
+        a.join(b_side, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pairs

@@ -90,6 +90,69 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-LLM
+    "sampling temperature" rule, alpha = 1/T): the target share of
+    domain d is  n_d^alpha / sum_k n_k^alpha  — alpha < 1 upsamples
+    tail domains and downsamples the head while keeping the total
+    token budget constant. Unlike :func:`mixture_sample`, the per-row
+    epoch weight is DATA-DERIVED (w_d = target_count_d / n_d), not a
+    user-supplied constant, so the operator first aggregates per-domain
+    counts and broadcasts the resulting (domain, weight) table back —
+    domains are few, so the weight table never shuffles the corpus.
+
+    Replication is the same deterministic floor(w) + frac(w)-probability
+    extra draw as ``mixture_sample`` (stable md5 hash of the id — no
+    RNG state, auditable row-by-row). Weights are rounded to 6 decimals
+    BEFORE the draw so the cross-engine oracle replays the identical
+    copy decision (the hash unit has 1e-6 granularity).
+
+    Returns input rows + ``wt`` (rounded per-domain weight) + ``copy``
+    (1..n_copies); rows drawn at 0 copies are dropped.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    totals = counts.agg(
+        F.sum("n_d").alias("n_total"),
+        F.sum(F.pow(F.col("n_d"), F.lit(float(alpha)))).alias("denom"),
+    )
+    wts = counts.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        F.round(
+            (
+                F.col("n_total")
+                * F.pow(F.col("n_d"), F.lit(float(alpha)))
+                / F.col("denom")
+            )
+            / F.col("n_d"),
+            6,
+        ).alias("wt"),
+    )
+    unit = (
+        TX.stable_hash64(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+        % 1_000_000
+    ) / 1_000_000.0
+    w = F.col("wt")
+    copies = (
+        F.floor(w).cast("int")
+        + F.when(unit < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.join(F.broadcast(wts), domain_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,192 @@
+"""Round-11 additions: lexical retrieval (BM25), temperature-based
+mixture resampling, winnowing fingerprint overlap, and char-entropy
+quality scoring — four LLM-pipeline curation operators, each with a
+strict DuckDB oracle.
+
+Cross-engine conventions as everywhere in the suite: md5-derived
+``stable_hash64``, integer statistics wherever possible, doubles
+rounded before ranking/compare, fully deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup, retrieval, sampling
+from . import QuerySpec, load
+from .llm import _WORDS_SQL
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# BM25 top-k retrieval. Fixed seed queries over the corpus vocabulary;
+# the scale story is in operators/retrieval.py (one tokenize pass,
+# broadcast df/query tables, vocabulary-pruned scoring shortlist).
+_BM25_QUERIES = {
+    1: ["spark", "join"],
+    2: ["stream", "window", "batch"],
+    3: ["vector", "hash"],
+}
+
+
+@spec(
+    "bm25_top_docs",
+    retrieval.bm25_oracle_sql(_BM25_QUERIES, _WORDS_SQL, k=5),
+    "Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-5 docs per seed "
+    "query. One tokenize pass feeds tf/dl/df; query+df tables "
+    "broadcast; per-(query,doc) score rounded after the term sum and "
+    "ranked with a doc_id tie-break",
+)
+def bm25_top_docs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_top_docs(spark, d, _BM25_QUERIES, k=5)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "temperature_resample_by_lang",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_d) AS n_total, sum(pow(n_d, 0.5)) AS denom FROM c),
+    w AS (
+      SELECT c.lang,
+             round((t.n_total * pow(c.n_d, 0.5) / t.denom) / c.n_d, 6) AS wt
+      FROM c CROSS JOIN t
+    ),
+    d AS (
+      SELECT doc_id, documents.lang, wt,
+        (CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) / 1000000.0 AS unit
+      FROM documents JOIN w ON documents.lang = w.lang
+    ),
+    cp AS (
+      SELECT doc_id, lang, wt,
+        CAST(floor(wt) AS INT)
+          + CASE WHEN unit < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT cp.doc_id, cp.lang, cp.wt, CAST(t2.copy AS INT) AS copy
+    FROM cp, UNNEST(range(1, copies + 1)) AS t2(copy)
+    WHERE copies >= 1
+    """,
+    "temperature sampling (alpha=0.5, i.e. T=2): target share of lang "
+    "d is n_d^0.5 / sum n_k^0.5 — data-derived per-domain epoch "
+    "weights (broadcast back, corpus never shuffles), then the "
+    "deterministic floor+frac hash draw; weights rounded to 6 before "
+    "the draw so both engines replay the same copy decision",
+)
+def temperature_resample_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(d, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "wt", "copy")
+
+
+# --------------------------------------------------------------------
+@spec(
+    "winnowing_overlap_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, greatest(length(lower(text)) - 7, 0) + 1),
+          i -> CAST(('0x' || substr(md5('win:' || substr(lower(text), i, 8)), 1, 15)) AS BIGINT)
+        ) AS gr
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(gr) - 3, 0) + 1),
+          s -> list_aggregate(gr[s:s+3], 'min')
+        )) AS fps
+      FROM g
+    ),
+    e AS (SELECT doc_id AS doc, unnest(fps) AS f FROM fp),
+    freq AS (
+      SELECT f FROM e GROUP BY f
+      HAVING count(*) BETWEEN 2 AND 8
+    ),
+    kept AS (SELECT e.doc, e.f FROM e JOIN freq USING (f)),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.f = b.f AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 5
+    """,
+    "winnowing (MOSS) fingerprint overlap: char-8-gram hashes, "
+    "window-4 minima, distinct per doc; pairs sharing >=5 "
+    "fingerprints via a frequency-capped (df<=8) fingerprint-bucket "
+    "self-join — recall-complete for shared substrings >=11 chars, "
+    "never all-pairs. The tight df cap is load-bearing on this "
+    "corpus: its 30-word synthetic vocabulary makes char-8-grams "
+    "recur everywhere, and boilerplate-frequency fingerprints carry "
+    "no overlap signal anyway (same stop-shingle rule as the "
+    "Jaccard family). Extraction is pure array expressions (zero "
+    "exchange until the bucket join)",
+)
+def winnowing_overlap_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.winnowing_overlap_pairs(
+        d, "doc_id", "text", k=8, w=4, max_df=8, min_shared=5
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "char_entropy_quality",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, length(text) + 1),
+                              i -> substr(text, i, 1))) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS k,
+             sum(c * log2(c)) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id,
+           round(log2(n) - s / n, 4) AS h_entropy,
+           CAST(k AS BIGINT) AS distinct_chars
+    FROM agg
+    """,
+    "character-unigram Shannon entropy per document (H = log2 n - "
+    "(sum c*log2 c)/n) — the gibberish/repetition quality signal "
+    "(low-entropy docs are keyboard-mash or char floods). Explode is "
+    "linear; the (doc, char) aggregate collapses map-side to "
+    "<=|alphabet| rows per doc before any exchange",
+)
+def char_entropy_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.substr(F.col("text"), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("h_entropy"),
+        F.col("k").alias("distinct_chars"),
+    )

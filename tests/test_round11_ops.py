@@ -1,0 +1,245 @@
+"""Round-11 operators: BM25 retrieval (operators/retrieval.py),
+temperature mixture resampling (operators/sampling.py), winnowing
+fingerprints (operators/dedup.py), and char-entropy quality — semantics
+vs brute-force Python references plus edge behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.functions.text import stable_hash64_py
+from automated_data_pipeline_spark.operators.dedup import (
+    winnowing_fingerprints, winnowing_overlap_pairs,
+)
+from automated_data_pipeline_spark.operators.retrieval import bm25_top_docs
+from automated_data_pipeline_spark.operators.sampling import (
+    temperature_mixture,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------------------ BM25
+def _brute_bm25(texts, queries, k1=1.2, b=0.75):
+    toks = [t.lower().split() for t in texts]
+    n = len([t for t in toks if t])
+    dl = {i: len(t) for i, t in enumerate(toks) if t}
+    avgdl = sum(dl.values()) / n
+    df: dict[str, int] = {}
+    for t in toks:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    scores: dict[tuple[int, int], float] = {}
+    for qid, terms in queries.items():
+        for d, t in enumerate(toks):
+            s = 0.0
+            hit = False
+            for term in terms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1)
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * dl[d] / avgdl)
+                )
+            if hit:
+                scores[(qid, d)] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_brute_force(spark):
+    texts = [
+        "spark join join join filter",
+        "spark stream window",
+        "batch batch batch batch window",
+        "vector hash hash",
+        "filter scan merge",
+    ]
+    queries = {1: ["spark", "join"], 2: ["batch", "window"]}
+    expected = _brute_bm25(texts, queries)
+    rows = bm25_top_docs(
+        spark, _docs(spark, texts), queries, k=10
+    ).collect()
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in rows}
+    assert got == expected
+    # rank sanity: doc0 (3x join + spark) outranks doc1 for query 1
+    ranks = {
+        (r["query_id"], r["doc_id"]): r["rnk"] for r in rows
+    }
+    assert ranks[(1, 0)] < ranks[(1, 1)]
+
+
+def test_bm25_k_caps_results_per_query(spark):
+    texts = ["spark"] * 7
+    rows = bm25_top_docs(
+        spark, _docs(spark, texts), {1: ["spark"]}, k=3
+    ).collect()
+    assert len(rows) == 3
+    # all scores tie -> doc_id tie-break ascending
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+
+
+# ------------------------------------------------- temperature mixture
+def _brute_temperature(langs_per_id, alpha=0.5, seed="temp"):
+    counts: dict[str, int] = {}
+    for lang in langs_per_id.values():
+        counts[lang] = counts.get(lang, 0) + 1
+    n_total = sum(counts.values())
+    denom = sum(c ** alpha for c in counts.values())
+    wt = {
+        lang: round((n_total * c ** alpha / denom) / c, 6)
+        for lang, c in counts.items()
+    }
+    out = {}
+    for i, lang in langs_per_id.items():
+        w = wt[lang]
+        unit = (stable_hash64_py(f"{seed}:{i}") % 1_000_000) / 1_000_000.0
+        copies = int(math.floor(w)) + (1 if unit < w - math.floor(w) else 0)
+        out[i] = (lang, w, copies)
+    return out
+
+
+def test_temperature_mixture_matches_brute_force(spark):
+    langs = (["en"] * 40) + (["de"] * 9) + (["zh"] * 1)
+    df = spark.createDataFrame(
+        [(i, lang) for i, lang in enumerate(langs)],
+        "doc_id long, lang string",
+    )
+    expected = _brute_temperature(dict(enumerate(langs)))
+    rows = temperature_mixture(df, "lang", "doc_id", alpha=0.5).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["lang"], r["wt"], r["copy"]))
+    for i, (lang, w, copies) in expected.items():
+        if copies == 0:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == [
+                (lang, w, c) for c in range(1, copies + 1)
+            ]
+    # alpha<1 flattens: the head domain is downsampled, the tail
+    # upsampled, and per-row weights preserve the total budget
+    wts = {r["lang"]: r["wt"] for r in rows}
+    assert wts["en"] < 1.0 < wts["zh"]
+    n_total = len(langs)
+    budget = sum(
+        counts * wts[lang]
+        for lang, counts in {"en": 40, "de": 9, "zh": 1}.items()
+    )
+    assert abs(budget - n_total) < 1e-3
+
+
+def test_temperature_alpha_one_is_identity_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    rows = temperature_mixture(df, "lang", "doc_id", alpha=1.0).collect()
+    # alpha=1 -> every weight is exactly 1.0: one copy per input row
+    assert len(rows) == 30
+    assert {r["wt"] for r in rows} == {1.0}
+    assert {r["copy"] for r in rows} == {1}
+
+
+# ---------------------------------------------------------- winnowing
+def _brute_winnow(text, k=8, w=4, seed="win"):
+    low = text.lower()
+    if len(low) < k + w - 1:
+        return set()
+    grams = [
+        stable_hash64_py(f"{seed}:{low[i:i + k]}")
+        for i in range(len(low) - k + 1)
+    ]
+    return {
+        min(grams[s:s + w]) for s in range(len(grams) - w + 1)
+    }
+
+
+def test_winnowing_fingerprints_match_brute_force(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "THE QUICK BROWN fox jumps over something else",
+    ]
+    rows = winnowing_fingerprints(_docs(spark, texts)).collect()
+    got = {r["doc_id"]: set(r["fps"]) for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == _brute_winnow(t), f"doc {i}"
+    # docs 0 and 2 share a >=11-char prefix (case-insensitive):
+    # winnowing guarantees at least one shared fingerprint
+    assert got[0] & got[2]
+    assert not (got[0] & got[1])
+
+
+def test_winnowing_short_doc_yields_empty(spark):
+    rows = winnowing_fingerprints(_docs(spark, ["abcdefghij", ""])).collect()
+    assert all(r["fps"] == [] for r in rows)
+
+
+def test_winnowing_overlap_pairs_brute_parity(spark):
+    shared = "a long shared passage of text that both documents contain"
+    texts = [
+        shared + " plus unique suffix one",
+        "unique prefix two " + shared,
+        "completely different content with no overlap at all here",
+        shared + " plus unique suffix one",   # exact dup of doc 0
+    ]
+    fps = {i: _brute_winnow(t) for i, t in enumerate(texts)}
+    # brute pair counts under the same df cap (none hit the cap here)
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            n = len(fps[a] & fps[b])
+            if n >= 3:
+                expected[(a, b)] = n
+    rows = winnowing_overlap_pairs(
+        _docs(spark, texts), min_shared=3
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["shared"] for r in rows}
+    assert got == expected
+    assert (0, 3) in got and (0, 1) in got and (2, 3) not in got
+
+
+def test_winnowing_df_cap_drops_boilerplate(spark):
+    # one fingerprint-rich boilerplate string in EVERY doc: with
+    # max_df below the corpus size all its fingerprints are dropped
+    boiler = "standard legal boilerplate footer text appended everywhere"
+    texts = [f"document body number {i} " + boiler for i in range(6)]
+    rows = winnowing_overlap_pairs(
+        _docs(spark, texts), max_df=5, min_shared=1
+    ).collect()
+    # pairs may only arise from fingerprints NOT present in all 6 docs
+    for r in rows:
+        assert r["shared"] < len(_brute_winnow(boiler))
+
+
+# ------------------------------------------------------- char entropy
+def test_char_entropy_known_values(spark):
+    from automated_data_pipeline_spark.suite.round11 import (
+        char_entropy_quality,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [
+                (0, "abcdabcdabcdabcd", "en", "s", 16),  # uniform 4 -> 2 bits
+                (1, "aaaaaaaa", "en", "s", 8),            # constant -> 0
+                (2, "ab", "en", "s", 2),                  # uniform 2 -> 1 bit
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = char_entropy_quality(spark, tmp).collect()
+    got = {r["doc_id"]: (r["h_entropy"], r["distinct_chars"]) for r in rows}
+    assert got[0] == (2.0, 4)
+    assert got[1] == (0.0, 1)
+    assert got[2] == (1.0, 2)
