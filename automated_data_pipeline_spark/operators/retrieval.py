@@ -44,12 +44,16 @@ def bm25_top_docs(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25.
 
     ``queries`` maps query_id -> list of (already-normalized) terms.
     Returns (query_id, doc_id, score, rnk) with score rounded to 6
     decimals and rnk a dense 1..k row_number on (score desc, doc_id).
+    ``checkpoint=False`` skips the result materialization (plan tests
+    need the visible lineage; callers that re-use the result want the
+    default eager checkpoint so the postings table can unpersist).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -108,6 +112,8 @@ def bm25_top_docs(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+    if not checkpoint:
+        return result
     out = result.localCheckpoint(eager=True)
     tf.unpersist()
     return out

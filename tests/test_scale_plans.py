@@ -914,3 +914,62 @@ def test_ann_rerank_joins_broadcast_the_shortlist(spark, tmp_path):
         assert "SortMergeJoin" not in plan2, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_round11_ops_plan_contracts(spark):
+    """Round-11 scale contracts: BM25's query/df/stats tables reach
+    the postings scan as broadcasts (the corpus never shuffles on raw
+    text); winnowing fingerprint EXTRACTION is a zero-exchange narrow
+    projection and the pair join is an equi-join (never a cartesian);
+    temperature resampling broadcasts the domain-weight table back to
+    the corpus."""
+    import os
+
+    from automated_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_overlap_pairs,
+    )
+    from automated_data_pipeline_spark.operators.retrieval import (
+        bm25_top_docs,
+    )
+    from automated_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+    from automated_data_pipeline_spark.suite import load
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    docs = load(spark, sf, "documents")
+
+    bm = bm25_top_docs(
+        spark, docs, {1: ["spark", "join"]}, k=5, checkpoint=False
+    )
+    bm.count()  # AQE-finalize
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    # query terms, document frequency, and the corpus stats row all
+    # broadcast (stats is a 1-row cross -> broadcast nested loop is
+    # the right shape for it; a CartesianProduct never is)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # raw text enters no exchange: only hashed postings shuffle
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
+
+    fp = winnowing_fingerprints(docs)
+    fp_plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fp_plan, "fingerprint extraction must stay narrow"
+
+    pairs = winnowing_overlap_pairs(docs, max_df=8, min_shared=2)
+    pairs.count()
+    p_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p_plan
+    assert "BroadcastNestedLoopJoin" not in p_plan
+    for frag in p_plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
+
+    tm = temperature_mixture(docs, "lang", "doc_id")
+    tm.count()
+    t_plan = tm._jdf.queryExecution().executedPlan().toString()
+    # the weight table joins back broadcast; the corpus side's only
+    # exchange is the (lang) partial-agg for counts
+    assert "BroadcastHashJoin" in t_plan
+    for frag in t_plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
