@@ -10,6 +10,10 @@ rounded before ranking/compare, fully deterministic ORDER BY.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -190,3 +194,42 @@ def char_entropy_quality(spark, sf_dir):
         F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("h_entropy"),
         F.col("k").alias("distinct_chars"),
     )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "bm25_scores_recovered",
+    retrieval.bm25_oracle_sql(_BM25_QUERIES, _WORDS_SQL, k=5),
+    "the BM25 streaming twin witnessed end to end: postings + doclen "
+    "integer stores folded over 3 micro-batch splits, top-5 scores "
+    "recovered from the merged stores — same oracle as bm25_top_docs "
+    "because batch ≡ stream is exact (integer statistics)",
+)
+def bm25_scores_recovered(spark, sf_dir):
+    """BM25's whole-corpus state is integer-valued (postings tf,
+    doc lengths), so micro-batch folds merge exactly and the batch
+    operator's scores are recoverable from the stores at any moment.
+    This entry folds the documents table through the
+    ``PostingsStore``/``DocLenStore`` pair in 3 deterministic splits
+    (the operator-level path the file stream drives; replay
+    idempotence and the crash window between the two appends are
+    pytest-pinned in tests/test_bm25_stream.py) and reproduces
+    ``bm25_top_docs``'s exact output — hence the same DuckDB oracle."""
+    from ..streaming.bm25_stream import (
+        DocLenStore,
+        PostingsStore,
+        recover_bm25_scores,
+        update_postings,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), "adps_bm25_store")
+    shutil.rmtree(root, ignore_errors=True)
+    postings = PostingsStore(os.path.join(root, "postings"))
+    doclens = DocLenStore(os.path.join(root, "doclens"))
+    for i in range(3):
+        update_postings(
+            spark, docs.filter(F.col("doc_id") % 3 == i),
+            postings, doclens, batch_key=f"b{i}",
+        )
+    return recover_bm25_scores(spark, postings, doclens, _BM25_QUERIES, k=5)

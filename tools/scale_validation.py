@@ -75,6 +75,11 @@ WORKLOADS = [
     "ann_ivfpq_persisted_exact",
     "ann_ivf_append_exact",
     "ann_ivfpq_append_exact",
+    # round-11 retrieval + curation additions
+    "bm25_top_docs",
+    "winnowing_overlap_pairs",
+    "char_entropy_quality",
+    "temperature_resample_by_lang",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
