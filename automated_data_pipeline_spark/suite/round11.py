@@ -95,9 +95,7 @@ def temperature_resample_by_lang(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-@spec(
-    "winnowing_overlap_pairs",
-    """
+_WINNOW_SQL = """
     WITH g AS (
       SELECT doc_id,
         list_transform(
@@ -126,7 +124,12 @@ def temperature_resample_by_lang(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 5
-    """,
+    """
+
+
+@spec(
+    "winnowing_overlap_pairs",
+    _WINNOW_SQL,
     "winnowing (MOSS) fingerprint overlap: char-8-gram hashes, "
     "window-4 minima, distinct per doc; pairs sharing >=5 "
     "fingerprints via a frequency-capped (df<=8) fingerprint-bucket "
@@ -233,3 +236,41 @@ def bm25_scores_recovered(spark, sf_dir):
             postings, doclens, batch_key=f"b{i}",
         )
     return recover_bm25_scores(spark, postings, doclens, _BM25_QUERIES, k=5)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "winnowing_pairs_recovered",
+    _WINNOW_SQL,
+    "the winnowing streaming twin witnessed end to end: exploded "
+    "fingerprint index folded over 3 micro-batch splits, the "
+    "intra-corpus pair report recovered from the merged store — same "
+    "oracle as winnowing_overlap_pairs because batch ≡ stream is "
+    "exact (deterministic per-doc fingerprint sets)",
+)
+def winnowing_pairs_recovered(spark, sf_dir):
+    """Winnowing's whole-corpus state is the exploded (fingerprint,
+    doc) index — per-document deterministic integer sets — so
+    micro-batch folds merge exactly and the batch pair report is
+    recoverable from the store at any moment. This entry folds the
+    documents table through the ``WinnowStore`` in 3 deterministic
+    splits (replay idempotence and the batch-vs-store serving join are
+    pytest-pinned in tests/test_winnowing_stream.py) and reproduces
+    ``winnowing_overlap_pairs``'s exact output — hence the same DuckDB
+    oracle."""
+    from ..streaming.winnowing_stream import (
+        WinnowStore,
+        recover_overlap_pairs,
+        update_winnow_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "adps_winnow_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = WinnowStore(path)
+    for i in range(3):
+        update_winnow_store(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
+        )
+    return recover_overlap_pairs(spark, store, max_df=8, min_shared=5)
