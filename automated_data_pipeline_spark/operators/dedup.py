@@ -934,6 +934,7 @@ def winnowing_overlap_pairs(
     max_df: int = 50,
     min_shared: int = 3,
     seed: str = "win",
+    materialize: bool = True,
 ) -> DataFrame:
     """Document-pair overlap via shared winnowing fingerprints — the
     plagiarism/boilerplate-overlap detector. Candidate pairs come from
@@ -943,13 +944,37 @@ def winnowing_overlap_pairs(
     (boilerplate grams — the frequency cap that bounds the join
     fan-out, exactly the stop-shingle rule from the dedup family).
 
+    The exploded fingerprint frame feeds the frequency aggregate AND
+    both sides of the pair join — it is persisted so the O(w·L)-md5
+    extraction pass runs ONCE, not once per consumer (measured 4×+ at
+    sf1 without it; at cluster scale this is a checkpointed
+    intermediate table). ``materialize=False`` skips the persist and
+    the eager result checkpoint — plan tests need the visible lineage.
+
     Returns (doc_a, doc_b, shared) for pairs sharing >= ``min_shared``
     distinct fingerprints, doc_a < doc_b.
     """
-    fp = winnowing_fingerprints(df, id_col, text_col, k, w, seed)
-    e = fp.select(
-        F.col(id_col).alias("doc"), F.explode("fps").alias("f")
+    # hash-spread before the per-row-CPU gram hashing (the r7 lesson):
+    # a compact parquet corpus reads as ONE input split, and without
+    # this the O(w*L)-md5 extraction runs on a single task regardless
+    # of cluster width. The extraction itself stays a narrow
+    # projection; this is the only exchange before the bucket join.
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
     )
+    fp = winnowing_fingerprints(spread, id_col, text_col, k, w, seed)
+    # explode_outer, NOT explode: for a plain explode Spark infers a
+    # `size(fps) > 0` filter from the Generate and pushes it below the
+    # repartition — onto the single-split file scan, where it
+    # re-evaluates the whole O(w·L)-md5 extraction expression per row
+    # on one task (measured: the sf1 corpus ran 13 min that way).
+    # explode_outer infers nothing; empty docs yield one NULL row,
+    # dropped right after, and extraction stays above the exchange.
+    e = fp.select(
+        F.col(id_col).alias("doc"), F.explode_outer("fps").alias("f")
+    ).filter(F.col("f").isNotNull())
+    if materialize:
+        e = e.persist()
     freq = e.groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
     keep = freq.filter(
         (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_df)
@@ -964,4 +989,8 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
-    return pairs
+    if not materialize:
+        return pairs
+    out = pairs.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

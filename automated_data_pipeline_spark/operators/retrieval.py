@@ -55,7 +55,12 @@ def bm25_top_docs(
     need the visible lineage; callers that re-use the result want the
     default eager checkpoint so the postings table can unpersist).
     """
-    toks = docs.select(
+    # hash-spread before the tokenize+explode (the r7 one-file-scan
+    # lesson): a compact corpus file otherwise tokenizes on one task.
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = spread.select(
         F.col(id_col).alias("doc_id"),
         F.explode(TX.tokens(F.col(text_col))).alias("term"),
     )

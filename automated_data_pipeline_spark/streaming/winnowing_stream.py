@@ -53,9 +53,12 @@ def batch_fingerprints(
         batch_df.sparkSession.sparkContext.defaultParallelism
     )
     fp = winnowing_fingerprints(spread, id_col, text_col, k, w, seed)
+    # explode_outer + null-drop, not explode: a plain explode's
+    # inferred size() filter would push the md5 extraction below the
+    # hash-spread exchange (see dedup.winnowing_overlap_pairs).
     return fp.select(
-        F.explode("fps").alias("f"), F.col(id_col).alias("doc_id")
-    )
+        F.explode_outer("fps").alias("f"), F.col(id_col).alias("doc_id")
+    ).filter(F.col("f").isNotNull())
 
 
 def update_winnow_store(

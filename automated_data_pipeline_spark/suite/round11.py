@@ -177,6 +177,8 @@ def winnowing_overlap_pairs(spark, sf_dir):
 )
 def char_entropy_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # hash-spread before the per-char explode (one-file-scan lesson)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     chars = d.select(
         "doc_id",
         F.explode(

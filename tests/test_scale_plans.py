@@ -957,7 +957,9 @@ def test_round11_ops_plan_contracts(spark):
     fp_plan = fp._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in fp_plan, "fingerprint extraction must stay narrow"
 
-    pairs = winnowing_overlap_pairs(docs, max_df=8, min_shared=2)
+    pairs = winnowing_overlap_pairs(
+        docs, max_df=8, min_shared=2, materialize=False
+    )
     pairs.count()
     p_plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_plan
