@@ -882,47 +882,75 @@ def winnowing_fingerprints(
     fingerprint, so overlap detection is recall-complete above that
     threshold (unlike a global min-hash, which keeps ONE hash per doc).
 
-    Scale shape: the whole extraction is a single narrow projection —
-    gram hashing and window minima are array expressions (whole-stage
-    codegen, ZERO exchange, no explode until the caller needs
-    per-fingerprint rows). Window minima use a sparse-table doubling
-    scheme over ``zip_with`` (m_2p[s] = least(m_p[s], m_p[s+p])), so
-    the gram array is re-evaluated O(w) times total, NOT once per
-    window — naively nesting the gram expression inside a per-window
-    lambda is O(L*w) md5 calls per WINDOW (O(L^2) per doc), because
-    Spark higher-order lambdas re-evaluate captured subexpressions per
-    element. Documents shorter than k + w - 1 chars yield an empty
-    fingerprint set.
+    Scale shape: the whole extraction is a chain of narrow projections
+    (whole-stage codegen, ZERO exchange, no explode until the caller
+    needs per-fingerprint rows). Window minima use a sparse-table
+    doubling scheme over ``zip_with`` (m_2p[s] = least(m_p[s],
+    m_p[s+p])) — naively nesting the gram expression inside a
+    per-window lambda is O(L*w) md5 calls per WINDOW (O(L^2) per doc),
+    because Spark higher-order lambdas re-evaluate captured
+    subexpressions per element. Each doubling level (and the
+    lowercased text feeding the gram hash) is materialized as its OWN
+    projection column rather than a nested expression: zip_with
+    references its input twice, so a single monolithic expression tree
+    doubles per level (w=4 re-evaluated the O(L)-md5 gram array 4×,
+    and the captured lower(text) once per ELEMENT of it — measured 4×+
+    end-to-end at sf1). CollapseProject keeps the stages separate
+    (non-cheap producer referenced more than once), so each level is
+    computed exactly once per row inside one codegen stage. Documents
+    shorter than k + w - 1 chars yield an empty fingerprint set.
 
     Returns (id_col, fps: array<bigint> — distinct window minima).
     """
-    low = F.lower(F.col(text_col))
-    n_grams = F.length(low) - (k - 1)
+    low_col, m_col = "__win_low", "__win_m"
+    cur = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias(low_col)
+    )
+    low = F.col(low_col)
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
+        F.sequence(F.lit(1), F.length(low) - (k - 1)),
         lambda i: TX.stable_hash64(F.substr(low, i, F.lit(k)), seed=seed),
     )
+    # guard short docs HERE (not on the final result) so the per-row
+    # branch skips gram extraction entirely for them and every later
+    # stage sees an empty array flowing through.
+    grams = F.when(F.length(low) >= k + w - 1, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    cur = cur.select(F.col(id_col), grams.alias(m_col))
     # sparse-table minima: after the loop, m[s] = min(grams[s .. s+p-1])
     # for the largest power of two p <= w; one final least() merges the
     # (possibly overlapping) tail window. zip_with pads the shorter side
     # with NULL and least() skips nulls, so trailing entries degrade to
     # shorter suffixes — they are sliced off below.
     big = 1 << 30
-    m, p = grams, 1
+    p = 1
     while p * 2 <= w:
-        m = F.zip_with(
-            m, F.slice(m, p + 1, big), lambda a, b: F.least(a, b)
+        cur = cur.select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(m_col),
+                F.slice(F.col(m_col), p + 1, big),
+                lambda a, b: F.least(a, b),
+            ).alias(m_col),
         )
         p *= 2
     if p < w:
-        m = F.zip_with(
-            m, F.slice(m, (w - p) + 1, big), lambda a, b: F.least(a, b)
+        cur = cur.select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(m_col),
+                F.slice(F.col(m_col), (w - p) + 1, big),
+                lambda a, b: F.least(a, b),
+            ).alias(m_col),
         )
-    fps = F.array_distinct(F.slice(m, 1, F.greatest(n_grams - (w - 1), F.lit(0))))
-    guarded = F.when(
-        F.length(low) >= k + w - 1, fps
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(F.col(id_col), guarded.alias("fps"))
+    # zip_with preserves length, so size(m) == the original gram count
+    # and the valid window starts are the first size(m) - (w-1).
+    m = F.col(m_col)
+    fps = F.array_distinct(
+        F.slice(m, 1, F.greatest(F.size(m) - (w - 1), F.lit(0)))
+    )
+    return cur.select(F.col(id_col), fps.alias("fps"))
 
 
 def winnowing_overlap_pairs(
