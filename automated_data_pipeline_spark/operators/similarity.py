@@ -398,6 +398,106 @@ def embedding_near_dup(
     ).filter(F.col("cosine") >= threshold)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    query_label_col: str = "qlabel",
+    digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor, the top-k most-similar corpus vectors whose label
+    DIFFERS from the anchor's — the negatives nearest the decision
+    boundary, which is what a contrastive batch sampler wants (easy
+    negatives teach nothing). Exact brute-force variant: anchors
+    broadcast (a mining batch ≪ the corpus), one corpus scan, the
+    label-mismatch filter applied BEFORE scoring so same-label rows
+    never pay the 64-dim dot product, then the two-phase
+    ``per_query_topk`` rank (no single-reducer window). For corpus-scale
+    anchor sets use ``hard_negative_topk_ivf``.
+
+    Returns (qid, id, neg_label, cosine, rank), rank 1..k per anchor
+    on (cosine desc, id) — deterministic and engine-portable.
+    """
+    pairs = corpus.crossJoin(F.broadcast(anchors)).filter(
+        (F.col(id_col) != F.col(query_id_col))
+        & (F.col(label_col) != F.col(query_label_col))
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        V.cosine_rounded_safe(
+            F.col(vec_col), F.col(query_vec_col), digits
+        ).alias("cosine"),
+    )
+    return per_query_topk(
+        scored, query_id_col, [F.desc("cosine"), F.asc(id_col)], k
+    )
+
+
+def hard_negative_topk_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    fetch_factor: int = 4,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    query_label_col: str = "qlabel",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-accelerated hard-negative mining: over-fetch ``k *
+    fetch_factor`` unlabeled neighbours from the partition-pruned IVF
+    index (each anchor scores only its ``nprobe`` clusters), then join
+    the shortlist back for labels, drop same-label rows, and re-rank to
+    k. The over-fetch absorbs same-label neighbours in the shortlist
+    (with L labels roughly 1/L of neighbours are positives; factor 4
+    covers L >= 2 with margin). The label join BROADCASTS the shortlist
+    (|anchors| * k * fetch_factor rows) against the corpus's (id,
+    label) projection — the corpus full rows are never reshuffled.
+    Approximate exactly where IVF is (missed probes), pytest-pinned
+    recall vs the brute variant.
+    """
+    cand = ivf_topk(
+        corpus,
+        anchors.select(query_id_col, query_vec_col),
+        k=k * fetch_factor,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        seed=seed,
+    ).drop("rank")
+    labels = corpus.select(F.col(id_col), F.col(label_col))
+    qlabels = anchors.select(F.col(query_id_col), F.col(query_label_col))
+    neg = (
+        labels.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qlabels), query_id_col)
+        .filter(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            "cosine",
+        )
+    )
+    return per_query_topk(
+        neg, query_id_col, [F.desc("cosine"), F.asc(id_col)], k
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,7 +1,9 @@
 """Round-11 additions: lexical retrieval (BM25), temperature-based
-mixture resampling, winnowing fingerprint overlap, and char-entropy
-quality scoring — four LLM-pipeline curation operators, each with a
-strict DuckDB oracle.
+mixture resampling, winnowing fingerprint overlap, char-entropy
+quality scoring, hard-negative mining for contrastive training, and
+Kneser-Ney LM fluency — LLM-pipeline curation operators, each with a
+strict DuckDB oracle (plus exact streaming twins for BM25 and
+winnowing).
 
 Cross-engine conventions as everywhere in the suite: md5-derived
 ``stable_hash64``, integer statistics wherever possible, doubles
@@ -17,7 +19,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..operators import dedup, retrieval, sampling
+from ..operators import dedup, retrieval, sampling, similarity
 from . import QuerySpec, load
 from .llm import _WORDS_SQL
 
@@ -276,3 +278,177 @@ def winnowing_pairs_recovered(spark, sf_dir):
             batch_key=f"b{i}",
         )
     return recover_overlap_pairs(spark, store, max_df=8, min_shared=5)
+
+
+# --------------------------------------------------------------------
+# Hard-negative mining: contrastive-training batch construction. The
+# zero-norm guard and rounding mirror llm._COSINE_SQL exactly.
+_HARDNEG_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT q.qid, e.vec_id, e.label,
+        CASE WHEN (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+               OR (SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+        THEN 0.0 ELSE round(
+          (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i))
+          / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
+           * sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6) END AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.qid AND e.label != q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    )
+    SELECT qid, vec_id, label AS neg_label, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@spec(
+    "hard_negative_mining",
+    _HARDNEG_SQL,
+    "hard-negative mining for contrastive training: per anchor, the "
+    "top-5 most-similar vectors with a DIFFERENT label — the "
+    "negatives nearest the decision boundary. Anchors broadcast, one "
+    "corpus scan, label mismatch filtered BEFORE the dot product, "
+    "two-phase top-k (no single-reducer window). The IVF-accelerated "
+    "over-fetch variant (hard_negative_topk_ivf) is recall-pinned "
+    "against this exact output in pytest",
+)
+def hard_negative_mining(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    out = similarity.hard_negative_topk(e, anchors, k=5)
+    return out.select(
+        "qid", "vec_id", "neg_label", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------
+@spec(
+    "kneser_ney_doc_fluency",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd FROM c12 GROUP BY 1
+    ),
+    cont AS (SELECT w2, count(*) AS n1p_cont FROM c12 GROUP BY 1),
+    tot AS (SELECT count(*) AS n1p_tot FROM c12),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(round(
+          greatest(c12.c12 - 0.75, 0.0) / c1.c1
+          + ((0.75 * c1.n1p_fwd) / c1.c1)
+            * (CAST(cont.n1p_cont AS DOUBLE) / tot.n1p_tot),
+        9) AS DECIMAL(12,9)) AS p
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              JOIN cont ON bg.w2 = cont.w2 CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(p) / count(*), 6) AS DOUBLE) AS mean_kn_prob
+    FROM scored GROUP BY 1
+    """,
+    "interpolated Kneser-Ney bigram LM (absolute discount d=0.75) "
+    "trained on the corpus, each doc scored by its mean KN bigram "
+    "probability: P(w2|w1) = max(c12-d,0)/c1 + (d*N1+(w1,.)/c1) * "
+    "(N1+(.,w2)/N1+(..)) — the continuation-probability backoff that "
+    "add-one smoothing (lm_bigram_fluency) lacks; the standard "
+    "n-gram-LM quality signal (KenLM-style) next to it. All LM "
+    "statistics are integers off ONE bigram-type table; every "
+    "division is IEEE with an enforced identical association order "
+    "in both engines, rounded to DECIMAL before the per-doc sum so "
+    "the aggregation is exact and order-independent. Plan: one "
+    "tokenize pass -> bigram explode (persisted), the vocabulary-"
+    "sized c12 table persisted and re-derived THREE ways map-side "
+    "(c1/N1+fwd, continuation counts, type total), all joined back "
+    "BROADCAST — raw text never shuffles",
+)
+def kneser_ney_doc_fluency(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return kneser_ney_doc_scores(d)
+
+
+def kneser_ney_doc_scores(
+    d,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+):
+    """Reusable KN scorer over any (id, text) frame — the spec above
+    documents the estimator and the cross-engine arithmetic; pytest
+    pins it against a from-scratch Python reference on a tiny corpus
+    (tests/test_round11_ops.py). ``materialize=False`` skips the
+    persists and the eager result checkpoint — plan tests need the
+    visible lineage."""
+    toks = d.select(
+        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("ws")
+    )
+    bg = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    if materialize:
+        bg = bg.persist()
+    # the bigram-TYPE table: every KN statistic is a map-side agg of it
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if materialize:
+        c12 = c12.persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_cont"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_tot"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + ((F.lit(0.75) * F.col("n1p_fwd")) / F.col("c1"))
+        * (F.col("n1p_cont").cast("double") / F.col("n1p_tot"))
+    )
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", F.round(p, 9).cast("decimal(12,9)").alias("p")
+        )
+    )
+    result = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("mean_kn_prob"),
+    )
+    if not materialize:
+        return result
+    out = result.localCheckpoint(eager=True)
+    c12.unpersist()
+    bg.unpersist()
+    return out

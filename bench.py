@@ -157,6 +157,15 @@ HEADLINE = [
     "dsir_weights_recovered",
     "trigram_novelty_recovered",
     "lang_vocab_overlap_recovered",
+    # round-11 additions: retrieval + late curation (suite/round11.py)
+    "bm25_top_docs",
+    "temperature_resample_by_lang",
+    "winnowing_overlap_pairs",
+    "char_entropy_quality",
+    "bm25_scores_recovered",
+    "winnowing_pairs_recovered",
+    "hard_negative_mining",
+    "kneser_ney_doc_fluency",
 ]
 
 

@@ -243,3 +243,180 @@ def test_char_entropy_known_values(spark):
     assert got[0] == (2.0, 4)
     assert got[1] == (0.0, 1)
     assert got[2] == (1.0, 2)
+
+
+# ------------------------------------------------- hard-negative mining
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def _brute_hard_negatives(rows, anchors, k=5):
+    import math as _m
+
+    def cos(a, b):
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    out = {}
+    for qid, qe, ql in anchors:
+        scored = [
+            (cos(e, qe), vid, lab)
+            for vid, e, lab in rows
+            if vid != qid and lab != ql
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = [(vid, lab, c) for c, vid, lab in scored[:k]]
+    return out
+
+
+def test_hard_negative_matches_brute_force(spark):
+    from automated_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)], i % 3)
+        for i in range(30)
+    ]
+    anchors = [(r[0], r[1], r[2]) for r in rows if r[0] % 10 == 0]
+    e = _emb(spark, rows)
+    a = spark.createDataFrame(
+        anchors, "qid long, qe array<double>, qlabel long"
+    )
+    got = {}
+    for r in hard_negative_topk(e, a, k=4).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["vec_id"], r["neg_label"], r["cosine"])
+        )
+    expected = _brute_hard_negatives(rows, anchors, k=4)
+    assert got == expected
+    # every mined negative's label differs from its anchor's
+    albl = {q: l for q, _, l in anchors}
+    for q, negs in got.items():
+        assert all(lab != albl[q] for _, lab, _ in negs)
+
+
+def test_hard_negative_all_same_label_is_empty(spark):
+    from automated_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [(i, [1.0, float(i)], 7) for i in range(5)]
+    e = _emb(spark, rows)
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7)], "qid long, qe array<double>, qlabel long"
+    )
+    assert hard_negative_topk(e, a, k=3).count() == 0
+
+
+def test_hard_negative_ivf_recall_vs_brute(spark):
+    """The IVF over-fetch variant must recover most of the exact
+    hard-negative set on the fixture corpus (recall@5 >= 0.8 with
+    nprobe=8/16; ivf_topk with nprobe == n_clusters is exact, so the
+    gap here is only missed probes)."""
+    from automated_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in hard_negative_topk(e, a, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in hard_negative_topk_ivf(
+            e, a, k=5, fetch_factor=4, n_clusters=16, nprobe=8
+        ).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF hard-negative recall {recall:.2f} < 0.8"
+
+
+# ---------------------------------------------------- Kneser-Ney LM
+def _brute_kn(texts, d=0.75):
+    toks = [t.lower().split() for t in texts]
+    from collections import Counter
+
+    c12 = Counter()
+    for ws in toks:
+        for i in range(len(ws) - 1):
+            c12[(ws[i], ws[i + 1])] += 1
+    c1 = Counter()
+    n1p_fwd = Counter()
+    n1p_cont = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_fwd[w1] += 1
+        n1p_cont[w2] += 1
+    n1p_tot = len(c12)
+    out = {}
+    for doc, ws in enumerate(toks):
+        ps = []
+        for i in range(len(ws) - 1):
+            w1, w2 = ws[i], ws[i + 1]
+            p = max(c12[(w1, w2)] - d, 0.0) / c1[w1] + (
+                (d * n1p_fwd[w1]) / c1[w1]
+            ) * (n1p_cont[w2] / n1p_tot)
+            ps.append(round(p, 9))
+        if ps:
+            out[doc] = (len(ps), round(sum(ps) / len(ps), 6))
+    return out
+
+
+def test_kneser_ney_matches_brute_force(spark):
+    from automated_data_pipeline_spark.suite.round11 import (
+        kneser_ney_doc_scores,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "francisco",  # classic KN example: frequent but low continuation
+        "san francisco san francisco",
+        "one",  # 1-token doc: no bigrams, excluded
+    ]
+    rows = kneser_ney_doc_scores(_docs(spark, texts)).collect()
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_kn_prob"]) for r in rows}
+    assert got == _brute_kn(texts)
+
+
+def test_kneser_ney_probs_sum_to_one_per_context(spark):
+    """Interpolated KN is a proper conditional distribution over the
+    OBSERVED vocabulary contexts: for each w1, sum over observed w2 of
+    the discounted term plus the backoff mass times total continuation
+    probability equals 1 when every vocab word is some bigram's w2."""
+    texts = ["a b a c a b a c a b"]
+    toks = texts[0].split()
+    from collections import Counter
+
+    c12 = Counter(zip(toks, toks[1:]))
+    c1 = Counter()
+    n1p_fwd = Counter()
+    n1p_cont = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_fwd[w1] += 1
+        n1p_cont[w2] += 1
+    n1p_tot = len(c12)
+    d = 0.75
+    for w1 in c1:
+        s = sum(
+            max(c12[(w1, w2)] - d, 0.0) / c1[w1]
+            + ((d * n1p_fwd[w1]) / c1[w1]) * (n1p_cont[w2] / n1p_tot)
+            for w2 in n1p_cont
+        )
+        assert abs(s - 1.0) < 1e-9

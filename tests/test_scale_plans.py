@@ -975,3 +975,56 @@ def test_round11_ops_plan_contracts(spark):
     assert "BroadcastHashJoin" in t_plan
     for frag in t_plan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in frag[:120]
+
+
+def test_round11_late_ops_plan_contracts(spark):
+    """Hard-negative mining: anchors broadcast (a BroadcastNestedLoop
+    for the brute variant's label-mismatch theta-join — never an
+    unbroadcast CartesianProduct), one corpus scan. The IVF variant's
+    label join broadcasts the shortlist, not the corpus. Kneser-Ney:
+    every LM statistic joins back broadcast; the only hash exchanges
+    carry (doc_id, w1, w2) tokens, never raw text."""
+    import os
+
+    from automated_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk, hard_negative_topk_ivf,
+    )
+    from automated_data_pipeline_spark.suite import load
+    from automated_data_pipeline_spark.suite.round11 import (
+        kneser_ney_doc_scores,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    e = load(spark, sf, "embeddings")
+    a = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+
+    hn = hard_negative_topk(e, a, k=5)
+    hn.count()
+    plan = hn._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast anchors
+    # the corpus never hash-shuffles its raw vectors for the mine:
+    # the only exchange is the final bounded top-k rank
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "embedding" not in frag[:120]
+
+    hni = hard_negative_topk_ivf(e, a, k=5, n_clusters=8, nprobe=4)
+    hni.count()
+    iplan = hni._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in iplan
+    # shortlist + anchor-label joins broadcast; no sort-merge join of
+    # the corpus against anything
+    assert "SortMergeJoin" not in iplan
+
+    docs = load(spark, sf, "documents")
+    kn = kneser_ney_doc_scores(docs, materialize=False)
+    kn.count()
+    kplan = kn._jdf.queryExecution().executedPlan().toString()
+    assert kplan.count("BroadcastHashJoin") >= 3  # c12, c1, cont
+    assert "CartesianProduct" not in kplan
+    for frag in kplan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]

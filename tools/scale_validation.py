@@ -80,6 +80,8 @@ WORKLOADS = [
     "winnowing_overlap_pairs",
     "char_entropy_quality",
     "temperature_resample_by_lang",
+    "hard_negative_mining",
+    "kneser_ney_doc_fluency",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
