@@ -335,49 +335,59 @@ def hard_negative_mining(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-@spec(
-    "kneser_ney_doc_fluency",
-    f"""
+_KN_SQL = f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     bg AS (
       SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
       FROM w, unnest(range(1, len(ws))) AS t(i)
       WHERE len(ws) >= 2
     ),
-    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    occ AS (
+      SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+    ),
+    c12 AS (SELECT w1, w2, sum(c) AS c12 FROM occ GROUP BY 1, 2),
     c1 AS (
       SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd FROM c12 GROUP BY 1
     ),
     cont AS (SELECT w2, count(*) AS n1p_cont FROM c12 GROUP BY 1),
     tot AS (SELECT count(*) AS n1p_tot FROM c12),
     scored AS (
-      SELECT bg.doc_id,
+      SELECT occ.doc_id, occ.c,
         CAST(round(
           greatest(c12.c12 - 0.75, 0.0) / c1.c1
           + ((0.75 * c1.n1p_fwd) / c1.c1)
             * (CAST(cont.n1p_cont AS DOUBLE) / tot.n1p_tot),
         9) AS DECIMAL(12,9)) AS p
-      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-              JOIN cont ON bg.w2 = cont.w2 CROSS JOIN tot
+      FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+               JOIN cont ON occ.w2 = cont.w2 CROSS JOIN tot
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(round(sum(p) / count(*), 6) AS DOUBLE) AS mean_kn_prob
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(c * p) / sum(c), 6) AS DOUBLE) AS mean_kn_prob
     FROM scored GROUP BY 1
-    """,
+    """
+
+
+@spec(
+    "kneser_ney_doc_fluency",
+    _KN_SQL,
     "interpolated Kneser-Ney bigram LM (absolute discount d=0.75) "
     "trained on the corpus, each doc scored by its mean KN bigram "
     "probability: P(w2|w1) = max(c12-d,0)/c1 + (d*N1+(w1,.)/c1) * "
     "(N1+(.,w2)/N1+(..)) — the continuation-probability backoff that "
     "add-one smoothing (lm_bigram_fluency) lacks; the standard "
     "n-gram-LM quality signal (KenLM-style) next to it. All LM "
-    "statistics are integers off ONE bigram-type table; every "
+    "statistics are integers off ONE bigram-occurrence table; every "
     "division is IEEE with an enforced identical association order "
-    "in both engines, rounded to DECIMAL before the per-doc sum so "
-    "the aggregation is exact and order-independent. Plan: one "
-    "tokenize pass -> bigram explode (persisted), the vocabulary-"
-    "sized c12 table persisted and re-derived THREE ways map-side "
-    "(c1/N1+fwd, continuation counts, type total), all joined back "
-    "BROADCAST — raw text never shuffles",
+    "in both engines, the per-TYPE probability rounded to DECIMAL "
+    "and occurrence-weighted (sum(c*p)/sum(c)) so the aggregation is "
+    "exact and order-independent. Plan: one tokenize pass -> bigram "
+    "explode collapsed map-side to the per-doc occurrence table "
+    "(persisted), the vocabulary-sized c12 table persisted and "
+    "re-derived THREE ways map-side (c1/N1+fwd, continuation counts, "
+    "type total), all joined back BROADCAST — raw text never "
+    "shuffles. The streaming twin (streaming/kn_stream.py) scores "
+    "the SAME occurrence shape through the same code path, so batch "
+    "≡ stream is bit-identical by construction",
 )
 def kneser_ney_doc_fluency(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -393,62 +403,52 @@ def kneser_ney_doc_scores(
     """Reusable KN scorer over any (id, text) frame — the spec above
     documents the estimator and the cross-engine arithmetic; pytest
     pins it against a from-scratch Python reference on a tiny corpus
-    (tests/test_round11_ops.py). ``materialize=False`` skips the
-    persists and the eager result checkpoint — plan tests need the
-    visible lineage."""
-    toks = d.select(
-        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("ws")
+    (tests/test_round11_ops.py). Tokenization and scoring both live in
+    streaming/kn_stream.py (the shared batch ≡ stream path).
+    ``materialize=False`` skips the persists and the eager result
+    checkpoint — plan tests need the visible lineage."""
+    from ..streaming.kn_stream import (
+        batch_bigrams,
+        kn_scores_from_occurrences,
     )
-    bg = (
-        toks.filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 1),
-                    lambda i: F.struct(
-                        F.element_at("ws", i).alias("w1"),
-                        F.element_at("ws", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
+
+    occ = batch_bigrams(d, id_col, text_col)
+    return kn_scores_from_occurrences(occ, materialize=materialize)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "kn_fluency_recovered",
+    _KN_SQL,
+    "the Kneser-Ney streaming twin witnessed end to end: per-document "
+    "bigram-occurrence store folded over 3 micro-batch splits, the "
+    "fluency report recovered from the merged store — same oracle as "
+    "kneser_ney_doc_fluency because batch ≡ stream is exact (integer "
+    "statistics scored through the SHARED code path)",
+)
+def kn_fluency_recovered(spark, sf_dir):
+    """KN's whole-corpus state is the integer (doc, w1, w2, c)
+    occurrence table, so micro-batch folds merge exactly and the batch
+    operator's fluency report is recoverable from the store at any
+    moment. This entry folds the documents table through the
+    ``BigramStore`` in 3 deterministic splits (replay idempotence and
+    the new-batch serving scorer are pytest-pinned in
+    tests/test_kn_stream.py) and reproduces
+    ``kneser_ney_doc_fluency``'s exact output — hence the same DuckDB
+    oracle."""
+    from ..streaming.kn_stream import (
+        BigramStore,
+        recover_kn_scores,
+        update_bigram_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "adps_kn_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = BigramStore(path)
+    for i in range(3):
+        update_bigram_store(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
         )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
-    if materialize:
-        bg = bg.persist()
-    # the bigram-TYPE table: every KN statistic is a map-side agg of it
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    if materialize:
-        c12 = c12.persist()
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
-    )
-    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_cont"))
-    tot = c12.agg(F.count(F.lit(1)).alias("n1p_tot"))
-    p = (
-        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
-        + ((F.lit(0.75) * F.col("n1p_fwd")) / F.col("c1"))
-        * (F.col("n1p_cont").cast("double") / F.col("n1p_tot"))
-    )
-    scored = (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(cont), "w2")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id", F.round(p, 9).cast("decimal(12,9)").alias("p")
-        )
-    )
-    result = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("p") / F.count(F.lit(1)), 6)
-        .cast("double")
-        .alias("mean_kn_prob"),
-    )
-    if not materialize:
-        return result
-    out = result.localCheckpoint(eager=True)
-    c12.unpersist()
-    bg.unpersist()
-    return out
+    return recover_kn_scores(spark, store)

@@ -166,6 +166,7 @@ HEADLINE = [
     "winnowing_pairs_recovered",
     "hard_negative_mining",
     "kneser_ney_doc_fluency",
+    "kn_fluency_recovered",
 ]
 
 
