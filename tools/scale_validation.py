@@ -82,7 +82,6 @@ WORKLOADS = [
     "temperature_resample_by_lang",
     "hard_negative_mining",
     "kneser_ney_doc_fluency",
-    "kn_fluency_recovered",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
