@@ -452,3 +452,104 @@ def kn_fluency_recovered(spark, sf_dir):
             batch_key=f"b{i}",
         )
     return recover_kn_scores(spark, store)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "zipf_fit_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    freq AS (SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, f,
+        row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT lang,
+        CAST(round(ln(r), 9) AS DECIMAL(15,9)) AS xl,
+        CAST(round(ln(f), 9) AS DECIMAL(15,9)) AS yl
+      FROM ranked WHERE r <= 100
+    ),
+    agg AS (
+      SELECT lang, count(*) AS n,
+        sum(xl) AS sx, sum(yl) AS sy,
+        sum(xl * yl) AS sxy, sum(xl * xl) AS sxx
+      FROM pts GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+      CAST(round(
+        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+      4) AS DOUBLE) AS zipf_slope,
+      CAST(round(
+        (CAST(sy AS DOUBLE)
+         - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / n,
+      4) AS DOUBLE) AS zipf_intercept
+    FROM agg
+    """,
+    "Zipf rank-frequency power-law fit per language: least-squares "
+    "regression of ln(freq) on ln(rank) over the top-100 token ranks "
+    "— the corpus-health statistic (natural text ~ -1; templated or "
+    "keyboard-mash corpora diverge hard). Regression-via-aggregation: "
+    "the closed-form slope/intercept need only 5 sums, each exact "
+    "DECIMAL arithmetic over per-rank ln values rounded to 9 (sums "
+    "are order-independent; the one double formula at the end has an "
+    "enforced identical association order in both engines). Plan: "
+    "one tokenize pass, one (lang, token) count shuffle, the top-100 "
+    "rank via the two-phase per-group top-k (no vocab-wide "
+    "single-reducer window), then a |langs|-row closed form",
+)
+def zipf_fit_by_lang(spark, sf_dir):
+    from ..operators.similarity import per_query_topk
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = per_query_topk(
+        freq, "lang", [F.desc("f"), F.asc("tok")], 100, rank_col="r"
+    )
+    pts = ranked.select(
+        "lang",
+        F.round(F.log("r"), 9).cast("decimal(15,9)").alias("xl"),
+        F.round(F.log("f"), 9).cast("decimal(15,9)").alias("yl"),
+    )
+    agg = (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xl").alias("sx"),
+            F.sum("yl").alias("sy"),
+            F.sum(F.col("xl") * F.col("yl")).alias("sxy"),
+            F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 4).cast("double").alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n"),
+            4,
+        )
+        .cast("double")
+        .alias("zipf_intercept"),
+    )

@@ -167,6 +167,7 @@ HEADLINE = [
     "hard_negative_mining",
     "kneser_ney_doc_fluency",
     "kn_fluency_recovered",
+    "zipf_fit_by_lang",
 ]
 
 

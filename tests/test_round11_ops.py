@@ -420,3 +420,78 @@ def test_kneser_ney_probs_sum_to_one_per_context(spark):
             for w2 in n1p_cont
         )
         assert abs(s - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------ Zipf fit
+def test_zipf_fit_matches_numpy_reference(spark):
+    import math
+    import os
+    import tempfile
+
+    from automated_data_pipeline_spark.suite.round11 import zipf_fit_by_lang
+
+    texts = [
+        ("en", "a a a a a a b b b c c d"),
+        ("en", "a a b b c d d d"),
+        ("de", "x y x y x z"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = zipf_fit_by_lang(spark, tmp).collect()
+
+    def ref(lang):
+        from collections import Counter
+
+        freq = Counter()
+        for lg, t in texts:
+            if lg == lang:
+                freq.update(t.split())
+        ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        xs = [round(math.log(r + 1), 9) for r in range(len(ranked))]
+        ys = [round(math.log(f), 9) for _, f in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return (
+            n,
+            round(slope, 4),
+            round((sy - slope * sx) / n, 4),
+        )
+
+    got = {
+        r["lang"]: (r["n_ranks"], r["zipf_slope"], r["zipf_intercept"])
+        for r in rows
+    }
+    for lang in ("en", "de"):
+        n, s, i = ref(lang)
+        gn, gs, gi = got[lang]
+        assert gn == n
+        assert abs(gs - s) < 2e-4 and abs(gi - i) < 2e-4, (lang, got[lang], (n, s, i))
+
+
+def test_zipf_natural_ranking_slope_is_negative(spark):
+    import os
+    import tempfile
+
+    from automated_data_pipeline_spark.suite.round11 import zipf_fit_by_lang
+
+    # a corpus with a genuinely zipfian profile: token k appears ~N/k times
+    toks = []
+    for k in range(1, 40):
+        toks += [f"w{k:02d}"] * (400 // k)
+    text = " ".join(toks)
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        row = zipf_fit_by_lang(spark, tmp).collect()[0]
+    assert row["zipf_slope"] < -0.9  # ~ -1 for a 1/k law
+    assert row["n_ranks"] == 39

@@ -82,6 +82,7 @@ WORKLOADS = [
     "temperature_resample_by_lang",
     "hard_negative_mining",
     "kneser_ney_doc_fluency",
+    "zipf_fit_by_lang",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
