@@ -455,9 +455,7 @@ def kn_fluency_recovered(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-@spec(
-    "zipf_fit_by_lang",
-    f"""
+_ZIPF_SQL = f"""
     WITH toks AS (
       SELECT lang, unnest({_WORDS_SQL}) AS tok FROM documents
     ),
@@ -491,7 +489,12 @@ def kn_fluency_recovered(spark, sf_dir):
            * CAST(sx AS DOUBLE)) / n,
       4) AS DOUBLE) AS zipf_intercept
     FROM agg
-    """,
+    """
+
+
+@spec(
+    "zipf_fit_by_lang",
+    _ZIPF_SQL,
     "Zipf rank-frequency power-law fit per language: least-squares "
     "regression of ln(freq) on ln(rank) over the top-100 token ranks "
     "— the corpus-health statistic (natural text ~ -1; templated or "
@@ -505,13 +508,21 @@ def kn_fluency_recovered(spark, sf_dir):
     "single-reducer window), then a |langs|-row closed form",
 )
 def zipf_fit_by_lang(spark, sf_dir):
-    from ..operators.similarity import per_query_topk
-
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
     freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    return zipf_fit_from_freq(freq)
+
+
+def zipf_fit_from_freq(freq):
+    """The fit off a (lang, tok, f) count table — the shared batch ≡
+    stream scoring path (``zipf_fit_recovered`` feeds it the merged
+    incremental store; integer counts -> identical ranking ->
+    identical exact-decimal sums -> identical closed form)."""
+    from ..operators.similarity import per_query_topk
+
     ranked = per_query_topk(
         freq, "lang", [F.desc("f"), F.asc("tok")], 100, rank_col="r"
     )
@@ -553,3 +564,44 @@ def zipf_fit_by_lang(spark, sf_dir):
         .cast("double")
         .alias("zipf_intercept"),
     )
+
+# --------------------------------------------------------------------
+@spec(
+    "zipf_fit_recovered",
+    _ZIPF_SQL,
+    "the Zipf-fit streaming twin witnessed end to end: the round-10 "
+    "per-(lang, token) incremental count store folded over 3 "
+    "micro-batch splits, the power-law fit recovered from the merged "
+    "counts through the SHARED scoring path — same oracle as "
+    "zipf_fit_by_lang because batch ≡ stream is exact (integer "
+    "counts). One store serves two consumers: vocab-overlap "
+    "contamination screens AND corpus-health fits, without "
+    "re-tokenizing the corpus",
+)
+def zipf_fit_recovered(spark, sf_dir):
+    """The Zipf fit's whole-corpus state is the (lang, tok, cnt)
+    integer count table — the SAME state the round-10 vocab-overlap
+    twin already maintains incrementally (streaming/vocab_stream.py's
+    ``VocabCountStore``), so the fit recovers from that store with no
+    new ingest machinery: fold 3 deterministic splits, merge counts,
+    rank, fit. Replay idempotence is pinned by the store's own tests;
+    this entry witnesses the derived-statistic recovery end to end."""
+    from ..streaming.vocab_stream import (
+        VocabCountStore,
+        read_vocab_counts,
+        update_vocab_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "adps_zipf_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = VocabCountStore(path)
+    for i in range(3):
+        update_vocab_counts(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
+        )
+    freq = read_vocab_counts(spark, store).select(
+        "lang", "tok", F.col("cnt").alias("f")
+    )
+    return zipf_fit_from_freq(freq)

@@ -168,6 +168,7 @@ HEADLINE = [
     "kneser_ney_doc_fluency",
     "kn_fluency_recovered",
     "zipf_fit_by_lang",
+    "zipf_fit_recovered",
 ]
 
 

@@ -495,3 +495,43 @@ def test_zipf_natural_ranking_slope_is_negative(spark):
         row = zipf_fit_by_lang(spark, tmp).collect()[0]
     assert row["zipf_slope"] < -0.9  # ~ -1 for a 1/k law
     assert row["n_ranks"] == 39
+
+
+def test_zipf_recovered_equals_batch(spark, tmp_path):
+    import os
+
+    from automated_data_pipeline_spark.streaming.vocab_stream import (
+        VocabCountStore,
+        read_vocab_counts,
+        update_vocab_counts,
+    )
+    from automated_data_pipeline_spark.suite.round11 import (
+        zipf_fit_by_lang,
+        zipf_fit_from_freq,
+    )
+
+    texts = [
+        ("en", "a a a b b c " * 5),
+        ("en", "a b c d e f g"),
+        ("de", "x y x y x z w w w w"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    store = VocabCountStore(str(tmp_path / "vc"))
+    for i in range(3):
+        update_vocab_counts(
+            spark, df.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
+        )
+    freq = read_vocab_counts(spark, store).select(
+        "lang", "tok", F.col("cnt").alias("f")
+    )
+    got = sorted(map(tuple, zipf_fit_from_freq(freq).collect()))
+    want = sorted(map(tuple, zipf_fit_by_lang(spark, sf).collect()))
+    assert got == want and len(got) == 2
