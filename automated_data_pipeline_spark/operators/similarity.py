@@ -421,20 +421,45 @@ def hard_negative_topk(
     ``per_query_topk`` rank (no single-reducer window). For corpus-scale
     anchor sets use ``hard_negative_topk_ivf``.
 
+    Per-pair cost is ONE array fold: both sides' norms are hoisted to
+    per-ROW projection columns before the join (``cosine_rounded_safe``
+    inline would fold norm(a) and norm(b) per PAIR — and twice each,
+    once in the zero guard and once in the division — 5 interpreted
+    64-element folds per pair instead of 1; measured 5x+ on a
+    50-anchor x 50k-vector mine). norm-once-then-multiply is
+    bit-identical to the inline form (same expression on the same
+    input), so the oracle still hash-matches.
+
     Returns (qid, id, neg_label, cosine, rank), rank 1..k per anchor
     on (cosine desc, id) — deterministic and engine-portable.
     """
-    pairs = corpus.crossJoin(F.broadcast(anchors)).filter(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        V.norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = anchors.select(
+        F.col(query_id_col),
+        F.col(query_label_col),
+        F.col(query_vec_col),
+        V.norm(F.col(query_vec_col)).alias("_qnrm"),
+    )
+    pairs = c.crossJoin(F.broadcast(a)).filter(
         (F.col(id_col) != F.col(query_id_col))
         & (F.col(label_col) != F.col(query_label_col))
+    )
+    denom = F.col("_nrm") * F.col("_qnrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(
+            V.dot(F.col(vec_col), F.col(query_vec_col)) / denom, digits
+        )
     )
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
         F.col(label_col).alias("neg_label"),
-        V.cosine_rounded_safe(
-            F.col(vec_col), F.col(query_vec_col), digits
-        ).alias("cosine"),
+        cos.alias("cosine"),
     )
     return per_query_topk(
         scored, query_id_col, [F.desc("cosine"), F.asc(id_col)], k

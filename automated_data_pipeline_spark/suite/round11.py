@@ -286,7 +286,7 @@ def winnowing_pairs_recovered(spark, sf_dir):
 _HARDNEG_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500
     ),
     pairs AS (
       SELECT q.qid, e.vec_id, e.label,
@@ -314,15 +314,22 @@ _HARDNEG_SQL = """
     _HARDNEG_SQL,
     "hard-negative mining for contrastive training: per anchor, the "
     "top-5 most-similar vectors with a DIFFERENT label — the "
-    "negatives nearest the decision boundary. Anchors broadcast, one "
+    "negatives nearest the decision boundary. The anchor set is a "
+    "BOUNDED mining batch (<=50 anchors at any sf — a contrastive "
+    "sampler mines negatives per training batch, not for the whole "
+    "corpus at once), so the exact brute pass stays "
+    "O(batch x corpus) with a fixed batch. Anchors broadcast, one "
     "corpus scan, label mismatch filtered BEFORE the dot product, "
     "two-phase top-k (no single-reducer window). The IVF-accelerated "
-    "over-fetch variant (hard_negative_topk_ivf) is recall-pinned "
-    "against this exact output in pytest",
+    "over-fetch variant (hard_negative_topk_ivf) — the corpus-scale "
+    "anchor-set path — is recall-pinned against this exact output in "
+    "pytest",
 )
 def hard_negative_mining(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") % 50 == 0).select(
+    anchors = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),

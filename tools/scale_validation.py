@@ -90,6 +90,7 @@ WORKLOADS = [
 # number — skip with the reason recorded instead of burning hours.
 QUADRATIC_ORACLES = {
     "dedup_jaccard_pairs": "all-pairs jaccard oracle: 1334s at sf0.1, O(n^2) => ~37h at x10",
+    "hard_negative_mining": "bounded-batch x corpus brute oracle with per-pair correlated 64-dim subqueries: ~10s for 5k pairs at sf0.01, ~50x that at x10 corpus; the Spark side IS the brute spec, timed",
     "audio_fingerprint_near_dup": "byte-level audio replay oracle: 325s at sf0.1",
     "image_dhash_near_dup": "byte-level PNG replay oracle, all-pairs hamming",
 }
