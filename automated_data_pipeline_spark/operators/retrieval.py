@@ -171,3 +171,226 @@ def bm25_oracle_sql(
     )
     SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {k}
     """
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein) diversified
+    top-k over an embedding corpus: retrieve a ``shortlist`` of the
+    most-relevant candidates per query, then greedily select ``k`` of
+    them maximizing  lam*rel - (1-lam)*max_sim_to_already_selected —
+    the standard redundancy-penalized re-rank for retrieval AND for
+    diverse training-batch selection (picking examples that are
+    relevant but not near-duplicates of each other).
+
+    Scale shape: the corpus is touched exactly TWICE — the broadcast
+    cosine shortlist scan and one (id, vec) projection join to attach
+    shortlist vectors — and everything after that operates on
+    |queries| x shortlist rows: the pairwise-sim table is
+    shortlist^2 per query, and each of the k greedy rounds is a
+    join+agg over those tiny frames (checkpointed per round to keep
+    lineage flat — the BPE per-round discipline; the loop is bounded
+    by k, never by corpus size).
+
+    Determinism: rel and pairwise sims are round-6 cosines; the MMR
+    score is round(lam*rel - om*maxsim, 7) with both coefficients
+    literal and the association order written identically in the
+    DuckDB twin (``mmr_oracle_sql``); every argmax tie-breaks on the
+    candidate id. Pick 1 scores round(lam*rel, 7) (empty selected set
+    -> zero penalty). The 7 matters: 0.7 x a 6-decimal rel is an
+    EXACT 7-decimal rational, so rounding at 6 sits ON the half
+    boundary whenever the 7th digit is 5 and the engines' rounding
+    implementations (BigDecimal shortest-repr HALF_UP vs x*1e6)
+    disagree there; rounding at 7 only recovers the exact rational —
+    no boundary exists to disagree about.
+
+    Returns (qid, pick 1..k, id, mmr).
+    """
+    from ..functions import vectors as V
+    from .similarity import cosine_topk, per_query_topk
+
+    om = round(1.0 - lam, 12)
+    short = cosine_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        exclude_self=exclude_self,
+    ).select(query_id_col, id_col, F.col("cosine").alias("rel"))
+    if materialize:
+        short = short.localCheckpoint(eager=True)
+
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    sv = vecs.join(F.broadcast(short.select(query_id_col, id_col)),
+                   id_col).select(query_id_col, id_col, vec_col)
+    a = sv.select(
+        query_id_col,
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = sv.select(
+        query_id_col,
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    psim = (
+        a.join(b, query_id_col)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            query_id_col, "a_id", "b_id",
+            V.cosine_rounded_safe(
+                F.col("a_vec"), F.col("b_vec")
+            ).alias("sim"),
+        )
+    )
+    if materialize:
+        psim = psim.localCheckpoint(eager=True)
+
+    first = (
+        per_query_topk(
+            short, query_id_col, [F.desc("rel"), F.asc(id_col)], 1
+        )
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.round(F.lit(lam) * F.col("rel"), 7).alias("mmr"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    selected = first
+    if materialize:
+        selected = selected.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        cand = short.join(
+            selected.select(query_id_col, id_col),
+            [query_id_col, id_col],
+            "left_anti",
+        )
+        sel_ids = selected.select(
+            query_id_col, F.col(id_col).alias("b_id")
+        )
+        ms = (
+            cand.join(
+                psim.withColumnRenamed("a_id", id_col),
+                [query_id_col, id_col],
+            )
+            .join(sel_ids, [query_id_col, "b_id"])
+            .groupBy(query_id_col, id_col, "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = ms.select(
+            query_id_col,
+            F.col(id_col),
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(om) * F.col("maxsim"), 7
+            ).alias("mmr"),
+        )
+        pick = (
+            per_query_topk(
+                scored, query_id_col, [F.desc("mmr"), F.asc(id_col)], 1
+            )
+            .select(query_id_col, id_col, "mmr", F.lit(i).alias("pick"))
+        )
+        selected = selected.unionByName(pick)
+        if materialize:
+            selected = selected.localCheckpoint(eager=True)
+    return selected.select(
+        query_id_col,
+        F.col("pick").cast("long").alias("pick"),
+        F.col(id_col),
+        "mmr",
+    )
+
+
+def mmr_oracle_sql(
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    anchors_where: str = "vec_id < 3",
+    dim: int = 64,
+) -> str:
+    """The DuckDB twin of :func:`mmr_topk` over the embeddings table —
+    the greedy selection unrolled as k chained CTEs, each picking the
+    per-query argmax of the identically-written MMR expression."""
+    om = round(1.0 - lam, 12)
+    r = dim + 1
+
+    def cos(a, b):
+        return (
+            f"CASE WHEN (SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0"
+            f" OR (SELECT sum(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0"
+            f" THEN 0.0 ELSE round("
+            f"(SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i))"
+            f" / (sqrt((SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)) FROM range(1,{r}) t(i)))"
+            f" * sqrt((SELECT sum(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i)))), 6) END"
+        )
+
+    parts = [f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE {anchors_where}
+    ),
+    rels AS (
+      SELECT q.qid, e.vec_id, {cos('e.embedding', 'q.qe')} AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid
+    ),
+    short AS (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, rel,
+          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+        FROM rels
+      ) WHERE rn <= {shortlist}
+    ),
+    sv AS (
+      SELECT s.qid, s.vec_id, e.embedding
+      FROM short s JOIN embeddings e USING (vec_id)
+    ),
+    psim AS (
+      SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+             {cos('a.embedding', 'b.embedding')} AS sim
+      FROM sv a JOIN sv b ON a.qid = b.qid AND a.vec_id != b.vec_id
+    ),
+    sel1 AS (
+      SELECT qid, vec_id, round({lam} * rel, 7) AS mmr, 1 AS pick FROM (
+        SELECT qid, vec_id, rel,
+          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+        FROM short
+      ) WHERE rn = 1
+    ),
+    selu1 AS (SELECT * FROM sel1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    ms{i} AS (
+      SELECT c.qid, c.vec_id,
+             round({lam} * c.rel - {om} * max(p.sim), 7) AS mmr
+      FROM short c
+      JOIN psim p ON p.qid = c.qid AND p.a_id = c.vec_id
+      JOIN selu{i - 1} s ON s.qid = p.qid AND s.vec_id = p.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM selu{i - 1} x
+        WHERE x.qid = c.qid AND x.vec_id = c.vec_id
+      )
+      GROUP BY c.qid, c.vec_id, c.rel
+    ),
+    sel{i} AS (
+      SELECT qid, vec_id, mmr, {i} AS pick FROM (
+        SELECT qid, vec_id, mmr,
+          row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+        FROM ms{i}
+      ) WHERE rn = 1
+    ),
+    selu{i} AS (SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    parts.append(f"""
+    SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, mmr
+    FROM selu{k}
+    """)
+    return "".join(parts)

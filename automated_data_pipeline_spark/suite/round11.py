@@ -612,3 +612,26 @@ def zipf_fit_recovered(spark, sf_dir):
         "lang", "tok", F.col("cnt").alias("f")
     )
     return zipf_fit_from_freq(freq)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "mmr_diversified_topk",
+    retrieval.mmr_oracle_sql(k=5, shortlist=20, lam=0.7),
+    "Maximal Marginal Relevance diversified retrieval: cosine top-20 "
+    "shortlist per query, then 5 greedy picks maximizing "
+    "0.7*rel - 0.3*max_sim_to_selected — the standard "
+    "redundancy-penalized re-rank (and the diverse training-batch "
+    "selection primitive). The corpus is touched twice (shortlist "
+    "scan + one (id, vec) projection join); the k-round greedy loop "
+    "runs on |queries| x shortlist frames only, checkpointed per "
+    "round (the BPE bounded-loop discipline). The oracle unrolls the "
+    "same greedy argmax as k chained CTEs with the identical "
+    "round-6/tie-break arithmetic",
+)
+def mmr_diversified_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return retrieval.mmr_topk(e, q, k=5, shortlist=20, lam=0.7)

@@ -169,6 +169,7 @@ HEADLINE = [
     "kn_fluency_recovered",
     "zipf_fit_by_lang",
     "zipf_fit_recovered",
+    "mmr_diversified_topk",
 ]
 
 

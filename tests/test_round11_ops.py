@@ -535,3 +535,111 @@ def test_zipf_recovered_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, zipf_fit_from_freq(freq).collect()))
     want = sorted(map(tuple, zipf_fit_by_lang(spark, sf).collect()))
     assert got == want and len(got) == 2
+
+
+# ----------------------------------------------------------------- MMR
+def _brute_mmr(rows, anchors, k=5, shortlist=20, lam=0.7):
+    import math as _m
+
+    om = round(1.0 - lam, 12)
+
+    def cos(a, b):
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    vec = {vid: e for vid, e in rows}
+    out = {}
+    for qid, qe in anchors:
+        rel = sorted(
+            ((cos(e, qe), vid) for vid, e in rows if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:shortlist]
+        cand = {vid: r for r, vid in rel}
+        sel = []
+        for pick in range(1, k + 1):
+            if pick == 1:
+                scored = [(round(lam * r, 7), vid) for vid, r in cand.items()]
+            else:
+                scored = [
+                    (
+                        round(
+                            lam * r
+                            - om * max(cos(vec[vid], vec[s]) for s in sel),
+                            7,
+                        ),
+                        vid,
+                    )
+                    for vid, r in cand.items()
+                ]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            mmr, vid = scored[0]
+            sel.append(vid)
+            del cand[vid]
+            out[(qid, pick)] = (vid, mmr)
+    return out
+
+
+def test_mmr_matches_brute_force(spark):
+    from automated_data_pipeline_spark.operators.retrieval import mmr_topk
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(40)
+    ]
+    anchors = [(0, rows[0][1]), (7, rows[7][1])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(anchors, "qid long, qe array<double>")
+    got = {
+        (r["qid"], r["pick"]): (r["vec_id"], r["mmr"])
+        for r in mmr_topk(e, q, k=4, shortlist=10).collect()
+    }
+    assert got == _brute_mmr(rows, anchors, k=4, shortlist=10)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """On the fixture corpus the MMR pick-set's max intra-set cosine
+    must not exceed the plain top-k's (the whole point of the
+    penalty), and pick 1 must equal the top-1 by relevance."""
+    import itertools
+    import math as _m
+
+    from automated_data_pipeline_spark.operators.retrieval import mmr_topk
+    from automated_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    mmr = mmr_topk(e, q, k=5, shortlist=20)
+    top = cosine_topk(e, q, k=5)
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+    def cos(a, b):
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    def max_intra(ids):
+        return max(
+            cos(vecs[a], vecs[b]) for a, b in itertools.combinations(ids, 2)
+        )
+
+    mmr_rows = mmr.collect()
+    top_rows = top.collect()
+    for qid in (0, 1):
+        m_ids = [r["vec_id"] for r in mmr_rows if r["qid"] == qid]
+        t_ids = [r["vec_id"] for r in top_rows if r["qid"] == qid]
+        assert len(m_ids) == 5
+        assert max_intra(m_ids) <= max_intra(t_ids) + 1e-9
+        pick1 = next(
+            r["vec_id"] for r in mmr_rows if r["qid"] == qid and r["pick"] == 1
+        )
+        top1 = next(
+            r["vec_id"] for r in top_rows if r["qid"] == qid and r["rank"] == 1
+        )
+        assert pick1 == top1

@@ -1028,3 +1028,21 @@ def test_round11_late_ops_plan_contracts(spark):
     assert "CartesianProduct" not in kplan
     for frag in kplan.split("Exchange hashpartitioning")[1:]:
         assert "text" not in frag[:120]
+
+    # MMR: the greedy rounds run on |q| x shortlist frames only — no
+    # cartesian anywhere, and the shortlist-vector attach joins the
+    # tiny id set broadcast against the corpus projection
+    from automated_data_pipeline_spark.operators.retrieval import mmr_topk
+
+    a2 = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    mm = mmr_topk(e, a2, k=3, shortlist=8, materialize=False)
+    mm.count()
+    mplan = mm._jdf.queryExecution().executedPlan().toString()
+    # the only theta join is the broadcast shortlist scan; the greedy
+    # rounds are qid-keyed equi-joins over |q| x shortlist frames
+    # (shuffle cost bounded by the shortlist, not the corpus — a
+    # sort-merge there is fine and AQE broadcasts it on the
+    # checkpointed production path)
+    assert "CartesianProduct" not in mplan

@@ -83,6 +83,7 @@ WORKLOADS = [
     "hard_negative_mining",
     "kneser_ney_doc_fluency",
     "zipf_fit_by_lang",
+    "mmr_diversified_topk",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
