@@ -635,3 +635,73 @@ def mmr_diversified_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return retrieval.mmr_topk(e, q, k=5, shortlist=20, lam=0.7)
+
+
+# --------------------------------------------------------------------
+@spec(
+    "pmi_collocations_topk",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY 1),
+    tot AS (SELECT sum(c12) AS n FROM c12),
+    p AS (
+      SELECT w1, w2, c12,
+        round(ln((CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count, pmi
+    FROM p ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    "PMI collocation mining (the word2phrase/phrase-detection "
+    "primitive for tokenizer and vocab curation): top-50 bigrams by "
+    "pointwise mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a "
+    "min-count-5 stability floor. All statistics are integer "
+    "map-side aggs of ONE bigram-type table (the same shape as the "
+    "KN estimator); counts are cast to double INSIDE an identically "
+    "associated expression in both engines (bigint c12*n overflows "
+    "at web scale); ranking is on the round-6 pmi with a (w1, w2) "
+    "tie-break. The final top-50 is a vocabulary-sized sort, never a "
+    "corpus sort",
+)
+def pmi_collocations_topk(spark, sf_dir):
+    from ..streaming.kn_stream import batch_bigrams
+
+    d = load(spark, sf_dir, "documents")
+    occ = batch_bigrams(d)
+    c12 = (
+        occ.groupBy("w1", "w2").agg(F.sum("c").alias("c12")).persist()
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    out = (
+        c12.filter(F.col("c12") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+    res = out.localCheckpoint(eager=True)
+    c12.unpersist()
+    return res

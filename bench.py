@@ -170,6 +170,7 @@ HEADLINE = [
     "zipf_fit_by_lang",
     "zipf_fit_recovered",
     "mmr_diversified_topk",
+    "pmi_collocations_topk",
 ]
 
 

@@ -643,3 +643,50 @@ def test_mmr_diversifies_vs_plain_topk(spark):
             r["vec_id"] for r in top_rows if r["qid"] == qid and r["rank"] == 1
         )
         assert pick1 == top1
+
+
+# ----------------------------------------------------------------- PMI
+def test_pmi_collocations_matches_brute(spark):
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from automated_data_pipeline_spark.suite.round11 import (
+        pmi_collocations_topk,
+    )
+
+    # "san francisco" always co-occurs; "the x" pairs are diluted
+    texts = [
+        "san francisco is by the bay and the bay is cold",
+        "san francisco has the fog and the fog has moods",
+        "the cat and the dog and the bird saw san francisco",
+        "san francisco san francisco san francisco",
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = pmi_collocations_topk(spark, tmp).collect()
+
+    c12 = Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            c12[(ws[i], ws[i + 1])] += 1
+    c1, c2 = Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        c2[b] += c
+    n = sum(c12.values())
+    want = [
+        (a, b, c, round(math.log((c * n) / (c1[a] * c2[b])), 6))
+        for (a, b), c in c12.items()
+        if c >= 5
+    ]
+    want.sort(key=lambda t: (-t[3], t[0], t[1]))
+    got = [(r["w1"], r["w2"], r["pair_count"], r["pmi"]) for r in rows]
+    assert got == want[:50]
+    assert got[0][:2] == ("san", "francisco")  # the perfect collocation
