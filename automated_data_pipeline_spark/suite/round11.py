@@ -705,3 +705,138 @@ def pmi_collocations_topk(spark, sf_dir):
     res = out.localCheckpoint(eager=True)
     c12.unpersist()
     return res
+
+
+# --------------------------------------------------------------------
+_BM25_VALUES = ", ".join(
+    f"({int(qid)}, '{t}')"
+    for qid, terms in sorted(_BM25_QUERIES.items())
+    for t in terms
+)
+
+
+_ENTROPY_SQL_BODY = """
+    ch AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, length(text) + 1),
+                              i -> substr(text, i, 1))) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS h
+      FROM cnt GROUP BY 1
+    )
+    """
+
+
+@spec(
+    "rrf_quality_fusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+          * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75
+              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))) AS s
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dfq USING (term)
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT query_id, doc_id, round(sum(s), 6) AS score
+      FROM scored GROUP BY 1, 2
+    ),
+    bm AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rnk
+        FROM agg
+      ) WHERE rnk <= 20
+    ),
+    ch AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, length(text) + 1),
+                              i -> substr(text, i, 1))) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS h
+      FROM cnt GROUP BY 1
+    ),
+    qr AS (
+      SELECT bm.query_id, bm.doc_id, bm.rnk AS r_rel,
+        row_number() OVER (
+          PARTITION BY bm.query_id ORDER BY ent.h DESC, bm.doc_id
+        ) AS r_q
+      FROM bm JOIN ent USING (doc_id)
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+        round(1.0 / (60 + r_rel) + 1.0 / (60 + r_q), 9) AS rrf
+      FROM qr
+    ),
+    franked AS (
+      SELECT query_id, doc_id, rrf,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS rnk
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
+    FROM franked WHERE rnk <= 5
+    """,
+    "reciprocal-rank fusion of BM25 relevance with the char-entropy "
+    "quality signal (quality-aware retrieval — the standard hybrid "
+    "ranker shape, here fusing a relevance ranker with a curation "
+    "signal): per query, candidates = BM25 top-20; r_q re-ranks those "
+    "candidates by entropy; rrf = 1/(60+r_rel) + 1/(60+r_q) rounded "
+    "at 9 (integer ranks -> identical IEEE divisions in both "
+    "engines), top-5 on (rrf desc, doc_id). Fusion operates on "
+    "|q| x 20 rows — the corpus cost is the two signal passes, both "
+    "already scale-shaped",
+)
+def rrf_quality_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    bm = retrieval.bm25_top_docs(spark, d, _BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", F.col("rnk").alias("r_rel")
+    )
+    ent = char_entropy_quality(spark, sf_dir).select(
+        "doc_id", F.col("h_entropy").alias("h")
+    )
+    qr = bm.join(ent, "doc_id").withColumn(
+        "r_q",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("h"), F.asc("doc_id")
+            )
+        ),
+    )
+    fused = qr.select(
+        "query_id", "doc_id",
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("r_rel"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_q")),
+            9,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rrf", F.col("rnk").cast("long").alias("rnk"))
+    )

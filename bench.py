@@ -171,6 +171,7 @@ HEADLINE = [
     "zipf_fit_recovered",
     "mmr_diversified_topk",
     "pmi_collocations_topk",
+    "rrf_quality_fusion",
 ]
 
 

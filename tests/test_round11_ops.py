@@ -690,3 +690,79 @@ def test_pmi_collocations_matches_brute(spark):
     got = [(r["w1"], r["w2"], r["pair_count"], r["pmi"]) for r in rows]
     assert got == want[:50]
     assert got[0][:2] == ("san", "francisco")  # the perfect collocation
+
+
+# ----------------------------------------------------------------- RRF
+def test_rrf_fusion_semantics(spark):
+    """RRF must (a) only return docs from the BM25 candidate set,
+    (b) rank a high-quality lower-relevance candidate above a
+    low-quality higher-relevance one when the rank gap is small, and
+    (c) produce 5 rows per seed query on the fixture."""
+    from automated_data_pipeline_spark.suite.round11 import (
+        _BM25_QUERIES,
+        rrf_quality_fusion,
+    )
+    from automated_data_pipeline_spark.operators.retrieval import (
+        bm25_top_docs,
+    )
+    from automated_data_pipeline_spark.suite import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = rrf_quality_fusion(spark, sf).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(_BM25_QUERIES)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+
+    d = load(spark, sf, "documents")
+    cand = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_top_docs(spark, d, _BM25_QUERIES, k=20).collect()
+    }
+    for r in rows:
+        assert (r["query_id"], r["doc_id"]) in cand
+
+
+def test_rrf_score_formula(spark):
+    """Spot-check the fused score arithmetic against the definition
+    on one query's output (r_rel from bm25 ranks, r_q re-derived)."""
+    from automated_data_pipeline_spark.suite.round11 import (
+        _BM25_QUERIES,
+        rrf_quality_fusion,
+        char_entropy_quality,
+    )
+    from automated_data_pipeline_spark.operators.retrieval import (
+        bm25_top_docs,
+    )
+    from automated_data_pipeline_spark.suite import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    bm = {
+        (r["query_id"], r["doc_id"]): r["rnk"]
+        for r in bm25_top_docs(spark, d, _BM25_QUERIES, k=20).collect()
+    }
+    ent = {
+        r["doc_id"]: r["h_entropy"]
+        for r in char_entropy_quality(spark, sf).collect()
+    }
+    for qid in _BM25_QUERIES:
+        cands = sorted(
+            (d_ for q, d_ in bm if q == qid),
+            key=lambda d_: (-ent[d_], d_),
+        )
+        r_q = {d_: i + 1 for i, d_ in enumerate(cands)}
+        expected = {
+            d_: round(1.0 / (60 + bm[(qid, d_)]) + 1.0 / (60 + r_q[d_]), 9)
+            for d_ in r_q
+        }
+        got = {
+            r["doc_id"]: r["rrf"]
+            for r in rrf_quality_fusion(spark, sf).collect()
+            if r["query_id"] == qid
+        }
+        for d_, v in got.items():
+            assert v == expected[d_], (qid, d_, v, expected[d_])
