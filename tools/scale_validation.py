@@ -84,6 +84,8 @@ WORKLOADS = [
     "kneser_ney_doc_fluency",
     "zipf_fit_by_lang",
     "mmr_diversified_topk",
+    "pmi_collocations_topk",
+    "rrf_quality_fusion",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
