@@ -22,9 +22,11 @@ Scale shape (the plan you'd want at 100 TB):
 
 Cross-engine determinism: integer tf/dl/df/N keep avgdl = SUM(int)/N
 exact; idf and the saturation term are fixed-order IEEE expressions
-written identically in the DuckDB oracle; per-(query, doc) scores are
-rounded AFTER the term sum and ranked on the rounded value with a
-doc_id tie-break.
+written identically in the DuckDB oracle; per-term scores are rounded
+to 9 decimals and cast to DECIMAL before the per-(query, doc) sum
+(order-independent — the suite's round-to-DECIMAL-before-SUM
+convention), then the sum is rounded to 6 and ranked with a doc_id
+tie-break.
 """
 
 from __future__ import annotations
@@ -100,11 +102,15 @@ def bm25_top_docs(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
+    # round each term score to 9 and sum as exact DECIMAL — float
+    # addition is not associative, so a raw double SUM is partition-
+    # order-dependent at a round-half boundary (ADVICE r11)
     per_term = scored.select(
-        "query_id", "doc_id", (idf * sat).alias("s")
+        "query_id", "doc_id",
+        F.round(idf * sat, 9).cast("decimal(20,9)").alias("s"),
     )
     agg = per_term.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("s"), 6).alias("score")
+        F.round(F.sum("s").cast("double"), 6).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -132,9 +138,12 @@ def bm25_oracle_sql(
     b: float = 0.75,
 ) -> str:
     """The DuckDB twin of :func:`bm25_top_docs` — same tokenize
-    convention (``words_sql``), same fixed-order score expression."""
+    convention (``words_sql``), same fixed-order score expression.
+    Terms are SQL-escaped (quote doubling) before interpolation into
+    the VALUES list (ADVICE r11 — a term containing a quote must not
+    produce a malformed oracle)."""
     values = ", ".join(
-        f"({int(qid)}, '{t}')"
+        f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}')"
         for qid, terms in sorted(queries.items())
         for t in terms
     )
@@ -149,9 +158,11 @@ def bm25_oracle_sql(
     q(query_id, term) AS (VALUES {values}),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        CAST(round(
+          ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
           * ((tf.tf * {k1 + 1.0}) / (tf.tf + {k1} * ({1.0 - b} + {b}
-              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))) AS s
+              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))),
+        9) AS DECIMAL(20,9)) AS s
       FROM tf
       JOIN q USING (term)
       JOIN dl USING (doc_id)
@@ -159,7 +170,7 @@ def bm25_oracle_sql(
       CROSS JOIN stats
     ),
     agg AS (
-      SELECT query_id, doc_id, round(sum(s), 6) AS score
+      SELECT query_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
       FROM scored GROUP BY 1, 2
     ),
     ranked AS (
@@ -320,7 +331,19 @@ def mmr_oracle_sql(
 ) -> str:
     """The DuckDB twin of :func:`mmr_topk` over the embeddings table —
     the greedy selection unrolled as k chained CTEs, each picking the
-    per-query argmax of the identically-written MMR expression."""
+    per-query argmax of the identically-written MMR expression.
+
+    ``anchors_where`` is a deliberate SQL predicate fragment, but it
+    is validated against a conservative character set before
+    interpolation (ADVICE r11 — no quotes/semicolons/comments can
+    reach the generated oracle)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_ <>=!%+*/().,-]+", anchors_where):
+        raise ValueError(
+            f"anchors_where contains characters outside the safe set: "
+            f"{anchors_where!r}"
+        )
     om = round(1.0 - lam, 12)
     r = dim + 1
 

@@ -117,9 +117,15 @@ def temperature_mixture(
     (1..n_copies); rows drawn at 0 copies are dropped.
     """
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    # round each n_d^alpha to 6 and sum as exact DECIMAL so the
+    # denominator is independent of partition order (float addition
+    # is not associative; ADVICE r11)
     totals = counts.agg(
         F.sum("n_d").alias("n_total"),
-        F.sum(F.pow(F.col("n_d"), F.lit(float(alpha)))).alias("denom"),
+        F.sum(
+            F.round(F.pow(F.col("n_d"), F.lit(float(alpha))), 6)
+            .cast("decimal(28,6)")
+        ).alias("denom"),
     )
     wts = counts.crossJoin(F.broadcast(totals)).select(
         domain_col,
@@ -127,7 +133,7 @@ def temperature_mixture(
             (
                 F.col("n_total")
                 * F.pow(F.col("n_d"), F.lit(float(alpha)))
-                / F.col("denom")
+                / F.col("denom").cast("double")
             )
             / F.col("n_d"),
             6,

@@ -168,10 +168,15 @@ def recover_bm25_scores(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
+    # same round-9 DECIMAL-before-SUM convention as the batch operator
+    # (order-independent term sum; ADVICE r11)
     agg = (
-        scored.select("query_id", "doc_id", (idf * sat).alias("s"))
+        scored.select(
+            "query_id", "doc_id",
+            F.round(idf * sat, 9).cast("decimal(20,9)").alias("s"),
+        )
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("score"))
     )
     from pyspark.sql import Window
 

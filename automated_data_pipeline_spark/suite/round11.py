@@ -34,6 +34,19 @@ def spec(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _store_root(spark, name: str) -> str:
+    """A per-session scratch root for the *_recovered incremental
+    stores: keyed by the Spark application id so two concurrent
+    suite/bench runs on one host can never clobber each other's
+    stores mid-query (ADVICE r11 — the fixed ``adps_*`` paths did).
+    Recreated fresh (rmtree) on every call — these entries fold the
+    corpus from scratch by design."""
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"adps_{name}_{app}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 # --------------------------------------------------------------------
 # BM25 top-k retrieval. Fixed seed queries over the corpus vocabulary;
 # the scale story is in operators/retrieval.py (one tokenize pass,
@@ -63,10 +76,15 @@ def bm25_top_docs(spark, sf_dir):
     "temperature_resample_by_lang",
     """
     WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
-    t AS (SELECT sum(n_d) AS n_total, sum(pow(n_d, 0.5)) AS denom FROM c),
+    t AS (
+      SELECT sum(n_d) AS n_total,
+             sum(CAST(round(pow(n_d, 0.5), 6) AS DECIMAL(28,6))) AS denom
+      FROM c
+    ),
     w AS (
       SELECT c.lang,
-             round((t.n_total * pow(c.n_d, 0.5) / t.denom) / c.n_d, 6) AS wt
+             round((t.n_total * pow(c.n_d, 0.5)
+                    / CAST(t.denom AS DOUBLE)) / c.n_d, 6) AS wt
       FROM c CROSS JOIN t
     ),
     d AS (
@@ -163,11 +181,11 @@ def winnowing_overlap_pairs(spark, sf_dir):
     cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
     agg AS (
       SELECT doc_id, sum(c) AS n, count(*) AS k,
-             sum(c * log2(c)) AS s
+             sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6))) AS s
       FROM cnt GROUP BY 1
     )
     SELECT doc_id,
-           round(log2(n) - s / n, 4) AS h_entropy,
+           round(log2(n) - CAST(s AS DOUBLE) / n, 4) AS h_entropy,
            CAST(k AS BIGINT) AS distinct_chars
     FROM agg
     """,
@@ -191,14 +209,21 @@ def char_entropy_quality(spark, sf_dir):
         ).alias("ch"),
     )
     cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    # round each c*log2(c) term to 6 and sum as exact DECIMAL so the
+    # per-doc sum is independent of partition order (ADVICE r11 — the
+    # suite's round-to-DECIMAL-before-SUM convention)
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("c") * F.log2("c")).alias("s"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 6).cast("decimal(28,6)")
+        ).alias("s"),
     )
     return agg.select(
         "doc_id",
-        F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("h_entropy"),
+        F.round(
+            F.log2("n") - F.col("s").cast("double") / F.col("n"), 4
+        ).alias("h_entropy"),
         F.col("k").alias("distinct_chars"),
     )
 
@@ -230,8 +255,7 @@ def bm25_scores_recovered(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    root = os.path.join(tempfile.gettempdir(), "adps_bm25_store")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _store_root(spark, "bm25_store")
     postings = PostingsStore(os.path.join(root, "postings"))
     doclens = DocLenStore(os.path.join(root, "doclens"))
     for i in range(3):
@@ -269,8 +293,7 @@ def winnowing_pairs_recovered(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "adps_winnow_store")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _store_root(spark, "winnow_store")
     store = WinnowStore(path)
     for i in range(3):
         update_winnow_store(
@@ -450,8 +473,7 @@ def kn_fluency_recovered(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "adps_kn_store")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _store_root(spark, "kn_store")
     store = BigramStore(path)
     for i in range(3):
         update_bigram_store(
@@ -600,8 +622,7 @@ def zipf_fit_recovered(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "adps_zipf_store")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _store_root(spark, "zipf_store")
     store = VocabCountStore(path)
     for i in range(3):
         update_vocab_counts(
@@ -708,13 +729,18 @@ def pmi_collocations_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# terms SQL-escaped (quote doubling) like retrieval.bm25_oracle_sql
 _BM25_VALUES = ", ".join(
-    f"({int(qid)}, '{t}')"
+    f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}')"
     for qid, terms in sorted(_BM25_QUERIES.items())
     for t in terms
 )
 
 
+# The ONE copy of the entropy-signal SQL the rrf oracle interpolates
+# (ADVICE r11 — an unused duplicate of these CTEs silently drifted
+# from the inline copy). Same round-to-DECIMAL-before-SUM term
+# convention as char_entropy_quality's oracle.
 _ENTROPY_SQL_BODY = """
     ch AS (
       SELECT doc_id,
@@ -724,7 +750,10 @@ _ENTROPY_SQL_BODY = """
     ),
     cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
     ent AS (
-      SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS h
+      SELECT doc_id,
+        round(log2(sum(c))
+              - CAST(sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6)))
+                     AS DOUBLE) / sum(c), 4) AS h
       FROM cnt GROUP BY 1
     )
     """
@@ -743,9 +772,11 @@ _ENTROPY_SQL_BODY = """
     q(query_id, term) AS (VALUES {_BM25_VALUES}),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        CAST(round(
+          ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75
-              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))) AS s
+              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))),
+        9) AS DECIMAL(20,9)) AS s
       FROM tf
       JOIN q USING (term)
       JOIN dl USING (doc_id)
@@ -753,7 +784,7 @@ _ENTROPY_SQL_BODY = """
       CROSS JOIN stats
     ),
     agg AS (
-      SELECT query_id, doc_id, round(sum(s), 6) AS score
+      SELECT query_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
       FROM scored GROUP BY 1, 2
     ),
     bm AS (
@@ -765,17 +796,7 @@ _ENTROPY_SQL_BODY = """
         FROM agg
       ) WHERE rnk <= 20
     ),
-    ch AS (
-      SELECT doc_id,
-        unnest(list_transform(range(1, length(text) + 1),
-                              i -> substr(text, i, 1))) AS ch
-      FROM documents WHERE length(text) > 0
-    ),
-    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
-    ent AS (
-      SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS h
-      FROM cnt GROUP BY 1
-    ),
+    {_ENTROPY_SQL_BODY.strip().rstrip()},
     qr AS (
       SELECT bm.query_id, bm.doc_id, bm.rnk AS r_rel,
         row_number() OVER (
