@@ -538,6 +538,11 @@ _ZIPF_SQL = f"""
 )
 def zipf_fit_by_lang(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
+    # hash-spread before the tokenize+explode (the r7 one-file-scan
+    # lesson): a compact corpus file otherwise tokenizes on one task —
+    # profiled at sf1 as the whole 2.1x-vs-DuckDB gap (VERDICT r11
+    # item 3: the post-rank fit stages were already sub-0.3s)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
