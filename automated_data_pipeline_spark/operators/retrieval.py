@@ -130,25 +130,26 @@ def bm25_top_docs(
     return out
 
 
-def bm25_oracle_sql(
+def bm25_cte_body(
     queries: dict[int, list[str]],
     words_sql: str,
-    k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """The DuckDB twin of :func:`bm25_top_docs` — same tokenize
-    convention (``words_sql``), same fixed-order score expression.
-    Terms are SQL-escaped (quote doubling) before interpolation into
-    the VALUES list (ADVICE r11 — a term containing a quote must not
-    produce a malformed oracle)."""
+    """The BM25 scoring CTE chain (toks → tf/dl/dfq/stats → scored →
+    agg) as a WITH-body fragment — the ONE copy composed oracles
+    interpolate (``bm25_oracle_sql`` and the suite's fusion oracles),
+    so the score expression cannot drift between them. Terms are
+    SQL-escaped (quote doubling) before interpolation into the VALUES
+    list (ADVICE r11 — a term containing a quote must not produce a
+    malformed oracle). ``agg`` ends the fragment: (query_id, doc_id,
+    score) with the round-9-DECIMAL-before-SUM term convention."""
     values = ", ".join(
         f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}')"
         for qid, terms in sorted(queries.items())
         for t in terms
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest({words_sql}) AS term FROM documents
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -172,7 +173,21 @@ def bm25_oracle_sql(
     agg AS (
       SELECT query_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
       FROM scored GROUP BY 1, 2
-    ),
+    )"""
+
+
+def bm25_oracle_sql(
+    queries: dict[int, list[str]],
+    words_sql: str,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """The DuckDB twin of :func:`bm25_top_docs` — same tokenize
+    convention (``words_sql``), same fixed-order score expression
+    (shared via :func:`bm25_cte_body`)."""
+    return f"""
+    WITH {bm25_cte_body(queries, words_sql, k1, b)},
     ranked AS (
       SELECT query_id, doc_id, score,
              row_number() OVER (
@@ -417,3 +432,54 @@ def mmr_oracle_sql(
     FROM selu{k}
     """)
     return "".join(parts)
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rnk",
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the
+    standard hybrid-retrieval combiner, Cormack/Clarke/Buettcher):
+    rrf(d) = sum over legs containing d of 1/(c + rank_leg(d)).
+
+    Implemented as union + groupBy — NOT an N-way full-outer join: a
+    candidate present in only some legs simply contributes fewer
+    terms, the shape extends to any number of legs, and the fusion is
+    a single tiny exchange over sum(|leg|) rows (each leg is a
+    per-query top-k shortlist, so the whole fusion input is
+    |queries| x k x n_legs — corpus cost lives in the legs, never
+    here). No join means nothing to broadcast or sort-merge.
+
+    Determinism: each contribution 1/(c + rank) is rounded to 12 and
+    summed as exact DECIMAL (order-independent across legs — the
+    suite's round-to-DECIMAL-before-SUM convention), then the fused
+    score is rounded to 9; ranking is on the rounded score with an id
+    tie-break.
+
+    Returns (query_col, id_col, rrf, rnk) with rrf rounded to 9 and
+    rnk 1..k.
+    """
+    from .similarity import per_query_topk
+
+    contribs = None
+    for leg in legs:
+        part = leg.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(c) + F.col(rank_col)), 12)
+            .cast("decimal(14,12)")
+            .alias("_contrib"),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+    fused = contribs.groupBy(query_col, id_col).agg(
+        F.round(F.sum("_contrib").cast("double"), 9).alias("rrf")
+    )
+    return per_query_topk(
+        fused, query_col, [F.desc("rrf"), F.asc(id_col)], k, rank_col="rnk"
+    ).select(
+        query_col, id_col, "rrf", F.col("rnk").cast("long").alias("rnk")
+    )

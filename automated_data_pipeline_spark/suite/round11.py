@@ -664,9 +664,9 @@ def mmr_diversified_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-@spec(
-    "pmi_collocations_topk",
-    f"""
+# Module-level so round12's pmi_collocations_recovered can share the
+# identical oracle (batch ≡ stream is exact — integer pair counts).
+_PMI_SQL = f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     bg AS (
       SELECT ws[i] AS w1, ws[i+1] AS w2
@@ -685,7 +685,47 @@ def mmr_diversified_topk(spark, sf_dir):
     )
     SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count, pmi
     FROM p ORDER BY pmi DESC, w1, w2 LIMIT 50
-    """,
+    """
+
+
+def pmi_topk_from_pair_counts(c12, min_count: int = 5, k: int = 50):
+    """Top-k PMI collocations off a (w1, w2, c12) bigram-type count
+    table — the SHARED batch ≡ stream scoring path (round12's
+    ``pmi_collocations_recovered`` feeds it the merged incremental
+    bigram store; integer counts -> identical marginals -> identical
+    round-6 pmi -> identical (pmi, w1, w2) ordering)."""
+    c12 = c12.persist()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    out = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+    res = out.localCheckpoint(eager=True)
+    c12.unpersist()
+    return res
+
+
+@spec(
+    "pmi_collocations_topk",
+    _PMI_SQL,
     "PMI collocation mining (the word2phrase/phrase-detection "
     "primitive for tokenizer and vocab curation): top-50 bigrams by "
     "pointwise mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a "
@@ -702,46 +742,11 @@ def pmi_collocations_topk(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     occ = batch_bigrams(d)
-    c12 = (
-        occ.groupBy("w1", "w2").agg(F.sum("c").alias("c12")).persist()
-    )
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
-    tot = c12.agg(F.sum("c12").alias("n"))
-    pmi = F.round(
-        F.log(
-            (F.col("c12").cast("double") * F.col("n"))
-            / (F.col("c1").cast("double") * F.col("c2"))
-        ),
-        6,
-    )
-    out = (
-        c12.filter(F.col("c12") >= 5)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w1", "w2",
-            F.col("c12").cast("long").alias("pair_count"),
-            pmi.alias("pmi"),
-        )
-        .orderBy(F.desc("pmi"), "w1", "w2")
-        .limit(50)
-    )
-    res = out.localCheckpoint(eager=True)
-    c12.unpersist()
-    return res
+    c12 = occ.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    return pmi_topk_from_pair_counts(c12)
 
 
 # --------------------------------------------------------------------
-# terms SQL-escaped (quote doubling) like retrieval.bm25_oracle_sql
-_BM25_VALUES = ", ".join(
-    f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}')"
-    for qid, terms in sorted(_BM25_QUERIES.items())
-    for t in terms
-)
-
-
 # The ONE copy of the entropy-signal SQL the rrf oracle interpolates
 # (ADVICE r11 — an unused duplicate of these CTEs silently drifted
 # from the inline copy). Same round-to-DECIMAL-before-SUM term
@@ -767,31 +772,7 @@ _ENTROPY_SQL_BODY = """
 @spec(
     "rrf_quality_fusion",
     f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
-    q(query_id, term) AS (VALUES {_BM25_VALUES}),
-    scored AS (
-      SELECT q.query_id, tf.doc_id,
-        CAST(round(
-          ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-          * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75
-              * dl.dl / (stats.tok_total * 1.0 / stats.n_docs)))),
-        9) AS DECIMAL(20,9)) AS s
-      FROM tf
-      JOIN q USING (term)
-      JOIN dl USING (doc_id)
-      JOIN dfq USING (term)
-      CROSS JOIN stats
-    ),
-    agg AS (
-      SELECT query_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
-      FROM scored GROUP BY 1, 2
-    ),
+    WITH {retrieval.bm25_cte_body(_BM25_QUERIES, _WORDS_SQL)},
     bm AS (
       SELECT query_id, doc_id, rnk FROM (
         SELECT query_id, doc_id,

@@ -172,6 +172,9 @@ HEADLINE = [
     "mmr_diversified_topk",
     "pmi_collocations_topk",
     "rrf_quality_fusion",
+    # round 12
+    "hybrid_rrf_retrieval",
+    "pmi_collocations_recovered",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Round-12 operators: RRF fusion math, the hybrid dense+lexical
+retrieval plan contract, and PMI recovery from the shared KN bigram
+store (batch ≡ stream)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.operators.retrieval import rrf_fuse
+from automated_data_pipeline_spark.suite import load
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+
+def test_rrf_fuse_values_and_partial_membership(spark):
+    """A doc in both legs sums both reciprocal ranks; a doc in one leg
+    contributes one term; ranking is (rrf desc, id asc)."""
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "query_id int, doc_id bigint, rnk int"
+    )
+    den = spark.createDataFrame(
+        [(1, 100, 2), (1, 300, 1)], "query_id int, doc_id bigint, rnk int"
+    )
+    rows = {
+        r["doc_id"]: (r["rrf"], r["rnk"])
+        for r in rrf_fuse([lex, den], "query_id", "doc_id", k=3).collect()
+    }
+    both = round(round(1 / 61, 12) + round(1 / 62, 12), 9)
+    assert rows[100] == (both, 1)
+    assert rows[300] == (round(round(1 / 61, 12), 9), 2)
+    assert rows[200] == (round(round(1 / 62, 12), 9), 3)
+
+
+def test_rrf_fuse_respects_k(spark):
+    leg = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 9)], "query_id int, doc_id bigint, rnk int"
+    )
+    out = rrf_fuse([leg], "query_id", "doc_id", k=3).collect()
+    assert len(out) == 3
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3]
+
+
+def test_hybrid_rrf_plan_contract(spark):
+    """The hybrid retrieval plan: corpus cost lives in the two legs
+    (BM25 broadcasts query/df/stats; the dense leg broadcasts the
+    anchors); the fusion itself is union+groupBy — NO join of any
+    kind, so no SortMergeJoin and no CartesianProduct may appear
+    anywhere in the executed plan, and raw text never enters a hash
+    exchange."""
+    from automated_data_pipeline_spark.suite.round12 import (
+        hybrid_rrf_retrieval,
+    )
+
+    out = hybrid_rrf_retrieval(spark, SF)
+    out.count()  # AQE-finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag[:120]
+
+
+def test_hybrid_rrf_rows_shape(spark):
+    from automated_data_pipeline_spark.suite.round12 import (
+        hybrid_rrf_retrieval,
+    )
+
+    rows = hybrid_rrf_retrieval(spark, SF).collect()
+    # 3 queries x top-5, ranks 1..5 each, rrf monotone within a query
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3, 4, 5]
+        rrfs = [r["rrf"] for r in rs]
+        assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_pmi_recovered_equals_batch(spark, tmp_path):
+    """batch ≡ stream for PMI: folding the corpus through the KN
+    BigramStore in 3 splits and recovering through the shared scoring
+    path reproduces the batch operator's exact rows."""
+    from automated_data_pipeline_spark.streaming.kn_stream import (
+        BigramStore, batch_bigrams, update_bigram_store,
+    )
+    from automated_data_pipeline_spark.suite.round11 import (
+        pmi_collocations_topk, pmi_topk_from_pair_counts,
+    )
+
+    docs = load(spark, SF, "documents")
+    store = BigramStore(str(tmp_path / "pmi_store"))
+    for i in range(3):
+        update_bigram_store(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store,
+            batch_key=f"b{i}",
+        )
+    # replay of an applied key is a no-op
+    update_bigram_store(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), store, batch_key="b0"
+    )
+    c12 = (
+        store.read(spark)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c12"))
+    )
+    recovered = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_topk_from_pair_counts(c12).collect()
+    }
+    batch = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_collocations_topk(spark, SF).collect()
+    }
+    assert recovered == batch and len(batch) > 0
