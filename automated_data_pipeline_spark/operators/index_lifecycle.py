@@ -51,12 +51,11 @@ the swap itself is two metadata renames.
 
 from __future__ import annotations
 
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..storefs import fs_for
 from ..streaming.incremental_dedup import _has_parquet, _recover_compact
 from . import similarity
 
@@ -130,12 +129,11 @@ def record_applied_batch_keys(
     if not keys:
         return
     ledger = f"{index_path}/ingest_ledger"
-    os.makedirs(ledger, exist_ok=True)
-    name = f"{uuid.uuid4().hex}.keys"
-    tmp = os.path.join(ledger, f".tmp-{name}")
-    with open(tmp, "w") as f:
-        f.write("\n".join(keys) + "\n")
-    os.rename(tmp, os.path.join(ledger, name))
+    fs = fs_for(ledger)
+    fs.mkdirs(ledger)
+    fs.write_text_atomic(
+        ledger, f"{uuid.uuid4().hex}.keys", "\n".join(keys) + "\n"
+    )
 
 
 def applied_batch_key_set(index_path: str) -> set:
@@ -143,14 +141,15 @@ def applied_batch_key_set(index_path: str) -> set:
     index — the replay probe's membership test (driver-side, no Spark
     job; the ledger is O(batches) short strings)."""
     ledger = f"{index_path}/ingest_ledger"
+    fs = fs_for(ledger)
     out: set = set()
-    if not os.path.isdir(ledger):
+    if not fs.isdir(ledger):
         return out
-    for fname in os.listdir(ledger):
+    for fname in fs.listnames(ledger):
         if fname.startswith(".") or not fname.endswith(".keys"):
             continue
-        with open(os.path.join(ledger, fname)) as f:
-            out.update(line.strip() for line in f if line.strip())
+        text = fs.read_text(f"{ledger}/{fname}")
+        out.update(line.strip() for line in text.splitlines() if line.strip())
     return out
 
 
@@ -256,10 +255,11 @@ def compact_index(
         # stays a regular (typed) column and pruning filters still
         # resolve against the empty scan.
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs = fs_for(data_dir)
     old = data_dir.rstrip("/") + ".old"
-    os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.rename(data_dir, old)
+    fs.rename(tmp, data_dir)
+    fs.rmtree(old)
     if applied is not None:
         _trim_tombstones(spark, index_path, applied, id_col)
     _consolidate_ledger(spark, index_path)
@@ -274,10 +274,11 @@ def _consolidate_ledger(spark: SparkSession, index_path: str) -> None:
     are removed, and duplicate keys are harmless under the read-time
     set union — any crash window leaves a superset, never a loss."""
     ledger = f"{index_path}/ingest_ledger"
-    if not os.path.isdir(ledger):
+    fs = fs_for(ledger)
+    if not fs.isdir(ledger):
         return
     originals = [
-        f for f in os.listdir(ledger)
+        f for f in fs.listnames(ledger)
         if f.endswith(".keys") and not f.startswith(".")
     ]
     if len(originals) <= 1:
@@ -285,10 +286,7 @@ def _consolidate_ledger(spark: SparkSession, index_path: str) -> None:
     keys = applied_batch_key_set(index_path)
     record_applied_batch_keys(spark, index_path, sorted(keys))
     for fname in originals:
-        try:
-            os.remove(os.path.join(ledger, fname))
-        except OSError:
-            pass  # a concurrent cleanup already removed it; superset-safe
+        fs.remove(f"{ledger}/{fname}")
 
 
 def _trim_tombstones(
@@ -307,15 +305,16 @@ def _trim_tombstones(
         .localCheckpoint(eager=True)
     )
     tomb_dir = f"{index_path}/tombstones"
+    fs = fs_for(tomb_dir)
     if not leftover.take(1):
-        shutil.rmtree(tomb_dir, ignore_errors=True)
+        fs.rmtree(tomb_dir)
         return
     tmp = tomb_dir + ".compact"
     leftover.write.mode("overwrite").parquet(tmp)
     old = tomb_dir + ".old"
-    os.rename(tomb_dir, old)
-    os.rename(tmp, tomb_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.rename(tomb_dir, old)
+    fs.rename(tmp, tomb_dir)
+    fs.rmtree(old)
 
 
 def needs_compaction(
@@ -337,12 +336,7 @@ def needs_compaction(
     data_dir = f"{index_path}/{_DATA_DIR[family]}"
     _recover_compact(index_path)
     _recover_compact(data_dir)
-    n = 0
-    for _root, _dirs, files in os.walk(data_dir):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-        if n > max_files:
-            return True
-    return False
+    return fs_for(data_dir).count_parquet(data_dir) > max_files
 
 
 def start_incremental_tombstones(
@@ -510,9 +504,10 @@ def rebuild_index_generation(
         late.write.mode("overwrite").parquet(f"{tmp}/tombstones")
 
     old = index_path.rstrip("/") + ".old"
-    os.rename(index_path, old)
-    os.rename(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs = fs_for(index_path)
+    fs.rename(index_path, old)
+    fs.rename(tmp, index_path)
+    fs.rmtree(old)
 
 
 def rebuild_if_drifted(

@@ -40,12 +40,11 @@ here keeps the container dependency-free.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..storefs import fs_for
 
 
 def _recover_compact(path: str) -> None:
@@ -54,18 +53,19 @@ def _recover_compact(path: str) -> None:
     IS the store — move it back; if both exist, '.old' is post-swap
     debris — drop it. Stale '.compact' output is always discarded.
     Called at store-read time and at compact start; both are
-    by-contract never concurrent with an in-flight compact."""
-    import shutil
-
+    by-contract never concurrent with an in-flight compact. All I/O
+    goes through the storefs seam, so the discipline works unchanged
+    on HDFS/S3 store paths (VERDICT r11 item 5)."""
+    fs = fs_for(path)
     base = path.rstrip("/")
     old, tmp = base + ".old", base + ".compact"
-    if os.path.isdir(old):
-        if not os.path.isdir(base):
-            os.rename(old, base)
+    if fs.isdir(old):
+        if not fs.isdir(base):
+            fs.rename(old, base)
         else:
-            shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp, ignore_errors=True)
+            fs.rmtree(old)
+    if fs.isdir(tmp):
+        fs.rmtree(tmp)
 
 
 def _has_parquet(path: str) -> bool:
@@ -73,13 +73,7 @@ def _has_parquet(path: str) -> bool:
     Cheap driver-side probe so empty/missing dirs don't go through
     spark.read (which logs a JVM AnalysisException even when the
     Python caller catches it)."""
-    if not os.path.isdir(path):
-        return False
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                return True
-    return False
+    return fs_for(path).has_parquet(path)
 
 
 class FingerprintStore:
@@ -88,7 +82,7 @@ class FingerprintStore:
 
     def __init__(self, path: str):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        fs_for(path).mkdirs(path)
 
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
@@ -118,18 +112,17 @@ class FingerprintStore:
         next access moves it back, a crash after the swap leaves stale
         '.old'/'.compact' debris that the next access drops. Same
         pathology/remedy as ``incremental_lsh.LshStore.compact``."""
-        import shutil
-
         _recover_compact(self.path)
         if not _has_parquet(self.path):
             return
         df = spark.read.parquet(self.path).coalesce(n_files)
+        fs = fs_for(self.path)
         tmp = self.path.rstrip("/") + ".compact"
         df.write.mode("overwrite").parquet(tmp)
         old = self.path.rstrip("/") + ".old"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        fs.rename(self.path, old)
+        fs.rename(tmp, self.path)
+        fs.rmtree(old)
 
 
 def dedup_batch_against_store(
