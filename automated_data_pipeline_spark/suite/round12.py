@@ -195,3 +195,131 @@ def pmi_collocations_recovered(spark, sf_dir):
         .agg(F.sum("c").cast("bigint").alias("c12"))
     )
     return pmi_topk_from_pair_counts(c12)
+
+
+# --------------------------------------------------------------------
+# UniMax epoch planning (Chung et al. 2023): distribute a total token
+# budget across languages as uniformly as possible subject to a
+# per-language epoch cap — the fairer alternative to temperature
+# sampling for multilingual pretraining mixes. Greedy from the
+# lowest-resource language up; once one language is left uncapped,
+# every remaining language receives the identical uniform share, so
+# the plan has a closed form over the cap-ascending prefix sums:
+# k* = (first index whose cap exceeds its uniform share) - 1; langs
+# <= k* train their full cap, the rest split the leftover evenly.
+_UNIMAX_EPOCH_CAP = 3
+_UNIMAX_BUDGET_X = 2  # budget = 2x the corpus token count
+
+_UNIMAX_SQL = f"""
+    WITH w AS (SELECT lang, len({_WORDS_SQL}) AS ntok FROM documents),
+    n AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS n_l FROM w GROUP BY 1),
+    caps AS (
+      SELECT lang, n_l, {_UNIMAX_EPOCH_CAP} * n_l AS cap,
+        row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * n_l, lang) AS i,
+        sum({_UNIMAX_EPOCH_CAP} * n_l) OVER (
+          ORDER BY {_UNIMAX_EPOCH_CAP} * n_l, lang ROWS UNBOUNDED PRECEDING
+        ) AS s,
+        count(*) OVER () AS l,
+        {_UNIMAX_BUDGET_X} * sum(n_l) OVER () AS b
+      FROM n
+    ),
+    viol AS (
+      SELECT min(i) AS first_bad FROM caps
+      WHERE cap * (l - i + 1) > b - (s - cap)
+    ),
+    k AS (
+      SELECT coalesce(first_bad - 1, (SELECT max(i) FROM caps)) AS kstar
+      FROM viol
+    ),
+    skk AS (
+      SELECT kstar,
+        coalesce((SELECT s FROM caps WHERE i = k.kstar), 0) AS s_k
+      FROM k
+    )
+    SELECT c.lang, c.n_l AS tokens,
+      CASE WHEN c.i <= s2.kstar THEN CAST(c.cap AS DOUBLE)
+           ELSE round((c.b - s2.s_k) / CAST(c.l - s2.kstar AS DOUBLE), 4)
+      END AS alloc_tokens,
+      round(
+        CASE WHEN c.i <= s2.kstar THEN CAST(c.cap AS DOUBLE)
+             ELSE round((c.b - s2.s_k) / CAST(c.l - s2.kstar AS DOUBLE), 4)
+        END / c.n_l, 4) AS epochs
+    FROM caps c CROSS JOIN skk s2
+    ORDER BY c.lang
+    """
+
+
+@spec(
+    "unimax_epoch_plan",
+    _UNIMAX_SQL,
+    "UniMax budget allocation (epoch cap 3, budget 2x corpus tokens): "
+    "the closed-form plan — cap-ascending prefix sums find the "
+    "threshold k* where the uniform share overtakes the cap; langs "
+    "below it train their full cap, the rest split the remainder "
+    "evenly. All threshold arithmetic is exact integers (token "
+    "counts x small constants); only the final share division is "
+    "double, written identically in both engines. Corpus cost is one "
+    "tokenize + per-lang count; every window after that runs on the "
+    "|langs|-row plan frame (bounded by the domain vocabulary, never "
+    "corpus-sized — the single-partition window is over <=|langs| "
+    "rows by construction)",
+)
+def unimax_epoch_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    # hash-spread before tokenize (one-file-scan lesson)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    n = (
+        d.select("lang", F.size(TX.tokens(F.col("text"))).alias("ntok"))
+        .groupBy("lang")
+        .agg(F.sum("ntok").cast("bigint").alias("n_l"))
+    )
+    cap = F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_l")
+    w_ord = Window.orderBy(cap, F.col("lang"))
+    w_all = Window.partitionBy()
+    caps = n.select(
+        "lang", "n_l", cap.alias("cap"),
+        F.row_number().over(w_ord).alias("i"),
+        F.sum(cap).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("l"),
+        (F.lit(_UNIMAX_BUDGET_X) * F.sum("n_l").over(w_all)).alias("b"),
+    )
+    caps = caps.localCheckpoint(eager=True)  # |langs| rows; reused 3x
+    viol = caps.filter(
+        F.col("cap") * (F.col("l") - F.col("i") + 1)
+        > F.col("b") - (F.col("s") - F.col("cap"))
+    ).agg(F.min("i").alias("first_bad"))
+    lmax = caps.agg(F.max("i").alias("lmax"))
+    k = viol.crossJoin(lmax).select(
+        F.coalesce(F.col("first_bad") - 1, F.col("lmax")).alias("kstar")
+    )
+    s_at_k = (
+        caps.join(k, F.col("i") == F.col("kstar"), "right")
+        .select(
+            "kstar", F.coalesce(F.col("s"), F.lit(0)).alias("s_k")
+        )
+    )
+    alloc = F.when(
+        F.col("i") <= F.col("kstar"), F.col("cap").cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("b") - F.col("s_k"))
+            / (F.col("l") - F.col("kstar")).cast("double"),
+            4,
+        )
+    )
+    return (
+        caps.crossJoin(F.broadcast(s_at_k))
+        .select(
+            "lang",
+            F.col("n_l").alias("tokens"),
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("n_l"), 4).alias("epochs"),
+        )
+        .orderBy("lang")
+    )

@@ -175,6 +175,7 @@ HEADLINE = [
     # round 12
     "hybrid_rrf_retrieval",
     "pmi_collocations_recovered",
+    "unimax_epoch_plan",
 ]
 
 

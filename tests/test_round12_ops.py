@@ -116,3 +116,50 @@ def test_pmi_recovered_equals_batch(spark, tmp_path):
         for r in pmi_collocations_topk(spark, SF).collect()
     }
     assert recovered == batch and len(batch) > 0
+
+
+def test_unimax_closed_form_threshold(spark, tmp_path):
+    """Hand-computed UniMax plan with the operator's real constants
+    (epoch cap 3, budget 2x corpus tokens). Token counts a=10, b=30,
+    c=200 -> caps 30/90/600, B = 2*240 = 480. Greedy low->high:
+    u1 = 480/3 = 160 > cap 30  -> lang a capped at 30
+    u2 = 450/2 = 225 > cap 90  -> lang b capped at 90
+    u3 = 360/1 = 360 < cap 600 -> lang c gets the uniform share 360
+    So k* = 2 and the plan spends the whole budget."""
+    from automated_data_pipeline_spark.suite import round12 as r12
+
+    docs = spark.createDataFrame(
+        [(1, "a", " ".join(["tok"] * 10)),
+         (2, "b", " ".join(["tok"] * 30)),
+         (3, "c", " ".join(["tok"] * 200))],
+        "doc_id bigint, lang string, text string",
+    )
+    p = str(tmp_path / "unimax")
+    docs.write.parquet(f"{p}/documents.parquet")
+    rows = {r["lang"]: r for r in r12.unimax_epoch_plan(spark, p).collect()}
+    assert rows["a"]["alloc_tokens"] == 30.0 and rows["a"]["epochs"] == 3.0
+    assert rows["b"]["alloc_tokens"] == 90.0 and rows["b"]["epochs"] == 3.0
+    assert rows["c"]["alloc_tokens"] == 360.0
+    assert rows["c"]["epochs"] == 1.8
+    # budget fully spent
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 480.0
+
+
+def test_unimax_extreme_skew(spark, tmp_path):
+    """Extreme low-resource skew: a=1 token, b=100 tokens -> caps
+    3/300, B = 202. u1 = 101 > 3 -> a capped at its whole 3-epoch
+    cap; b absorbs the rest (199 tokens, 1.99 epochs) — the fairness
+    property UniMax exists for (the tiny language is never starved,
+    the big one never over-replayed)."""
+    from automated_data_pipeline_spark.suite import round12 as r12
+
+    docs = spark.createDataFrame(
+        [(1, "a", "tok"),
+         (2, "b", " ".join(["tok"] * 100))],
+        "doc_id bigint, lang string, text string",
+    )
+    p = str(tmp_path / "unimax2")
+    docs.write.parquet(f"{p}/documents.parquet")
+    rows = {r["lang"]: r for r in r12.unimax_epoch_plan(spark, p).collect()}
+    assert rows["a"]["alloc_tokens"] == 3.0 and rows["a"]["epochs"] == 3.0
+    assert rows["b"]["alloc_tokens"] == 199.0 and rows["b"]["epochs"] == 1.99
