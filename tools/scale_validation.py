@@ -86,6 +86,9 @@ WORKLOADS = [
     "mmr_diversified_topk",
     "pmi_collocations_topk",
     "rrf_quality_fusion",
+    # round-12 retrieval + mixture-planning additions
+    "hybrid_rrf_retrieval",
+    "unimax_epoch_plan",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
