@@ -463,8 +463,6 @@ def rrf_fuse(
     Returns (query_col, id_col, rrf, rnk) with rrf rounded to 9 and
     rnk 1..k.
     """
-    from .similarity import per_query_topk
-
     contribs = None
     for leg in legs:
         part = leg.select(
@@ -478,8 +476,16 @@ def rrf_fuse(
     fused = contribs.groupBy(query_col, id_col).agg(
         F.round(F.sum("_contrib").cast("double"), 9).alias("rrf")
     )
-    return per_query_topk(
-        fused, query_col, [F.desc("rrf"), F.asc(id_col)], k, rank_col="rnk"
-    ).select(
-        query_col, id_col, "rrf", F.col("rnk").cast("long").alias("rnk")
+    # a bare per-query window (NOT the two-phase per_query_topk): the
+    # fusion input is bounded at |queries| x k x n_legs rows BY
+    # CONSTRUCTION (each leg is a top-k shortlist), so the local-topk
+    # pre-prune would only add an exchange to a frame that can never
+    # be corpus-sized
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_col, id_col, "rrf", F.col("rnk").cast("long").alias("rnk")
+        )
     )
