@@ -53,15 +53,55 @@ def bm25_top_docs(
     ``queries`` maps query_id -> list of (already-normalized) terms.
     Returns (query_id, doc_id, score, rnk) with score rounded to 6
     decimals and rnk a dense 1..k row_number on (score desc, doc_id).
-    ``checkpoint=False`` skips the result materialization (plan tests
-    need the visible lineage; callers that re-use the result want the
-    default eager checkpoint so the postings table can unpersist).
+    ``checkpoint=False`` skips BOTH the result materialization and the
+    postings persist (plan tests need the full visible lineage, and
+    with no materialization barrier there is no reuse to persist for);
+    the default eager checkpoint materializes the |q|×k result so the
+    postings table can unpersist before returning.
+
+    Composing callers (hybrid fusion) should use
+    :func:`bm25_top_docs_deferred` instead: it keeps the leg LAZY so
+    the caller can materialize its own downstream result in ONE job —
+    the r12 weak-row lesson: an eager per-leg checkpoint inserts a
+    materialization barrier per leg, and the barriers (not the plan
+    shape) were the hybrid query's 3× overhead.
     """
+    result, release = bm25_top_docs_deferred(
+        spark, docs, queries, id_col=id_col, text_col=text_col, k=k,
+        k1=k1, b=b, persist_postings=checkpoint,
+    )
+    if not checkpoint:
+        return result
+    out = result.localCheckpoint(eager=True)
+    release()
+    return out
+
+
+def bm25_top_docs_deferred(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist_postings: bool = True,
+):
+    """:func:`bm25_top_docs` with caller-owned materialization:
+    returns ``(result, release)`` where ``result`` is the un-
+    materialized top-k DataFrame and ``release()`` unpersists the
+    postings table. The caller materializes whatever FUSED frame it
+    builds on top (one job for the whole composition), then calls
+    ``release()`` — no leaked cache entry, no per-leg barrier
+    (VERDICT r12 item 2)."""
     # hash-spread before the tokenize+explode (the r7 one-file-scan
     # lesson): a compact corpus file otherwise tokenizes on one task.
-    spread = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    # Conditional (r13): when the scan already plans wide the
+    # repartition would shuffle the full raw text for nothing.
+    from ..plans.spread import spread_if_narrow
+
+    spread = spread_if_narrow(docs, id_col)
     toks = spread.select(
         F.col(id_col).alias("doc_id"),
         F.explode(TX.tokens(F.col(text_col))).alias("term"),
@@ -69,11 +109,9 @@ def bm25_top_docs(
     # tf feeds the length table, the df table, and the scored join —
     # persist so the corpus tokenize+aggregate executes once (at
     # cluster scale this is the checkpointed postings table).
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_postings:
+        tf = tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
@@ -123,11 +161,12 @@ def bm25_top_docs(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
-    if not checkpoint:
-        return result
-    out = result.localCheckpoint(eager=True)
-    tf.unpersist()
-    return out
+
+    def release() -> None:
+        if persist_postings:
+            tf.unpersist()
+
+    return result, release
 
 
 def bm25_cte_body(
@@ -359,6 +398,13 @@ def mmr_oracle_sql(
             f"anchors_where contains characters outside the safe set: "
             f"{anchors_where!r}"
         )
+    # the safe set still composes SQL comment openers ('--', '/*'):
+    # either would truncate/break the generated oracle (ADVICE r12)
+    if "--" in anchors_where or "/*" in anchors_where:
+        raise ValueError(
+            f"anchors_where must not contain comment sequences: "
+            f"{anchors_where!r}"
+        )
     om = round(1.0 - lam, 12)
     r = dim + 1
 
@@ -463,6 +509,8 @@ def rrf_fuse(
     Returns (query_col, id_col, rrf, rnk) with rrf rounded to 9 and
     rnk 1..k.
     """
+    if not legs:
+        raise ValueError("rrf_fuse requires at least one leg")
     contribs = None
     for leg in legs:
         part = leg.select(

@@ -113,10 +113,13 @@ def cosine_topk(
     # one-file-scan lesson, r12 profiling): a compact corpus file
     # otherwise scores |corpus| x |q| cosines on ONE task — measured
     # 2.4s -> 0.7s at sf1 for the 3-anchor brute shortlist. Values
-    # are partition-independent (rounded cosine + total-order rank).
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    # are partition-independent (rounded cosine + total-order rank),
+    # which is what makes the CONDITIONAL spread safe: when the scan
+    # already plans wide, the repartition is a pure-overhead shuffle
+    # of the full embedding corpus (r13 — the hybrid weak row).
+    from ..plans.spread import spread_if_narrow
+
+    corpus = spread_if_narrow(corpus, id_col)
     pairs = corpus.crossJoin(F.broadcast(queries))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))

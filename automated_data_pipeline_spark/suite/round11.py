@@ -197,8 +197,11 @@ def winnowing_overlap_pairs(spark, sf_dir):
 )
 def char_entropy_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    # hash-spread before the per-char explode (one-file-scan lesson)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # hash-spread before the per-char explode (one-file-scan lesson;
+    # conditional since r13 — no shuffle when the scan plans wide)
+    from ..plans.spread import spread_if_narrow
+
+    d = spread_if_narrow(d, "doc_id")
     chars = d.select(
         "doc_id",
         F.explode(
@@ -541,8 +544,11 @@ def zipf_fit_by_lang(spark, sf_dir):
     # hash-spread before the tokenize+explode (the r7 one-file-scan
     # lesson): a compact corpus file otherwise tokenizes on one task —
     # profiled at sf1 as the whole 2.1x-vs-DuckDB gap (VERDICT r11
-    # item 3: the post-rank fit stages were already sub-0.3s)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # item 3: the post-rank fit stages were already sub-0.3s).
+    # Conditional since r13 — no shuffle when the scan plans wide.
+    from ..plans.spread import spread_if_narrow
+
+    d = spread_if_narrow(d, "doc_id")
     toks = d.select(
         "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )

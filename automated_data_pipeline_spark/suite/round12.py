@@ -127,10 +127,24 @@ def _hybrid_oracle_sql() -> str:
     "broadcast anchors, two-phase top-k)",
 )
 def hybrid_rrf_retrieval(spark, sf_dir):
+    fused, release_postings = hybrid_rrf_fused_lazy(spark, sf_dir)
+    out = fused.localCheckpoint(eager=True)  # ONE job: legs + fusion
+    release_postings()  # no leaked cache entry (VERDICT r12 item 2)
+    return out
+
+
+def hybrid_rrf_fused_lazy(spark, sf_dir, persist_postings: bool = True):
+    """The full hybrid composition UN-materialized: ``(fused,
+    release)``. ``hybrid_rrf_retrieval`` checkpoints it in one job
+    (r12 weak row: the per-leg eager checkpoint was a materialization
+    barrier per leg costing ~3× at sf1); the plan-contract test reads
+    this lazy frame directly so the lineage pin stays non-vacuous."""
     docs = load(spark, sf_dir, "documents")
-    bm = retrieval.bm25_top_docs(
-        spark, docs, _BM25_QUERIES, k=_HYBRID_SHORTLIST
-    ).select("query_id", "doc_id", "rnk")
+    bm_full, release_postings = retrieval.bm25_top_docs_deferred(
+        spark, docs, _BM25_QUERIES, k=_HYBRID_SHORTLIST,
+        persist_postings=persist_postings,
+    )
+    bm = bm_full.select("query_id", "doc_id", "rnk")
 
     e = load(spark, sf_dir, "embeddings")
     anchor_ids = sorted(_HYBRID_ANCHORS.values())
@@ -151,9 +165,10 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             F.col("rank").alias("rnk"),
         )
     )
-    return retrieval.rrf_fuse(
+    fused = retrieval.rrf_fuse(
         [bm, dense], "query_id", "doc_id", k=_HYBRID_K
     )
+    return fused, release_postings
 
 
 # --------------------------------------------------------------------
@@ -270,8 +285,11 @@ def unimax_epoch_plan(spark, sf_dir):
     from ..functions import text as TX
 
     d = load(spark, sf_dir, "documents")
-    # hash-spread before tokenize (one-file-scan lesson)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # hash-spread before tokenize (one-file-scan lesson; conditional
+    # since r13 — no shuffle when the scan already plans wide)
+    from ..plans.spread import spread_if_narrow
+
+    d = spread_if_narrow(d, "doc_id")
     n = (
         d.select("lang", F.size(TX.tokens(F.col("text"))).alias("ntok"))
         .groupBy("lang")

@@ -144,6 +144,17 @@ def _formatted_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _assert_no_shuffle_key(plan: str, col: str) -> None:
+    """Assert column ``col`` is never a hashpartitioning shuffle key.
+    Inspects the key lists themselves (column refs print as name#id),
+    not a character window after the Exchange token — the bare
+    substring check false-fails on unrelated tokens (ADVICE r12)."""
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(rf"\b{col}#\d+", m.group(1)), m.group(0)
+
+
 def test_filter_pushdown_and_column_pruning(spark):
     import os
     sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
@@ -268,8 +279,7 @@ def test_training_ops_plan_shapes(spark):
     plan = deconta._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the only hash exchanges carry (id, gram) hit counts, never text
-    for frag in plan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(plan, "text")
 
 
 def test_conversion_funnel_single_shuffle(spark):
@@ -459,8 +469,7 @@ def test_curation_ops_plan_shapes(spark):
     df = curation.gopher_repetition(spark, sf)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for frag in plan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(plan, "text")
 
 
 def test_q_shape_plans_broadcast_dims(spark):
@@ -950,8 +959,7 @@ def test_round11_ops_plan_contracts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     # raw text enters no exchange: only hashed postings shuffle
-    for frag in plan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(plan, "text")
 
     fp = winnowing_fingerprints(docs)
     fp_plan = fp._jdf.queryExecution().executedPlan().toString()
@@ -964,8 +972,7 @@ def test_round11_ops_plan_contracts(spark):
     p_plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_plan
     assert "BroadcastNestedLoopJoin" not in p_plan
-    for frag in p_plan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(p_plan, "text")
 
     tm = temperature_mixture(docs, "lang", "doc_id")
     tm.count()
@@ -973,8 +980,7 @@ def test_round11_ops_plan_contracts(spark):
     # the weight table joins back broadcast; the corpus side's only
     # exchange is the (lang) partial-agg for counts
     assert "BroadcastHashJoin" in t_plan
-    for frag in t_plan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(t_plan, "text")
 
 
 def test_round11_late_ops_plan_contracts(spark):
@@ -1009,8 +1015,7 @@ def test_round11_late_ops_plan_contracts(spark):
     assert "BroadcastNestedLoopJoin" in plan  # broadcast anchors
     # the corpus never hash-shuffles its raw vectors for the mine:
     # the only exchange is the final bounded top-k rank
-    for frag in plan.split("Exchange hashpartitioning")[1:]:
-        assert "embedding" not in frag[:120]
+    _assert_no_shuffle_key(plan, "embedding")
 
     hni = hard_negative_topk_ivf(e, a, k=5, n_clusters=8, nprobe=4)
     hni.count()
@@ -1026,8 +1031,7 @@ def test_round11_late_ops_plan_contracts(spark):
     kplan = kn._jdf.queryExecution().executedPlan().toString()
     assert kplan.count("BroadcastHashJoin") >= 3  # c12, c1, cont
     assert "CartesianProduct" not in kplan
-    for frag in kplan.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag[:120]
+    _assert_no_shuffle_key(kplan, "text")
 
     # MMR: the greedy rounds run on |q| x shortlist frames only — no
     # cartesian anywhere, and the shortlist-vector attach joins the
@@ -1046,3 +1050,28 @@ def test_round11_late_ops_plan_contracts(spark):
     # sort-merge there is fine and AQE broadcasts it on the
     # checkpointed production path)
     assert "CartesianProduct" not in mplan
+
+
+def test_spread_if_narrow_conditional(spark, tmp_path):
+    """The conditional hash-spread (r13): a one-file scan gets
+    repartitioned to defaultParallelism; an already-wide frame passes
+    through with NO added exchange (the r12 hybrid weak row was two
+    pure-overhead corpus shuffles on an already-parallel scan)."""
+    from automated_data_pipeline_spark.plans.spread import (
+        planned_partitions, spread_if_narrow,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one")
+    spark.range(1000).selectExpr("id AS doc_id").coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one)
+    assert planned_partitions(narrow) == 1
+    spread = spread_if_narrow(narrow, "doc_id")
+    assert planned_partitions(spread) == par
+    assert "Exchange hashpartitioning" in _formatted_plan(spread)
+
+    wide = spark.range(1000).repartition(par).selectExpr("id AS doc_id")
+    same = spread_if_narrow(wide, "doc_id")
+    assert same is wide  # no added exchange, plan untouched
+    # values identical either way
+    assert sorted(r["doc_id"] for r in spread.collect()) == list(range(1000))

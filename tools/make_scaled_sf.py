@@ -23,6 +23,14 @@ exactly while volume grows ×N:
 
 This is a perf/scale fixture only; the correctness gate stays on the
 driver-generated SFs.
+
+Layout pin (VERDICT r12 item 6): every FACT table is written as
+exactly FACT_FILES part files (repartition before write), dims as one.
+Three rounds of noise adjudications (run_number_backfill r8/r9, zipf
+r11, cosine_topk r12) traced to a rebuild landing a fact as ONE part
+file and serializing first stages; a pinned layout makes cross-round
+scale_diff compare like-for-like, and tools/scale_validation.py
+asserts + records the per-table file counts in its preamble.
 """
 
 from __future__ import annotations
@@ -34,15 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+# Pinned part-file count for fact tables (dims land as one file).
+FACT_FILES = 32
+DIMS = frozenset({"region", "nation", "customer", "supplier", "part"})
+
 
 def scale_table(spark, src: str, dst: str, table: str, factor: int) -> int:
     from automated_data_pipeline_spark.suite import load
 
     df = load(spark, src, table)
     out_path = f"{dst}/{table}.parquet"
-    dims = {"region", "nation", "customer", "supplier", "part"}
-    if table in dims or factor <= 1:
-        df.write.mode("overwrite").parquet(out_path)
+    if table in DIMS or factor <= 1:
+        df.coalesce(1).write.mode("overwrite").parquet(out_path)
         return df.count()
 
     reps = spark.range(factor).withColumnRenamed("id", "_k")
@@ -85,7 +96,10 @@ def scale_table(spark, src: str, dst: str, table: str, factor: int) -> int:
             ),
         )
     x = x.drop("_k").select(*df.columns)
-    x.write.mode("overwrite").parquet(out_path)
+    # pinned layout: exactly FACT_FILES part files regardless of the
+    # upstream stage structure (one-file rebuilds serialized first
+    # stages in three prior rounds' sweeps)
+    x.repartition(FACT_FILES).write.mode("overwrite").parquet(out_path)
     return x.count()
 
 

@@ -694,14 +694,37 @@ def main():
         out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALE_VALIDATION.json"
         duck_timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
 
+    # Layout preamble (VERDICT r12 item 6): record + assert the pinned
+    # part-file count per table so cross-round sweeps compare
+    # like-for-like (a one-file fact rebuild serialized first stages
+    # in three prior rounds and cost a noise adjudication each time).
+    layout: dict[str, int] = {}
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        layout[t] = (
+            sum(1 for f_ in os.listdir(p) if f_.endswith(".parquet"))
+            if os.path.isdir(p) else 1
+        )
+    print(f"layout (part files per table): {layout}", flush=True)
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        assert layout.get(t, 1) > 1, (
+            f"fact table {t} landed as one part file — rebuild the "
+            f"fixture with tools/make_scaled_sf.py (pinned FACT_FILES "
+            f"layout) before sweeping, or first stages serialize"
+        )
+
     specs_by_name = {}
-    report: dict = {"sf_dir": sf_dir, "workloads": {}, "autoswitch": {}}
+    report: dict = {
+        "sf_dir": sf_dir, "layout_files": layout,
+        "workloads": {}, "autoswitch": {},
+    }
     if only is not None:
         if os.path.exists(out_json):
             with open(out_json) as f:
                 report = json.load(f)
         report.setdefault("workloads", {})
         report.setdefault("autoswitch", {})
+        report["layout_files"] = layout
         globals()["WORKLOADS"] = only  # phase loops iterate the subset
 
     # ---- phase 1: DuckDB oracle timings (child processes, no JVM) ----
