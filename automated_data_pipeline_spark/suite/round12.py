@@ -280,8 +280,6 @@ _UNIMAX_SQL = f"""
     "rows by construction)",
 )
 def unimax_epoch_plan(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..functions import text as TX
 
     d = load(spark, sf_dir, "documents")
@@ -295,6 +293,17 @@ def unimax_epoch_plan(spark, sf_dir):
         .groupBy("lang")
         .agg(F.sum("ntok").cast("bigint").alias("n_l"))
     )
+    return unimax_plan_from_counts(n)
+
+
+def unimax_plan_from_counts(n):
+    """The UniMax closed form over a (lang, n_l) per-language token
+    total frame — the SHARED scoring path: ``unimax_epoch_plan``
+    feeds it the batch tokenize+count, ``unimax_plan_recovered``
+    (round13) the totals recovered from the incremental vocab store.
+    Everything here runs on |langs|-row frames by construction."""
+    from pyspark.sql import Window
+
     cap = F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_l")
     w_ord = Window.orderBy(cap, F.col("lang"))
     w_all = Window.partitionBy()

@@ -266,8 +266,20 @@ def source_quality_quantile_gate(spark, sf_dir):
 # the one embedding_int8_quantize already proved cross-engine, the
 # shortlist score is an exact integer sum, and the re-rank reuses the
 # _COS_PAIRS rounding convention (round6.py).
-_SQ8_SQL = """
-WITH s AS (
+
+
+def sq8_cte_body(anchors_pred: str, shortlist: int, dim: int = 64) -> str:
+    """The SQ8 quantize → integer-dot shortlist → exact-cosine re-rank
+    chain as a WITH-body fragment ending at ``ranked`` — the ONE copy
+    composed oracles interpolate (``_SQ8_SQL`` below and the round-13
+    hybrid-ANN fusion oracle), so the quantization/score expressions
+    cannot drift between them. ``anchors_pred`` selects the query
+    vectors; ``shortlist`` bounds the approximate stage (k ×
+    oversample). ``anchors_pred`` is interpolated — callers pass
+    module-literal predicates only (the mmr_oracle_sql validation
+    convention applies if this ever takes user input)."""
+    r = dim + 1
+    return f"""s AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
            / 127.0 AS scale
@@ -281,10 +293,10 @@ WITH s AS (
     END AS qv
   FROM s
 ), qq AS (
-  SELECT vec_id AS qid, embedding AS qe, qv AS qqv FROM q8 WHERE vec_id < 3
+  SELECT vec_id AS qid, embedding AS qe, qv AS qqv FROM q8 WHERE {anchors_pred}
 ), pairs AS (
   SELECT qq.qid, c.vec_id,
-    CAST((SELECT sum(c.qv[i] * qq.qqv[i]) FROM range(1, 65) t(i))
+    CAST((SELECT sum(c.qv[i] * qq.qqv[i]) FROM range(1, {r}) t(i))
          AS BIGINT) AS approx_dot
   FROM q8 c CROSS JOIN qq
   WHERE c.vec_id != qq.qid
@@ -295,23 +307,27 @@ WITH s AS (
   FROM pairs
 ), rr AS (
   SELECT sh.qid, sh.vec_id, sh.approx_dot,
-    CASE WHEN (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
-           OR (SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)) = 0
+    CASE WHEN (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0
+           OR (SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0
     THEN 0.0 ELSE round(
-      (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i))
-      / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))
-       * sqrt((SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,65) t(i)))), 6)
+      (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,{r}) t(i))
+      / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM range(1,{r}) t(i)))
+       * sqrt((SELECT sum(CAST(qv2.embedding[i] AS DOUBLE) * CAST(qv2.embedding[i] AS DOUBLE)) FROM range(1,{r}) t(i)))), 6)
     END AS cosine
   FROM short sh
   JOIN embeddings e ON e.vec_id = sh.vec_id
   JOIN embeddings qv2 ON qv2.vec_id = sh.qid
-  WHERE sh.srk <= 20
+  WHERE sh.srk <= {shortlist}
 ), ranked AS (
   SELECT qid, vec_id, approx_dot, cosine,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cosine DESC, vec_id) AS rank
   FROM rr
-)
+)"""
+
+
+_SQ8_SQL = f"""
+WITH {sq8_cte_body("vec_id < 3", 20)}
 SELECT qid, vec_id, approx_dot, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 ORDER BY qid, rank

@@ -176,6 +176,9 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "pmi_collocations_recovered",
     "unimax_epoch_plan",
+    # round 13
+    "hybrid_rrf_ann",
+    "unimax_plan_recovered",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Round-13 operators: the persisted-SQ8 hybrid retrieval leg and the
+UniMax plan recovered from the incremental vocab store."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_spark.suite import load
+
+SF = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+
+def test_hybrid_rrf_ann_plan_contract(spark):
+    """Corpus cost lives in the legs (BM25 broadcasts query/df/stats;
+    the ANN leg scans the persisted codes and broadcasts the anchors);
+    fusion is union+groupBy — no CartesianProduct anywhere, and raw
+    text never enters a hash exchange. Reads the LAZY composition
+    (the materializing entry would hide the lineage)."""
+    from automated_data_pipeline_spark.suite.round13 import (
+        hybrid_rrf_ann_fused_lazy,
+    )
+
+    out, _release = hybrid_rrf_ann_fused_lazy(
+        spark, SF, persist_postings=False
+    )
+    out.count()  # AQE-finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\btext#\d+", m.group(1)), m.group(0)
+    # the dense leg reads the persisted code table, not a re-quantize:
+    # the codes parquet scan appears in the plan
+    assert "codes" in plan
+
+
+def test_hybrid_rrf_ann_rows_shape(spark):
+    from automated_data_pipeline_spark.suite.round13 import hybrid_rrf_ann
+
+    rows = hybrid_rrf_ann(spark, SF).collect()
+    assert len(rows) == 15  # 3 queries x top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [1, 2, 3]
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3, 4, 5]
+        rrfs = [r["rrf"] for r in rs]
+        assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_hybrid_ann_agrees_with_exact_hybrid_on_lexical_leg(spark):
+    """The BM25 leg is identical between hybrid_rrf_ann and the exact
+    companion hybrid_rrf_retrieval; only the dense leg differs
+    (persisted-SQ8 shortlist vs brute cosine). At the tiny SF with a
+    20x4 oversample the SQ8 shortlist recovers the brute top-20 well
+    enough that the fused top-5 sets overlap substantially — a recall
+    pin, not value equality (values are pinned by the oracle)."""
+    from automated_data_pipeline_spark.suite.round12 import (
+        hybrid_rrf_retrieval,
+    )
+    from automated_data_pipeline_spark.suite.round13 import hybrid_rrf_ann
+
+    exact = {
+        (r["query_id"], r["doc_id"])
+        for r in hybrid_rrf_retrieval(spark, SF).collect()
+    }
+    ann = {
+        (r["query_id"], r["doc_id"])
+        for r in hybrid_rrf_ann(spark, SF).collect()
+    }
+    assert len(ann & exact) >= int(0.6 * len(exact))
+
+
+def test_unimax_recovered_equals_batch(spark):
+    """batch ≡ recovered for the UniMax plan: folding the corpus
+    through the vocab store in 3 splits and running the shared closed
+    form reproduces the batch operator's exact rows (integer token
+    counts -> identical thresholds)."""
+    from automated_data_pipeline_spark.suite.round12 import unimax_epoch_plan
+    from automated_data_pipeline_spark.suite.round13 import (
+        unimax_plan_recovered,
+    )
+
+    want = sorted(
+        (r["lang"], r["tokens"], r["alloc_tokens"], r["epochs"])
+        for r in unimax_epoch_plan(spark, SF).collect()
+    )
+    got = sorted(
+        (r["lang"], r["tokens"], r["alloc_tokens"], r["epochs"])
+        for r in unimax_plan_recovered(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_unimax_plan_from_counts_closed_form(spark):
+    """Hand-checkable fixture: n = (1, 2, 10), caps ascending 3, 6, 30
+    (cap = 3x), budget = 2x total = 26. Closed form: first_bad = 3
+    (30 x 1 > 26 - 9), so k* = 2 — a and b train their full caps
+    (3, 6) and c takes the remainder 17 (< its cap 30). Allocations
+    sum exactly to the budget and never exceed any cap."""
+    from automated_data_pipeline_spark.suite.round12 import (
+        _UNIMAX_BUDGET_X, _UNIMAX_EPOCH_CAP, unimax_plan_from_counts,
+    )
+
+    n = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 10)], "lang string, n_l long"
+    )
+    rows = {r["lang"]: r for r in unimax_plan_from_counts(n).collect()}
+    total = sum(r["alloc_tokens"] for r in rows.values())
+    budget = _UNIMAX_BUDGET_X * 13
+    assert abs(total - budget) < 1e-6
+    for lang, nl in (("a", 1), ("b", 2), ("c", 10)):
+        assert rows[lang]["alloc_tokens"] <= _UNIMAX_EPOCH_CAP * nl + 1e-9
+        assert rows[lang]["epochs"] == round(
+            rows[lang]["alloc_tokens"] / nl, 4
+        )
+    assert rows["a"]["alloc_tokens"] == 3.0
+    assert rows["b"]["alloc_tokens"] == 6.0
+    assert abs(rows["c"]["alloc_tokens"] - 17.0) < 1e-6

@@ -89,6 +89,8 @@ WORKLOADS = [
     # round-12 retrieval + mixture-planning additions
     "hybrid_rrf_retrieval",
     "unimax_epoch_plan",
+    # round-13: persisted-ANN hybrid serve leg
+    "hybrid_rrf_ann",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
