@@ -180,12 +180,44 @@ class HadoopStoreFS:
 
 _LOCAL = LocalStoreFS()
 
+# fs.defaultFS-is-local decision, cached per Spark application (a py4j
+# round-trip per store op would add up; defaultFS cannot change inside
+# an application).
+_DEFAULT_FS_LOCAL_CACHE: dict[str, bool] = {}
+
+
+def _default_fs_is_local() -> bool:
+    """Whether the ACTIVE session resolves scheme-less paths to the
+    local filesystem. No session (plain-python tooling) ⇒ local."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return True
+    app = spark.sparkContext.applicationId
+    cached = _DEFAULT_FS_LOCAL_CACHE.get(app)
+    if cached is None:
+        default = (
+            spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+            or "file:///"
+        )
+        cached = default.startswith("file:")
+        _DEFAULT_FS_LOCAL_CACHE[app] = cached
+    return cached
+
 
 def fs_for(path: str):
     """The filesystem for a store path: scheme-qualified paths go
-    through Hadoop FileSystem (the same object Spark's writers use
-    for them); plain paths stay on the zero-overhead POSIX
-    implementation."""
+    through Hadoop FileSystem (the same object Spark's writers use for
+    them); plain paths stay on the zero-overhead POSIX implementation
+    — UNLESS the active session's ``fs.defaultFS`` is non-local
+    (cluster deployment), in which case Spark's own writers resolve
+    the scheme-less store path against defaultFS and the maintenance
+    side must follow them there (ADVICE r12: POSIX-side maintenance
+    against HDFS-side data made ``applied_batch_key_set`` silently
+    empty, breaking idempotent replay)."""
     if "://" in path or path.startswith("file:"):
+        return HadoopStoreFS(path)
+    if not _default_fs_is_local():
         return HadoopStoreFS(path)
     return _LOCAL

@@ -127,3 +127,72 @@ def test_local_paths_still_posix(tmp_path):
     fs.write_text_atomic(d, "x.keys", "k\n")
     assert fs.read_text(os.path.join(d, "x.keys")) == "k\n"
     assert fs.count_parquet(d) == 0
+
+
+def test_scheme_less_path_follows_nonlocal_default_fs(spark, monkeypatch):
+    """ADVICE r12: on a cluster with fs.defaultFS=hdfs://, Spark's own
+    writers resolve a scheme-less store path against defaultFS — the
+    maintenance side must follow them there, or the ledger lands on
+    the driver's local disk and applied_batch_key_set silently returns
+    empty (replay protection broken). fs_for routes scheme-less paths
+    through HadoopStoreFS whenever the active session's defaultFS is
+    non-local."""
+    import automated_data_pipeline_spark.storefs as sfs
+
+    # the container session resolves locally -> POSIX (and the
+    # decision is cached per application)
+    assert isinstance(fs_for("/tmp/plain"), LocalStoreFS)
+    app = spark.sparkContext.applicationId
+    assert sfs._DEFAULT_FS_LOCAL_CACHE.get(app) is True
+    # non-local defaultFS -> the SAME scheme-less path routes to the
+    # Hadoop implementation
+    monkeypatch.setattr(sfs, "_default_fs_is_local", lambda: False)
+    assert isinstance(sfs.fs_for("/tmp/plain"), HadoopStoreFS)
+    # scheme-qualified stays Hadoop regardless
+    assert isinstance(sfs.fs_for("file:/tmp/plain"), HadoopStoreFS)
+
+
+def test_incremental_dedup_cycle_through_hadoop_fs(spark, tmp_path):
+    """VERDICT r12 item 8: ONE full incremental-dedup + ledger cycle
+    driven end to end through HadoopStoreFS (file: scheme exercises
+    the JVM FileSystem code path): 2 batches -> replay of batch 0 ->
+    compaction -> ledger consolidate; survivors, replay idempotence,
+    and the applied-key set all verified through the seam."""
+    from automated_data_pipeline_spark.operators.index_lifecycle import (
+        _consolidate_ledger, applied_batch_key_set,
+        record_applied_batch_keys,
+    )
+    from automated_data_pipeline_spark.streaming.incremental_dedup import (
+        FingerprintStore, dedup_batch_against_store,
+    )
+
+    root = f"file:{tmp_path}/e2e"
+    store = FingerprintStore(f"{root}/fp_store")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "alpha  beta"), (5, "epsilon zeta")],  # 4 dups 1 (norm ws)
+        "doc_id bigint, text string",
+    )
+    n0 = dedup_batch_against_store(spark, b0, store, batch_key="b0")
+    assert sorted(r["doc_id"] for r in n0.collect()) == [1, 2]
+    record_applied_batch_keys(spark, root, ["b0"])
+    n1 = dedup_batch_against_store(spark, b1, store, batch_key="b1")
+    assert sorted(r["doc_id"] for r in n1.collect()) == [5]
+    record_applied_batch_keys(spark, root, ["b1"])
+    # replay of b0: store untouched, SAME survivors re-derived
+    r0 = dedup_batch_against_store(spark, b0, store, batch_key="b0")
+    assert sorted(r["doc_id"] for r in r0.collect()) == [1, 2]
+    assert store.read(spark).count() == 3  # f(alpha beta), f(gamma..), f(eps..)
+    # maintenance through the seam: compact + consolidate, then verify
+    store.compact(spark, n_files=1)
+    assert store.read(spark).count() == 3
+    assert store.has_batch(spark, "b0") and store.has_batch(spark, "b1")
+    assert applied_batch_key_set(root) == {"b0", "b1"}
+    _consolidate_ledger(spark, root)
+    assert applied_batch_key_set(root) == {"b0", "b1"}
+    fs = fs_for(root)
+    assert isinstance(fs, HadoopStoreFS)
+    assert fs.count_parquet(f"{root}/fp_store") == 1
