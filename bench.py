@@ -951,42 +951,50 @@ def main():
 
     probe_start = _noise_probe(spark, SF_DIR)
 
+    # per-query intra-run spread (VERDICT r12 item 7): max/min across
+    # the timed samples, recorded so the cross-round diff can separate
+    # real movers from each query's own noise band instead of
+    # hand-adjudicating shared-host swings.
+    spreads: dict[str, float] = {}
+
     for name in HEADLINE:
         fn = specs[name].fn
         run_query(spark, fn, SF_DIR)  # warm (scan caching, codegen)
         # min of two timed runs: the shared host shows 2-4x run-to-run
         # noise under load (see BASELINE.md); the minimum is the stable
         # engine-cost estimate
-        best = None
+        samples = []
         for _ in range(2):
             t0 = time.time()
             run_query(spark, fn, SF_DIR)
-            took = time.time() - t0
-            best = took if best is None else min(best, took)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     timings.update(bench_pipelines(spark))
 
     # streaming paths are one-shot (fresh checkpoint/store dirs per
     # call), so a single sample eats the full shared-host noise band
     # (measured 2x swings within an hour); min-of-2 like the queries
-    def min2(fn):
-        return round(min(fn(spark, SF_DIR), fn(spark, SF_DIR)), 3)
+    def min2(key, fn):
+        a, b = fn(spark, SF_DIR), fn(spark, SF_DIR)
+        spreads[key] = round(max(a, b) / max(min(a, b), 1e-9), 2)
+        timings[key] = round(min(a, b), 3)
 
-    timings["stream_tumbling_events"] = min2(bench_stream_tumbling)
-    timings["stream_session_events"] = min2(bench_stream_session)
-    timings["stream_stream_join_1h"] = min2(bench_stream_stream_join)
-    timings["stream_stateful_sessionize"] = min2(bench_stream_stateful_sessionize)
-    timings["stream_incremental_dedup"] = min2(bench_stream_incremental_dedup)
-    timings["stream_incremental_segments"] = min2(bench_stream_incremental_segments)
-    timings["stream_incremental_lsh"] = min2(bench_stream_incremental_lsh)
-    timings["stream_incremental_hll"] = min2(bench_stream_incremental_hll)
-    timings["stream_quality_scorer"] = min2(bench_stream_quality_scorer)
-    timings["stream_source_stats"] = min2(bench_stream_source_stats)
-    timings["stream_source_histogram"] = min2(bench_stream_source_histogram)
-    timings["stream_decontaminate"] = min2(bench_stream_decontaminate)
-    timings["stream_ann_ingest"] = min2(bench_stream_ann_ingest)
-    timings["stream_dsir_buckets"] = min2(bench_stream_dsir)
+    min2("stream_tumbling_events", bench_stream_tumbling)
+    min2("stream_session_events", bench_stream_session)
+    min2("stream_stream_join_1h", bench_stream_stream_join)
+    min2("stream_stateful_sessionize", bench_stream_stateful_sessionize)
+    min2("stream_incremental_dedup", bench_stream_incremental_dedup)
+    min2("stream_incremental_segments", bench_stream_incremental_segments)
+    min2("stream_incremental_lsh", bench_stream_incremental_lsh)
+    min2("stream_incremental_hll", bench_stream_incremental_hll)
+    min2("stream_quality_scorer", bench_stream_quality_scorer)
+    min2("stream_source_stats", bench_stream_source_stats)
+    min2("stream_source_histogram", bench_stream_source_histogram)
+    min2("stream_decontaminate", bench_stream_decontaminate)
+    min2("stream_ann_ingest", bench_stream_ann_ingest)
+    min2("stream_dsir_buckets", bench_stream_dsir)
 
     probe_end = _noise_probe(spark, SF_DIR)
 
@@ -1027,6 +1035,7 @@ def main():
                     "rows": ann_shared,
                 },
                 "queries": timings,
+                "spreads": spreads,
             },
             f,
             indent=1,

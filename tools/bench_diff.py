@@ -11,6 +11,14 @@ documents 1.3–2× same-day swings on this shared host, so read the
 table alongside both runs' host_noise ratios), plus the
 added/removed workload sets. Exit code 0 always: this is evidence
 generation, not a gate — the judge reads the table.
+
+Band-aware flagging (VERDICT r12 item 7): when either detail file
+records per-query "spreads" (max/min across the run's own timed
+samples), a mover is flagged only if its prev→cur ratio ALSO exceeds
+that query's own recorded noise band (the larger of the two runs'
+spreads, floored at the threshold) — so the table auto-separates real
+movers from each query's measured shared-host swing instead of
+requiring a hand adjudication per row.
 """
 
 from __future__ import annotations
@@ -33,7 +41,14 @@ def main():
     with open(cur_path) as f:
         cur = json.load(f)
     pq, cq = prev["queries"], cur["queries"]
+    ps, cs = prev.get("spreads", {}), cur.get("spreads", {})
     common = sorted(set(pq) & set(cq))
+
+    def band(n: str) -> float:
+        """The flagging bar for query ``n``: its own recorded noise
+        band when available (larger of the two runs' spreads), never
+        below the global threshold."""
+        return max(threshold, ps.get(n, 1.0), cs.get(n, 1.0))
 
     print(f"prev: {os.path.basename(prev_path)} total={prev['value']}s "
           f"n={prev['n']} host_noise={prev.get('host_noise', {}).get('ratio')}")
@@ -44,18 +59,19 @@ def main():
           f"removed: {sorted(set(pq) - set(cq))}\n")
 
     regressions = [
-        (n, pq[n], cq[n], round(cq[n] / max(pq[n], 1e-9), 2))
+        (n, pq[n], cq[n], round(cq[n] / max(pq[n], 1e-9), 2), band(n))
         for n in common
-        if cq[n] > threshold * pq[n] and cq[n] - pq[n] > 0.25
+        if cq[n] > band(n) * pq[n] and cq[n] - pq[n] > 0.25
     ]
     if not regressions:
-        print(f"no regressions > {threshold}x (and >0.25s absolute) "
+        print(f"no regressions beyond each query's own band "
+              f"(floor {threshold}x, and >0.25s absolute) "
               f"on the {len(common)} common workloads")
     else:
-        print(f"| workload | prev s | cur s | ratio |")
-        print(f"|---|---|---|---|")
-        for n, p, c, r in sorted(regressions, key=lambda x: -x[3]):
-            print(f"| {n} | {p} | {c} | {r}x |")
+        print(f"| workload | prev s | cur s | ratio | band |")
+        print(f"|---|---|---|---|---|")
+        for n, p, c, r, b in sorted(regressions, key=lambda x: -x[3]):
+            print(f"| {n} | {p} | {c} | {r}x | {b}x |")
     improved = [
         (n, pq[n], cq[n]) for n in common if pq[n] > threshold * cq[n] and pq[n] - cq[n] > 0.25
     ]
