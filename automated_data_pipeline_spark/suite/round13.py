@@ -210,3 +210,134 @@ def unimax_plan_recovered(spark, sf_dir):
         .agg(F.sum("cnt").cast("bigint").alias("n_l"))
     )
     return unimax_plan_from_counts(n)
+
+
+# --------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin —
+# the CCMatrix curation op). Probe side: sampled 'de' documents (every
+# 2nd id — mining runs in bounded probe batches by design); target
+# side: the full 'en' corpus slice. k=4 neighborhoods, top-3 mined
+# pairs per probe.
+_BITEXT_SRC_LANG = "de"
+_BITEXT_TGT_LANG = "en"
+_BITEXT_K = 4
+_BITEXT_OUT_K = 3
+
+
+def _bitext_oracle_sql(dim: int = 64) -> str:
+    r = dim + 1
+
+    def cos(a, b):
+        return (
+            f"CASE WHEN (SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0"
+            f" OR (SELECT sum(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i)) = 0"
+            f" THEN 0.0 ELSE round("
+            f"(SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i))"
+            f" / (sqrt((SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)) FROM range(1,{r}) t(i)))"
+            f" * sqrt((SELECT sum(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) FROM range(1,{r}) t(i)))), 6) END"
+        )
+
+    return f"""
+    WITH probes AS (
+      SELECT d.doc_id AS src_id, e.embedding AS se
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.lang = '{_BITEXT_SRC_LANG}' AND d.doc_id % 2 = 0
+    ),
+    tgt AS (
+      SELECT d.doc_id AS tgt_id, e.embedding AS te
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.lang = '{_BITEXT_TGT_LANG}'
+    ),
+    fpairs AS (
+      SELECT p.src_id, t.tgt_id, {cos('t.te', 'p.se')} AS c
+      FROM tgt t CROSS JOIN probes p
+    ),
+    fwd AS (
+      SELECT src_id, tgt_id, c,
+             row_number() OVER (
+               PARTITION BY src_id ORDER BY c DESC, tgt_id ASC
+             ) AS rk
+      FROM fpairs
+    ),
+    avg_f AS (
+      SELECT src_id,
+             floor(CAST(sum(CAST(c AS DECIMAL(10,6))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS af
+      FROM fwd WHERE rk <= {_BITEXT_K} GROUP BY 1
+    ),
+    cands AS (
+      SELECT DISTINCT tgt_id FROM fwd WHERE rk <= {_BITEXT_K}
+    ),
+    bpairs AS (
+      SELECT t.tgt_id, p.src_id, {cos('t.te', 'p.se')} AS bc
+      FROM (SELECT tg.* FROM tgt tg JOIN cands USING (tgt_id)) t
+      CROSS JOIN probes p
+    ),
+    bwd AS (
+      SELECT tgt_id, bc,
+             row_number() OVER (
+               PARTITION BY tgt_id ORDER BY bc DESC, src_id ASC
+             ) AS rk
+      FROM bpairs
+    ),
+    avg_b AS (
+      SELECT tgt_id,
+             floor(CAST(sum(CAST(bc AS DECIMAL(10,6))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS ab
+      FROM bwd WHERE rk <= {_BITEXT_K} GROUP BY 1
+    ),
+    scored AS (
+      SELECT f.src_id, f.tgt_id, f.c AS cosine,
+             floor(f.c / ((af.af + ab.ab) / 2.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS margin
+      FROM fwd f
+      JOIN avg_f af USING (src_id)
+      JOIN avg_b ab USING (tgt_id)
+      WHERE f.rk <= {_BITEXT_K}
+    ),
+    ranked AS (
+      SELECT src_id, tgt_id, cosine, margin,
+             row_number() OVER (
+               PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT src_id, tgt_id, cosine, margin, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_BITEXT_OUT_K}
+    ORDER BY src_id, rnk
+    """
+
+
+@spec(
+    "margin_bitext_mine",
+    _bitext_oracle_sql(),
+    "margin-based bitext mining (Artetxe & Schwenk ratio criterion — "
+    "the CCMatrix/LASER parallel-corpus curation op, a family the "
+    "suite lacked): sampled 'de' probe docs vs the 'en' corpus slice, "
+    "k=4 neighborhoods both directions, margin = cos / mean of the "
+    "two sides' avg-NN baselines (de-hubs raw cosine), top-3 mined "
+    "pairs per probe. Probes broadcast; the target corpus streams "
+    "through ONE scan (candidate vectors ride through the two-phase "
+    "top-k, so the backward pass never rescans it); every post-scan "
+    "frame is |probes| x k. Neighborhood averages sum rounded "
+    "cosines as exact DECIMAL / actual count; margins rounded to 6; "
+    "all ranks id-tie-broken",
+)
+def margin_bitext_mine(spark, sf_dir):
+    from ..operators.bitext import margin_bitext_mine as mine
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load(spark, sf_dir, "embeddings")
+    de = d.filter(
+        (F.col("lang") == _BITEXT_SRC_LANG) & (F.col("doc_id") % 2 == 0)
+    )
+    probes = e.join(F.broadcast(de), e.vec_id == de.doc_id).select(
+        F.col("doc_id").alias("src_id"), F.col("embedding").alias("se")
+    )
+    en = d.filter(F.col("lang") == _BITEXT_TGT_LANG)
+    corpus = e.join(F.broadcast(en), e.vec_id == en.doc_id).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return mine(
+        probes, corpus, k=_BITEXT_K, out_k=_BITEXT_OUT_K
+    ).orderBy("src_id", "rnk")

@@ -179,6 +179,7 @@ HEADLINE = [
     # round 13
     "hybrid_rrf_ann",
     "unimax_plan_recovered",
+    "margin_bitext_mine",
 ]
 
 

@@ -121,3 +121,99 @@ def test_unimax_plan_from_counts_closed_form(spark):
     assert rows["a"]["alloc_tokens"] == 3.0
     assert rows["b"]["alloc_tokens"] == 6.0
     assert abs(rows["c"]["alloc_tokens"] - 17.0) < 1e-6
+
+
+def test_margin_bitext_hand_fixture(spark):
+    """Hand-checkable margin math: probe p aligned with t1, orthogonal
+    to t2, diagonal t3. Margins rank the aligned target first and the
+    values match the closed-form ratio exactly."""
+    from automated_data_pipeline_spark.operators.bitext import (
+        margin_bitext_mine,
+    )
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "src_id bigint, se array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {
+        r["tgt_id"]: r
+        for r in margin_bitext_mine(probes, corpus, k=3, out_k=3).collect()
+    }
+    import math
+
+    c3 = round(1.0 / math.sqrt(2.0), 6)
+    # af = avg of (1.0, c3, 0.0); each target's backward avg is its own
+    # cosine to the single probe
+    af = math.floor((1.0 + c3 + 0.0) / 3 * 1e6 + 0.5) / 1e6
+    for tid, c in ((1, 1.0), (3, c3), (2, 0.0)):
+        want = math.floor(c / ((af + c) / 2.0) * 1e6 + 0.5) / 1e6 if c else 0.0
+        assert rows[tid]["cosine"] == c
+        assert abs(rows[tid]["margin"] - want) < 1e-9, (tid, want)
+    assert rows[1]["rnk"] == 1  # aligned target wins
+
+
+def test_margin_bitext_penalizes_hub(spark):
+    """The ratio margin's reason to exist: a hub vector (high cosine
+    to EVERY probe) ranks below a specific match with the same raw
+    cosine, because the hub's backward neighborhood average is high."""
+    from automated_data_pipeline_spark.operators.bitext import (
+        margin_bitext_mine,
+    )
+
+    # two probes; t1 matches p1 specifically (orthogonal to p2);
+    # t2 is a hub equally close to both probes, same cos to p1 as t1
+    c = 0.8
+    s = (1 - c * c) ** 0.5
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "src_id bigint, se array<float>",
+    )
+    hub = [c, c, 0.0]  # cos to each probe = c/|hub| — normalize:
+    n = (2 * c * c) ** 0.5
+    hub = [c / n, c / n, 0.0]  # unit; cos to p1 = cos to p2 = c/n... 
+    # instead construct directly: t1 = (c, 0, s): cos p1 = c, cos p2 = 0
+    # hub t2 = (c, sqrt(1-c^2-eps), ...) -> use (c, c, z) normalized
+    z = (1 - 2 * c * c)
+    corpus = spark.createDataFrame(
+        [(1, [c, 0.0, s])]
+        + [(2, [c, c, abs(z) ** 0.5 if z > 0 else 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = margin_bitext_mine(probes, corpus, k=2, out_k=2).collect()
+    p1 = sorted(
+        (r for r in out if r["src_id"] == 1), key=lambda r: r["rnk"]
+    )
+    # both targets have cosine ~c to p1, but the hub's backward
+    # average is higher (it is close to BOTH probes) -> lower margin
+    assert p1[0]["tgt_id"] == 1
+    assert p1[0]["margin"] > p1[1]["margin"]
+
+
+def test_margin_bitext_plan_single_corpus_scan(spark):
+    """The target corpus is scanned ONCE: candidate vectors ride
+    through the forward top-k (no second scan/join back to the corpus
+    parquet), the probes broadcast, and no raw embedding column is a
+    shuffle key."""
+    import os
+
+    from automated_data_pipeline_spark.suite.round13 import (
+        margin_bitext_mine as suite_fn,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+    out = suite_fn(spark, sf)
+    out.count()  # AQE-finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the forward shortlist materializes once (eager checkpoint), so
+    # the downstream plan reads it as an ExistingRDD and the only
+    # parquet scans left are the tiny probe re-derivation in the
+    # backward pass (docs + embeddings) — the target corpus is NOT
+    # rescanned after the forward pass
+    assert plan.count("Scan parquet") <= 2
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\bembedding#\d+", m.group(1)), m.group(0)

@@ -89,8 +89,9 @@ WORKLOADS = [
     # round-12 retrieval + mixture-planning additions
     "hybrid_rrf_retrieval",
     "unimax_epoch_plan",
-    # round-13: persisted-ANN hybrid serve leg
+    # round-13: persisted-ANN hybrid serve leg + bitext mining
     "hybrid_rrf_ann",
+    "margin_bitext_mine",
 ]
 
 # Oracles that are themselves the slow specification (all-pairs /
@@ -101,6 +102,7 @@ QUADRATIC_ORACLES = {
     "hard_negative_mining": "bounded-batch x corpus brute oracle with per-pair correlated 64-dim subqueries: ~10s for 5k pairs at sf0.01, ~50x that at x10 corpus; the Spark side IS the brute spec, timed",
     "audio_fingerprint_near_dup": "byte-level audio replay oracle: 325s at sf0.1",
     "image_dhash_near_dup": "byte-level PNG replay oracle, all-pairs hamming",
+    "margin_bitext_mine": "|probes|x|tgt| correlated 64-dim cosine subqueries: ~3.5k pairs OK at sf0.01, ~76M at x10 (probes grow with the corpus); the Spark side runs the same pair count map-side, timed",
 }
 
 
