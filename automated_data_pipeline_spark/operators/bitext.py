@@ -105,7 +105,18 @@ def margin_bitext_mine(
     # backward pass: candidates x probes — both bounded (<=|A|*k and
     # |A| rows); candidate vectors were carried through the forward
     # top-k, so B is never rescanned
-    cand_vecs = fwd.select("tgt_id", "_tv").dropDuplicates(["tgt_id"])
+    # spread the candidate frame before the crossJoin: dropDuplicates
+    # leaves it on a handful of post-AQE partitions (it is tiny), but
+    # the crossJoin multiplies each row |A|-fold — the cosine work
+    # serializes on those few tasks unless the rows are spread first.
+    # Values are partition-independent (rounded cosines, total-order
+    # ranks), the spread module's precondition.
+    par = fwd.sparkSession.sparkContext.defaultParallelism
+    cand_vecs = (
+        fwd.select("tgt_id", "_tv")
+        .dropDuplicates(["tgt_id"])
+        .repartition(par, "tgt_id")
+    )
     bwd_scored = cand_vecs.crossJoin(F.broadcast(probes)).select(
         "tgt_id",
         F.col(probe_id_col),

@@ -110,10 +110,13 @@ def dsir_weights_recovered(spark, sf_dir):
     path = _index_path("dsir_store")
     shutil.rmtree(path, ignore_errors=True)
     store = DsirBucketStore(path)
+    # store just rmtree'd: no batch_key can be a replay, so skip the
+    # probe jobs (the stream wiring's own steady-state discipline)
     for i in range(3):
         update_dsir_buckets(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
             is_target=F.col("lang") == "en", batch_key=f"b{i}",
+            assume_fresh=True,
         )
     w = recover_dsir_weights(
         spark, store, docs, "text", "doc_id", keep_cols=["lang"]
@@ -189,10 +192,11 @@ def lang_vocab_overlap_recovered(spark, sf_dir):
     path = _index_path("vocab_store")
     shutil.rmtree(path, ignore_errors=True)
     store = VocabCountStore(path)
+    # fresh store (rmtree above): replays impossible, skip probe jobs
     for i in range(3):
         update_vocab_counts(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     return recover_vocab_overlap(spark, store)
 

@@ -261,10 +261,12 @@ def bm25_scores_recovered(spark, sf_dir):
     root = _store_root(spark, "bm25_store")
     postings = PostingsStore(os.path.join(root, "postings"))
     doclens = DocLenStore(os.path.join(root, "doclens"))
+    # fresh stores (per-session root): replays impossible, skip the
+    # probe jobs (the stream wiring's own steady-state discipline)
     for i in range(3):
         update_postings(
             spark, docs.filter(F.col("doc_id") % 3 == i),
-            postings, doclens, batch_key=f"b{i}",
+            postings, doclens, batch_key=f"b{i}", assume_fresh=True,
         )
     return recover_bm25_scores(spark, postings, doclens, _BM25_QUERIES, k=5)
 
@@ -298,10 +300,11 @@ def winnowing_pairs_recovered(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     path = _store_root(spark, "winnow_store")
     store = WinnowStore(path)
+    # fresh store: replays impossible, skip probe jobs
     for i in range(3):
         update_winnow_store(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     return recover_overlap_pairs(spark, store, max_df=8, min_shared=5)
 
@@ -478,10 +481,11 @@ def kn_fluency_recovered(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     path = _store_root(spark, "kn_store")
     store = BigramStore(path)
+    # fresh store: replays impossible, skip probe jobs
     for i in range(3):
         update_bigram_store(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     return recover_kn_scores(spark, store)
 
@@ -635,10 +639,11 @@ def zipf_fit_recovered(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     path = _store_root(spark, "zipf_store")
     store = VocabCountStore(path)
+    # fresh store: replays impossible, skip probe jobs
     for i in range(3):
         update_vocab_counts(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     freq = read_vocab_counts(spark, store).select(
         "lang", "tok", F.col("cnt").alias("f")

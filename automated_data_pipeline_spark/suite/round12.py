@@ -199,10 +199,11 @@ def pmi_collocations_recovered(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     path = _store_root(spark, "pmi_store")
     store = BigramStore(path)
+    # fresh store: replays impossible, skip probe jobs
     for i in range(3):
         update_bigram_store(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     c12 = (
         store.read(spark)

@@ -199,10 +199,11 @@ def unimax_plan_recovered(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     path = _store_root(spark, "unimax_store")
     store = VocabCountStore(path)
+    # fresh store: replays impossible, skip probe jobs
     for i in range(3):
         update_vocab_counts(
             spark, docs.filter(F.col("doc_id") % 3 == i), store,
-            batch_key=f"b{i}",
+            batch_key=f"b{i}", assume_fresh=True,
         )
     n = (
         read_vocab_counts(spark, store)
