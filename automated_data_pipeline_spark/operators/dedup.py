@@ -539,20 +539,36 @@ def dedup_components(
 
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 8
+    shingled: DataFrame, num_hashes: int = 8, hashed_col: str | None = None
 ) -> DataFrame:
     """MinHash signatures: (id, sig0..sigK): sig_i = min over the shingle
     set of (a_i * base + b_i) mod P, base = stable_hash64(shingle) mod P.
     One md5 pass over the shingles, then cheap integer mixing per
-    permutation — no explode, no shuffle."""
+    permutation — no explode, no shuffle.
+
+    ``hashed_col``: a column already holding the stable_hash64 values of
+    the shingles (any order, duplicates collapsed or not). Signatures
+    are IDENTICAL either way — array_min over (a*pmod(h,P)+b) mod P is
+    invariant to element order and multiplicity — but callers that
+    already pay the md5 pass for verification payloads skip paying it
+    again here."""
     assert num_hashes <= len(TX.MINHASH_AB)
-    based = shingled.withColumn(
-        "_bases",
-        F.transform(
-            F.col("shingles"),
-            lambda w: F.pmod(TX.stable_hash64(w), F.lit(TX.MINHASH_P)),
-        ),
-    )
+    if hashed_col is not None:
+        based = shingled.withColumn(
+            "_bases",
+            F.transform(
+                F.col(hashed_col),
+                lambda h: F.pmod(h, F.lit(TX.MINHASH_P)),
+            ),
+        )
+    else:
+        based = shingled.withColumn(
+            "_bases",
+            F.transform(
+                F.col("shingles"),
+                lambda w: F.pmod(TX.stable_hash64(w), F.lit(TX.MINHASH_P)),
+            ),
+        )
     sigs = []
     for s in range(num_hashes):
         a, b = TX.MINHASH_AB[s]
@@ -568,7 +584,10 @@ def minhash_signatures(
 
 
 def band_bucket_frame(
-    shingled: DataFrame, num_hashes: int, band_size: int
+    shingled: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    hashed_col: str | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band buckets from a shingle frame — the
     ONE banding implementation shared by the batch operators
@@ -578,7 +597,7 @@ def band_bucket_frame(
     members, so bucket ids are stable across engines and sessions."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sigs = minhash_signatures(shingled, num_hashes)
+    sigs = minhash_signatures(shingled, num_hashes, hashed_col=hashed_col)
     band_cols = []
     for b in range(n_bands):
         members = [F.col(f"sig{b * band_size + i}") for i in range(band_size)]

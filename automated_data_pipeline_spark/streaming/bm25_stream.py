@@ -39,7 +39,7 @@ class PostingsStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, term string, tf bigint, batch_key string"
-        )
+        ).coalesce(1)
 
 
 class DocLenStore(FingerprintStore):
@@ -48,7 +48,7 @@ class DocLenStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, dl bigint, batch_key string"
-        )
+        ).coalesce(1)
 
 
 def batch_postings(

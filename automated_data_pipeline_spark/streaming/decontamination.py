@@ -73,7 +73,7 @@ class BloomBitStore:
         os.makedirs(path, exist_ok=True)
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame([], "bit bigint")
+        return spark.createDataFrame([], "bit bigint").coalesce(1)
 
     def read_bits(self, spark: SparkSession) -> DataFrame:
         """The merged filter: distinct set-bit rows (duplicate and

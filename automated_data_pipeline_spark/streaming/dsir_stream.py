@@ -40,7 +40,7 @@ class DsirBucketStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "bucket bigint, n_target bigint, n_raw bigint, batch_key string"
-        )
+        ).coalesce(1)
 
 
 def batch_dsir_buckets(

@@ -85,9 +85,13 @@ class FingerprintStore:
         fs_for(path).mkdirs(path)
 
     def _empty(self, spark: SparkSession) -> DataFrame:
+        # coalesce(1): a bare createDataFrame([]) parallelizes into
+        # defaultParallelism EMPTY partitions, and any take()-style
+        # probe over it then escalates through 4 scheduling rounds
+        # (1/4/20/rest) — four Spark jobs to learn nothing
         return spark.createDataFrame(
             [], "fingerprint string, doc_id bigint, batch_key string"
-        )
+        ).coalesce(1)
 
     def read(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.path)
@@ -96,8 +100,15 @@ class FingerprintStore:
         return spark.read.parquet(self.path)
 
     def has_batch(self, spark: SparkSession, batch_key: str) -> bool:
-        df = self.read(spark)
-        return bool(df.filter(F.col("batch_key") == batch_key).take(1))
+        _recover_compact(self.path)
+        # an empty store holds no batch: answer driver-side, zero jobs
+        if not _has_parquet(self.path):
+            return False
+        return bool(
+            spark.read.parquet(self.path)
+            .filter(F.col("batch_key") == batch_key)
+            .take(1)
+        )
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)

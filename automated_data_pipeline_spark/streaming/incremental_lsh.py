@@ -65,9 +65,11 @@ class LshStore:
     def buckets(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.buckets_dir)
         if not _has_parquet(self.buckets_dir):
+            # coalesce(1): see FingerprintStore._empty — a bare empty
+            # createDataFrame plans defaultParallelism empty partitions
             return spark.createDataFrame(
                 [], "band int, bucket string, doc_id bigint"
-            )
+            ).coalesce(1)
         return spark.read.parquet(self.buckets_dir)
 
     def docs(self, spark: SparkSession) -> DataFrame:
@@ -76,10 +78,14 @@ class LshStore:
             return spark.createDataFrame(
                 [],
                 "doc_id bigint, shingles array<string>, batch_key string",
-            )
+            ).coalesce(1)
         return spark.read.parquet(self.docs_dir)
 
     def has_batch(self, spark: SparkSession, batch_key: str) -> bool:
+        _recover_compact(self.docs_dir)
+        # empty store holds no batch: answer driver-side, zero jobs
+        if not _has_parquet(self.docs_dir):
+            return False
         return bool(
             self.docs(spark).filter(F.col("batch_key") == batch_key).take(1)
         )

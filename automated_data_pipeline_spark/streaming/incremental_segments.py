@@ -45,7 +45,9 @@ class SegmentHashStore(FingerprintStore):
     ``FingerprintStore``."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame([], "seg_hash bigint, batch_key string")
+        return spark.createDataFrame(
+            [], "seg_hash bigint, batch_key string"
+        ).coalesce(1)
 
 
 def dedup_segments_against_store(

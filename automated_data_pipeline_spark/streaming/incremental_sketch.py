@@ -56,7 +56,7 @@ class HllSketchStore:
         fields = ", ".join(f"{c} string" for c in self.group_cols)
         return spark.createDataFrame(
             [], f"{fields}, bucket bigint, rho int"
-        )
+        ).coalesce(1)
 
     def read_registers(self, spark: SparkSession) -> DataFrame:
         """Max-reduced register table (duplicate/replayed appends

@@ -46,7 +46,7 @@ class BigramStore(FingerprintStore):
         return spark.createDataFrame(
             [], "doc_id bigint, w1 string, w2 string, c bigint, "
                 "batch_key string"
-        )
+        ).coalesce(1)
 
 
 def batch_bigrams(

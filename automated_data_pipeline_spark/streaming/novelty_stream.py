@@ -37,7 +37,7 @@ class GramDocStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, source string, gh bigint"
-        )
+        ).coalesce(1)
 
     def read_distinct(self, spark: SparkSession) -> DataFrame:
         return self.read(spark).select("doc_id", "source", "gh").distinct()

@@ -50,7 +50,7 @@ class SourceScoreHistogramStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "source string, p_i bigint, n_docs bigint, batch_key string"
-        )
+        ).coalesce(1)
 
 
 def batch_source_histogram(

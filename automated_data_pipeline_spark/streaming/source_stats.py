@@ -47,7 +47,7 @@ class SourceStatsStore(FingerprintStore):
             [],
             "source string, n_docs bigint, chars_total bigint, "
             "sum_p_i bigint, batch_key string",
-        )
+        ).coalesce(1)
 
 
 def batch_source_stats(

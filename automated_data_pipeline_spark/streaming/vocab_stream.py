@@ -33,7 +33,7 @@ class VocabCountStore(FingerprintStore):
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [], "lang string, tok string, cnt bigint, batch_key string"
-        )
+        ).coalesce(1)
 
 
 def batch_vocab_counts(
