@@ -29,8 +29,9 @@ Per micro-batch:
 
 Store layout mirrors a real ANN/LSH serving split: ``buckets/``
 (band, bucket, doc_id — the small index rows the candidate join scans)
-separate from ``docs/`` (doc_id, shingles — the fat payloads read only
-to verify candidates). At cluster scale both become tables bucketed by
+separate from ``docs/`` (doc_id, shingles — the payloads read only to
+verify candidates; stored as sorted-distinct shingle HASHES, 8-byte
+bigints, not strings — see ``docs()``). At cluster scale both become tables bucketed by
 their join keys; the payload side is the one worth co-locating.
 
 Idempotency contract = same as ``incremental_dedup``: replaying an
@@ -45,6 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..operators import dedup
 from .incremental_dedup import _has_parquet, _recover_compact
 
@@ -75,9 +77,14 @@ class LshStore:
     def docs(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.docs_dir)
         if not _has_parquet(self.docs_dir):
+            # payloads are the sorted-distinct md5-derived shingle
+            # hashes (bigint), not the string shingles: 8B fixed-width
+            # values verify with integer compares and shrink the store
+            # ~4x — identical Jaccard absent a 60-bit in-pair collision
+            # (the batch operators' documented doctrine, jaccard_pairs)
             return spark.createDataFrame(
                 [],
-                "doc_id bigint, shingles array<string>, batch_key string",
+                "doc_id bigint, shingles array<bigint>, batch_key string",
             ).coalesce(1)
         return spark.read.parquet(self.docs_dir)
 
@@ -182,7 +189,8 @@ class LshStore:
 
 def _verified_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
     """Rounded shingle Jaccard over candidate pairs carrying sh_a/sh_b
-    arrays — identical math to the batch verifiers."""
+    arrays (sorted-distinct shingle HASHES — bigint compares, not
+    string compares) — identical math to the batch verifiers."""
     o = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.size("sh_a") + F.size("sh_b") - o
     return cand.withColumn(
@@ -212,13 +220,28 @@ def near_dedup_batch_against_store(
         )
         return batch.join(mine, id_col, "left_semi").localCheckpoint(eager=True)
 
+    # Hash the shingles ONCE (sorted-distinct md5-derived bigints) and
+    # flow the hashed sets end-to-end: MinHash banding consumes them via
+    # band_bucket_frame(hashed_col=...) — bucket keys are IDENTICAL (the
+    # signature is a min over pmod of the same value set) — and both
+    # verifiers intersect 8B integers instead of shingle strings. Same
+    # results absent a 60-bit in-pair collision (~1e-15), the batch
+    # operators' documented doctrine (see jaccard_pairs).
     shingled = (
         dedup.shingle_frame(batch, id_col, text_col)
         .filter(F.size("shingles") > 0)
+        .select(
+            "id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: TX.stable_hash64(s))
+                )
+            ).alias("hs"),
+        )
         .persist()
     )
     buckets = dedup.band_bucket_frame(
-        shingled, store.num_hashes, store.band_size
+        shingled, store.num_hashes, store.band_size, hashed_col="hs"
     )
 
     # (2) within-batch: candidates from shared buckets, verify, drop the
@@ -234,8 +257,8 @@ def near_dedup_batch_against_store(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
     in_batch_dups = (
         _verified_jaccard(
             in_batch_cand.join(F.broadcast(sh_a), "id_a").join(
@@ -263,7 +286,7 @@ def near_dedup_batch_against_store(
     cross_dups = (
         _verified_jaccard(
             store_cand.join(
-                F.broadcast(shingled.select(F.col("id"), F.col("shingles").alias("sh_a"))),
+                F.broadcast(shingled.select(F.col("id"), F.col("hs").alias("sh_a"))),
                 "id",
             ).join(store_sh, "store_id"),
             threshold,
@@ -291,12 +314,14 @@ def near_dedup_batch_against_store(
     novel_short = (
         novel.select(F.col(id_col).alias("id"))
         .join(shingled.select("id"), "id", "left_anti")
-        .select("id", F.array().cast("array<string>").alias("shingles"))
+        .select("id", F.array().cast("array<bigint>").alias("shingles"))
     )
     store.append(
-        dedup.band_bucket_frame(novel_shingled, store.num_hashes, store.band_size)
+        dedup.band_bucket_frame(
+            novel_shingled, store.num_hashes, store.band_size, hashed_col="hs"
+        )
         .select("band", "bucket", F.col("id").cast("bigint").alias("doc_id")),
-        novel_shingled.select("id", "shingles")
+        novel_shingled.select("id", F.col("hs").alias("shingles"))
         .union(novel_short)
         .select(
             F.col("id").cast("bigint").alias("doc_id"),
