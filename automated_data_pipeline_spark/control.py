@@ -255,6 +255,17 @@ class ControlStore:
             self._steps[(row["run_id"], row["step_number"])] = row
         self._append(self.steps_dir, _STEP_FIELDS, row)
 
+    def latest_run_state(self, run_id: str) -> dict[str, Any] | None:
+        """Latest-wins state row for one run, straight from DISK (not
+        the in-process cache): the cross-process-correct answer —
+        another store instance (timeout sweeper, second process) may
+        have written a newer event this cache never saw. Driver-side
+        footer read of the tiny control table; no Spark job (the
+        latest-per-key window the ``runs`` view computes, for one
+        key)."""
+        with self._lock:
+            return self._latest_disk_state(self.runs_dir, {"run_id": run_id})
+
     def update_run(self, run_id: str, **fields: Any) -> None:
         with self._lock:
             cur = self._runs.get(run_id)

@@ -434,25 +434,29 @@ def connected_components(
     # checkpoints — sparkContext.setCheckpointDir + .checkpoint() —
     # so executor loss doesn't force a full restart.)
     labels = labels.localCheckpoint(eager=True)
-    # Cheap convergence probe: an order-independent hash sum of the
-    # (id, rep_id) table — one narrow scan of the already-checkpointed
-    # frame per round, instead of an old-vs-new shuffle join per round.
-    # The probe only *triggers* the exact join check (run once, when
-    # the signature stops moving), so a hash collision can never cause
-    # an early stop with unconverged labels. Works for any id type.
-    def _sig(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.xxhash64("id", "rep_id").cast("decimal(38,0)"))
-        ).first()[0]
+    from pyspark.sql import Observation
 
-    prev_sig = _sig(labels)
     converged = False
     for _ in range(max_iterations):
         msgs = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "rep_id")
-        mins = labels.union(msgs).groupBy("id").agg(
-            F.min("rep_id").alias("rep_id")
+        ).select(F.col("dst").alias("id"), "rep_id", F.lit(0).alias("_self"))
+        # the self row rides with a marker so the round's OLD label
+        # comes out of the same aggregation (exactly one self row per
+        # id — labels is unique on id), making the convergence check a
+        # free column compare instead of a per-round probe job:
+        # observe() counts changed labels DURING the checkpoint job,
+        # so each round is exactly ONE job and one pass over the data
+        # (the old shape paid a separate signature scan per round plus
+        # a final old-vs-new confirmation join).
+        mins = (
+            labels.select("id", "rep_id", F.lit(1).alias("_self"))
+            .union(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("rep_id").alias("rep_id"),
+                F.min(F.when(F.col("_self") == 1, F.col("rep_id"))).alias("_old"),
+            )
         )
         # pointer doubling: follow the label chain one hop — rep_id is
         # itself a vertex id (labels always hold every vertex), so its
@@ -460,30 +464,40 @@ def connected_components(
         jump = mins.select(
             F.col("id").alias("rep_id"), F.col("rep_id").alias("_rep2")
         )
+        obs = Observation()
         new_labels = (
             mins.join(jump, "rep_id", "left")
             .select(
                 "id",
                 F.coalesce(F.col("_rep2"), F.col("rep_id")).alias("rep_id"),
+                "_old",
             )
+            .observe(
+                obs,
+                # every mins group holds exactly one self row (labels is
+                # unique on id and covers all edge endpoints) so _old is
+                # never NULL; the coalesce makes a violated invariant
+                # fail safe (count as changed) instead of converging early
+                F.coalesce(
+                    F.sum(
+                        F.coalesce(
+                            (F.col("rep_id") != F.col("_old")).cast("long"),
+                            F.lit(1),
+                        )
+                    ),
+                    F.lit(0),  # zero rows (empty edge set) = converged
+                ).alias("n_changed"),
+            )
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
-        sig = _sig(new_labels)
-        if sig == prev_sig:
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("rep_id", "_old"), "id"
-                )
-                .filter(F.col("rep_id") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
-        prev_sig = sig
         labels = new_labels
+        # exact fixpoint test (every vertex kept its label through both
+        # the min-step and the jump), measured for free on the rows the
+        # checkpoint just materialized
+        if obs.get["n_changed"] == 0:
+            converged = True
+            break
     sym.unpersist()
     if not converged:
         raise RuntimeError(
@@ -646,25 +660,42 @@ def _lsh_verify_frames(
          never shuffles
     """
     assert num_hashes % band_size == 0
-    # persist: the shingle arrays feed signature generation AND both
-    # sides of candidate verification — recomputing the md5 pass 3x
-    # dominates runtime otherwise. At cluster scale this is a
-    # checkpoint/intermediate table instead.
+    # persist the HASHED shingle sets (sorted-distinct md5-derived
+    # bigints), not the strings: one md5 pass feeds signature
+    # generation AND both sides of candidate verification, the
+    # persisted/broadcast payload is ~4x narrower (8B fixed-width vs
+    # strings), and verification intersects integers (guide §2.3 —
+    # narrower types / shuffle fewer bytes). Jaccard/containment over
+    # the distinct hash sets equals the string-set values absent a
+    # 60-bit in-pair collision (~1e-15) — the batch operators'
+    # documented doctrine (jaccard_pairs), shared by the streaming
+    # ingest store. At cluster scale this is a checkpoint/intermediate
+    # table instead.
     shingled = (
-        shingle_frame(df, id_col, text_col).filter(F.size("shingles") > 0).persist()
+        shingle_frame(df, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .select(
+            "id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: TX.stable_hash64(s))
+                )
+            ).alias("hs"),
+        )
+        .persist()
     )
     if broadcast_verify is None:
         stats = shingled.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("t")
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("hs")).alias("t")
         ).first()
-        # string shingles are heavier than 8-byte hashes: ~16B/shingle
         broadcast_verify = _should_broadcast_verify(
-            stats["n"] or 0, 2 * (stats["t"] or 0)
+            stats["n"] or 0, stats["t"] or 0
         )
-    buckets = band_bucket_frame(shingled, num_hashes, band_size)
+    buckets = band_bucket_frame(shingled, num_hashes, band_size, hashed_col="hs")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
+    par = df.sparkSession.sparkContext.defaultParallelism
     candidates = (
         a.join(
             b,
@@ -673,6 +704,14 @@ def _lsh_verify_frames(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # explicit-width repartition on the pair key: the distinct
+        # reuses this exchange (same keys), and because the width is
+        # user-pinned AQE will NOT byte-coalesce it — candidate pairs
+        # are tiny in bytes but carry the whole verify CPU (an array
+        # intersect per pair), and byte-based coalescing otherwise
+        # serializes the verify stage onto 1-2 tasks (measured 6.3 s
+        # single-task stages in the streaming twin)
+        .repartition(par, "id_a", "id_b")
         .distinct()
     )
 
@@ -681,13 +720,13 @@ def _lsh_verify_frames(
     # stream never shuffles
     sa = shingled.select(
         F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.size("shingles").alias("_na"),
+        F.col("hs").alias("sh_a"),
+        F.size("hs").alias("_na"),
     )
     sb = shingled.select(
         F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.size("shingles").alias("_nb"),
+        F.col("hs").alias("sh_b"),
+        F.size("hs").alias("_nb"),
     )
     if broadcast_verify:
         sa, sb = F.broadcast(sa), F.broadcast(sb)

@@ -198,14 +198,12 @@ class PipelineRunner:
         sweep has verdicted a run Failed-TimeOut-6Hours, a zombie
         worker thread that later unblocks must NOT overwrite the
         verdict the monitor already reported (with Success or
-        Cancelled). One bounded control read per run completion."""
-        current = (
-            self.control.runs(self.spark)
-            .filter(F.col("run_id") == run_id)
-            .select("status")
-            .take(1)
-        )
-        if current and current[0]["status"] == TIMEOUT_STATUS:
+        Cancelled). One bounded DRIVER-SIDE control read per run
+        completion (latest_run_state reads the same event table the
+        ``runs`` view derives from — same latest-wins row, no Spark
+        job for a one-key metadata probe)."""
+        current = self.control.latest_run_state(run_id)
+        if current and current["status"] == TIMEOUT_STATUS:
             self.control.log(
                 run_id, "Warning",
                 f"Run already marked {TIMEOUT_STATUS}; late {status} "

@@ -245,7 +245,16 @@ def near_dedup_batch_against_store(
     )
 
     # (2) within-batch: candidates from shared buckets, verify, drop the
-    # larger id of every verified pair (min-id survivor per pair edge)
+    # larger id of every verified pair (min-id survivor per pair edge).
+    # The explicit-width repartition feeding each .distinct() below is
+    # the verify-stage spread: candidate pairs are tiny in BYTES but
+    # carry the whole verify CPU (an array intersect per pair), and
+    # AQE's byte-based coalescing otherwise collapses the distinct's
+    # exchange to 1-2 partitions and serializes the verify (measured:
+    # a 6.3 s single-task stage per micro-batch at sf0.1). A
+    # user-pinned width is exempt from AQE coalescing; the distinct
+    # reuses the same exchange, so no shuffle is added.
+    par = spark.sparkContext.defaultParallelism
     a, b = buckets.alias("a"), buckets.alias("b")
     in_batch_cand = (
         a.join(
@@ -255,6 +264,7 @@ def near_dedup_batch_against_store(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(par, "id_a", "id_b")
         .distinct()
     )
     sh_a = shingled.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
@@ -278,6 +288,7 @@ def near_dedup_batch_against_store(
             ["band", "bucket"],
         )
         .select("id", "store_id")
+        .repartition(par, "id", "store_id")
         .distinct()
     )
     store_sh = store.docs(spark).select(

@@ -70,12 +70,21 @@ def dedup_segments_against_store(
     ``assume_fresh=True`` skips the replay probe (only the first batch
     after a restart can be a replay — same contract as
     ``dedup_batch_against_store``)."""
-    # repartition on seg_hash so the survivor aggregation and the
+    # spread the raw batch BEFORE tokenizing: a micro-batch is one
+    # json file = a 1-partition scan, and segment_occurrences' heavy
+    # projection (tokenize + window explode) would otherwise run
+    # entirely inside the single map task feeding the seg_hash
+    # exchange (measured: a 7 s one-task stage per batch at sf0.1).
+    # Values are partition-independent (seg_hash/seg_idx are pure
+    # per-row functions; the survivor rule is a global min).
+    from ..plans.spread import spread_if_narrow
+
+    # then repartition on seg_hash so the survivor aggregation and the
     # keep-join below consume ONE exchange (ReuseExchange — the batch
     # twin's single-tokenize-pass discipline, kept per micro-batch)
-    occ = segment_occurrences(batch, text_col, id_col, seg_words).repartition(
-        "seg_hash"
-    )
+    occ = segment_occurrences(
+        spread_if_narrow(batch), text_col, id_col, seg_words
+    ).repartition("seg_hash")
     # survivor occurrence per distinct segment — defined ONCE, used by
     # both the fresh path (novelty anti-join) and the keep rule; a pure
     # function of the batch rows, so replays reproduce it.
