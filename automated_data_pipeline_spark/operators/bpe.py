@@ -159,14 +159,21 @@ def bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("n"))
         )
-        top = (
-            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_freq:
+        # single-aggregate argmin instead of a global sort + limit(1):
+        # min over struct(-n, a, b) picks (max freq, then lexicographically
+        # smallest pair) — the same winner with the same tie-break — as a
+        # partial+final aggregation (32 partial rows cross the exchange)
+        # rather than a full shuffle sort per round
+        top = pairs.agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_negn"), F.col("a"), F.col("b")
+                )
+            ).alias("t")
+        ).first()["t"]
+        if top is None or -top["_negn"] < min_freq:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        a, b, n = top["a"], top["b"], int(-top["_negn"])
         merges.append((a, b, n))
         words = words.select(
             _apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
