@@ -293,6 +293,13 @@ def jaccard_pairs(
         ).alias("pos0", "pk"),
         *[F.col(c) for c in (block_cols or [])],
     ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    # persist: the self-join's build side becomes a BroadcastExchange,
+    # which does NOT reuse the probe side's exchange — without the
+    # cache the whole prefix pipeline (tokenize-from-cache, df-count
+    # groupBy, join, collect_list, posexplode) executes TWICE per call
+    # (measured: the doubled ~0.4 s AQE stages in the per-job profile).
+    # Small table (|prefix tokens| rows), unpersisted in _finalize.
+    pref = pref.persist()
     a = pref.alias("a")
     b = pref.alias("b")
     cond = (F.col("a.pk") == F.col("b.pk")) & (F.col("a.id") < F.col("b.id"))
@@ -308,9 +315,12 @@ def jaccard_pairs(
     #   min(i,j)-1  (common tokens possible before it)
     #   + 1         (itself)
     #   + min(na-i, nb-j)  (common tokens possible after it),
-    # and jaccard >= t needs overlap >= t*(na+nb)/(1+t). A pair
-    # survives if ANY shared prefix token passes — sound because the
-    # bound is valid for EVERY common token. The 1e-9 slack only
+    # and jaccard >= t needs overlap >= t*(na+nb)/(1+t). The bound is
+    # valid for EVERY common token, so the TIGHTEST sound cut takes the
+    # MINIMUM bound over all shared prefix tokens of a pair — computed
+    # in the same aggregation that dedups the pair stream (the groupBy
+    # that replaced .distinct(), no extra shuffle), strictly stronger
+    # than the old any-token-passes row filter. The 1e-9 slack only
     # loosens the cut (floats may overshoot the exact rational alpha).
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     alpha = F.ceil((na + nb) * F.lit(threshold / (1.0 + threshold)) - F.lit(1e-9))
@@ -318,11 +328,24 @@ def jaccard_pairs(
         F.least(F.col("a.pos"), F.col("b.pos"))
         + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     )
-    cond = cond & (bound >= alpha)
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            bound.alias("_ub"),
+            alpha.alias("_alpha"),
+        )
+        # explicit-width repartition on the pair key: reused by the
+        # groupBy (same keys) and exempt from AQE byte-coalescing, so
+        # the per-pair verify downstream keeps cluster parallelism
+        # (same rationale as _lsh_verify_frames)
+        .repartition(par, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_ub").alias("_ub"), F.min("_alpha").alias("_alpha"))
+        .filter(F.col("_ub") >= F.col("_alpha"))
+        .select("id_a", "id_b")
     )
     # Verification: candidates outnumber documents by orders of
     # magnitude (1.4M pairs vs 5k docs at sf0.1), so shuffling the full
@@ -355,7 +378,7 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return _finalize(result, hashed)
+    return _finalize(result, hashed, pref)
 
 
 def connected_components(
