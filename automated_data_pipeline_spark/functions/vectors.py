@@ -73,6 +73,25 @@ def cosine_rounded_safe(a: Column, b: Column, digits: int = 6) -> Column:
     )
 
 
+def cosine_hoisted(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, digits: int = 6
+) -> Column:
+    """``cosine_rounded_safe`` with the norms supplied as pre-computed
+    per-ROW columns — the hard_negative_topk doctrine generalized: the
+    array folds behind ``norm()`` never enter codegen (interpreted
+    HigherOrderFunction eval), so an inline cosine inside a pair join
+    folds each side's norm once per PAIR (and twice each: zero guard +
+    division) — 5 interpreted 64-element folds per pair instead of 1.
+    Hoisting ``norm(v)`` to a projection before the join evaluates it
+    once per ROW; the division here consumes the SAME double (identical
+    expression on identical input), so results are bit-identical to
+    ``cosine_rounded_safe`` and the oracles still hash-match."""
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(dot(a, b) / denom, digits)
+    )
+
+
 def int8_scale(a: Column) -> Column:
     """Symmetric per-vector int8 quantization scale: max(|v_i|) / 127.
     Zero vectors get scale 0 (quantize maps them to all-zeros)."""

@@ -68,6 +68,11 @@ def margin_bitext_mine(
     from ..plans.spread import spread_if_narrow
 
     corpus = spread_if_narrow(corpus, id_col)
+    # per-row norm hoist (r14; bit-identical — see V.cosine_hoisted):
+    # each side's norm folds once per ROW instead of (twice) per PAIR,
+    # and both quadratic passes below are pure pair stages
+    probes = probes.withColumn("_pnrm", V.norm(F.col(probe_vec_col)))
+    corpus = corpus.withColumn("_cnrm", V.norm(F.col(vec_col)))
     # forward pass: the ONLY corpus-sized stage — |B| x |A| map-side
     # cosines, two-phase top-k prune
     fwd_scored = (
@@ -80,8 +85,9 @@ def margin_bitext_mine(
             # k rows per (probe, partition) BEFORE the exchange, so
             # the carried payload is k x partitions x |A| vectors
             F.col(vec_col).alias("_tv"),
-            V.cosine_rounded_safe(
-                F.col(vec_col), F.col(probe_vec_col), digits
+            V.cosine_hoisted(
+                F.col(vec_col), F.col(probe_vec_col),
+                F.col("_cnrm"), F.col("_pnrm"), digits,
             ).alias("cosine"),
         )
     )
@@ -116,12 +122,16 @@ def margin_bitext_mine(
         fwd.select("tgt_id", "_tv")
         .dropDuplicates(["tgt_id"])
         .repartition(par, "tgt_id")
+        # candidate norm hoisted once per DISTINCT candidate (same
+        # fold expression as the forward pass — identical double)
+        .withColumn("_tnrm", V.norm(F.col("_tv")))
     )
     bwd_scored = cand_vecs.crossJoin(F.broadcast(probes)).select(
         "tgt_id",
         F.col(probe_id_col),
-        V.cosine_rounded_safe(
-            F.col("_tv"), F.col(probe_vec_col), digits
+        V.cosine_hoisted(
+            F.col("_tv"), F.col(probe_vec_col),
+            F.col("_tnrm"), F.col("_pnrm"), digits,
         ).alias("bcos"),
     )
     bwd = per_query_topk(

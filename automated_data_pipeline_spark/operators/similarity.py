@@ -120,13 +120,27 @@ def cosine_topk(
     from ..plans.spread import spread_if_narrow
 
     corpus = spread_if_narrow(corpus, id_col)
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    # hoist both sides' norms to per-ROW projections (r14; the
+    # hard_negative_topk doctrine): one interpreted array fold per
+    # pair instead of 5 — bit-identical values (V.cosine_hoisted)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("_cnrm")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        V.norm(F.col(query_vec_col)).alias("_qnrm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col), digits).alias("cosine"),
+        V.cosine_hoisted(
+            F.col(vec_col), F.col(query_vec_col),
+            F.col("_cnrm"), F.col("_qnrm"), digits,
+        ).alias("cosine"),
     )
     # two-phase rank (see per_query_topk): values identical to a bare
     # per-qid window, but the corpus never funnels through one reducer
@@ -188,8 +202,13 @@ def rhp_lsh_topk(
     (each probe multiplies the query side only — the corpus is hashed
     once), trading candidate volume for recall without rehashing.
     ``exclude_self`` as in cosine_topk."""
-    c = corpus.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("bucket", rhp_bucket(F.col(query_vec_col), dim, n_planes))
+    # per-row norm hoist (r14, bit-identical — see V.cosine_hoisted)
+    c = corpus.withColumn(
+        "bucket", rhp_bucket(F.col(vec_col), dim, n_planes)
+    ).withColumn("_cnrm", V.norm(F.col(vec_col)))
+    q = queries.withColumn(
+        "bucket", rhp_bucket(F.col(query_vec_col), dim, n_planes)
+    ).withColumn("_qnrm", V.norm(F.col(query_vec_col)))
     if multiprobe:
         masks = F.array(
             F.lit(0).cast("bigint"),
@@ -205,7 +224,10 @@ def rhp_lsh_topk(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_hoisted(
+            F.col(vec_col), F.col(query_vec_col),
+            F.col("_cnrm"), F.col("_qnrm"),
+        ).alias("cosine"),
     )
     if multiprobe:
         scored = scored.distinct()  # a pair can match via several probes
@@ -372,13 +394,20 @@ def ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .drop("_pr", "c_cos")
     )
-    pairs = assigned.join(F.broadcast(probes), "ivf_cluster")
+    # per-row norm hoist (r14, bit-identical — see V.cosine_hoisted)
+    pairs = assigned.withColumn("_cnrm", V.norm(F.col(vec_col))).join(
+        F.broadcast(probes.withColumn("_qnrm", V.norm(F.col(query_vec_col)))),
+        "ivf_cluster",
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_hoisted(
+            F.col(vec_col), F.col(query_vec_col),
+            F.col("_cnrm"), F.col("_qnrm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -394,7 +423,10 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, candidates bucketed
     by RHP-LSH (high-cosine pairs collide w.h.p.)."""
-    b = df.withColumn("bucket", rhp_bucket(F.col(vec_col), dim, n_planes))
+    # per-row norm hoist (r14, bit-identical — see V.cosine_hoisted)
+    b = df.withColumn(
+        "bucket", rhp_bucket(F.col(vec_col), dim, n_planes)
+    ).withColumn("_nrm", V.norm(F.col(vec_col)))
     a = b.alias("a")
     c = b.alias("b")
     cand = a.join(
@@ -405,7 +437,10 @@ def embedding_near_dup(
     return cand.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        V.cosine_rounded_safe(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        V.cosine_hoisted(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+            F.col("a._nrm"), F.col("b._nrm"),
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -555,20 +590,28 @@ def semantic_dedup(
     pathological giant clusters should be re-quantized (the SemDeDup
     paper re-runs k-means with more centroids for the same reason).
     """
+    # per-row norm hoist (r14, bit-identical — see V.cosine_hoisted)
     a = df.select(
         F.col(cluster_col).alias("c"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
+        V.norm(F.col(vec_col)).alias("n_a"),
     )
     b = df.select(
         F.col(cluster_col).alias("c"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
+        V.norm(F.col(vec_col)).alias("n_b"),
     )
     pruned = (
         a.join(b, "c")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine_rounded_safe(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(
+            V.cosine_hoisted(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("pruned_id"))
         .distinct()
     )
@@ -1645,13 +1688,20 @@ def ivf_topk_persisted(
     corpus = _minus_tombstones(
         spark, path, read_ivf_probes(spark, path, clusters, vec_col), id_col
     )
-    pairs = corpus.join(F.broadcast(probes), "ivf_cluster")
+    # per-row norm hoist (r14, bit-identical — see V.cosine_hoisted)
+    pairs = corpus.withColumn("_cnrm", V.norm(F.col(vec_col))).join(
+        F.broadcast(probes.withColumn("_qnrm", V.norm(F.col(query_vec_col)))),
+        "ivf_cluster",
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        V.cosine_rounded_safe(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        V.cosine_hoisted(
+            F.col(vec_col), F.col(query_vec_col),
+            F.col("_cnrm"), F.col("_qnrm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -197,6 +197,17 @@ def winnowing_overlap_pairs(spark, sf_dir):
 )
 def char_entropy_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return _char_entropy_frame(d)
+
+
+def _char_entropy_frame(d):
+    """The per-document entropy computation over an already-filtered
+    documents frame — shared by the declared whole-corpus query above
+    and by ``rrf_quality_fusion``, whose inner join consumes entropy
+    for its |q| x 20 BM25 candidates ONLY (r14: computing the other
+    ~N rows' entropy just to discard them at the join was the fusion
+    query's dominant wall; per-doc entropy is independent of the rest
+    of the corpus, so the filtered computation is value-identical)."""
     # hash-spread before the per-char explode (one-file-scan lesson;
     # conditional since r13 — no shuffle when the scan plans wide)
     from ..plans.spread import spread_if_narrow
@@ -830,12 +841,32 @@ def rrf_quality_fusion(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    bm = retrieval.bm25_top_docs(spark, d, _BM25_QUERIES, k=20).select(
-        "query_id", "doc_id", F.col("rnk").alias("r_rel")
+    # r14 restructure (VERDICT r13 item 2), values identical:
+    # - BM25 leg DEFERRED (retrieval.bm25_top_docs_deferred) so its
+    #   one materialization barrier is the |q| x 20 shortlist itself,
+    #   not an extra per-leg checkpoint (the r12 hybrid lesson);
+    # - the entropy leg is computed ONLY for the BM25 candidates: the
+    #   inner join below discards every other doc's entropy, and
+    #   per-doc entropy is independent of the rest of the corpus, so
+    #   filtering first cannot change a surviving value. The candidate
+    #   id set is bounded at |q| x 20 BY CONSTRUCTION (a top-k per
+    #   query), so the driver-side collect is a bounded metadata read
+    #   (the ivf_topk_persisted discipline) and the isin predicate
+    #   pushes into the documents scan (PushedFilters: In(doc_id, ..)).
+    bm_lazy, release = retrieval.bm25_top_docs_deferred(
+        spark, d, _BM25_QUERIES, k=20
     )
-    ent = char_entropy_quality(spark, sf_dir).select(
-        "doc_id", F.col("h_entropy").alias("h")
+    bm = (
+        bm_lazy.select("query_id", "doc_id", F.col("rnk").alias("r_rel"))
+        .localCheckpoint(eager=True)
     )
+    release()
+    cand_ids = sorted(
+        r["doc_id"] for r in bm.select("doc_id").distinct().collect()
+    )
+    ent = _char_entropy_frame(
+        d.filter(F.col("doc_id").isin(cand_ids)).filter(F.length("text") > 0)
+    ).select("doc_id", F.col("h_entropy").alias("h"))
     qr = bm.join(ent, "doc_id").withColumn(
         "r_q",
         F.row_number().over(
