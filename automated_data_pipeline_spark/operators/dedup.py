@@ -308,6 +308,25 @@ def jaccard_pairs(
     cond = cond & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")) & (
         F.col("a.n_sh") * threshold <= F.col("b.n_sh")
     )
+    # PPJoin INDEXING prefix (Xiao/Wang/Lin/Yu, WWW'08 — lossless): for
+    # a qualifying pair, overlap >= alpha >= 2t/(1+t) * n_min, so by
+    # the prefix lemma the pair shares a token within the SMALLER
+    # side's first  li(n) = n - ceil(2t/(1+t) * n) + 1  tokens (and,
+    # for the larger side, alpha >= t * n_max keeps that same token
+    # inside its ordinary probe prefix, already enforced by pref's
+    # construction). Requiring the smaller side's position <= li cuts
+    # candidate pairs generated by its lp-but-not-li prefix tail
+    # (li ~ 0.11n vs lp ~ 0.2n at t=0.8) before any pair row exists.
+    # The 1e-9 slack inside ceil only LOOSENS li (sound); ties na==nb
+    # take the a-branch — either side is "smaller" then.
+    ifrac = 2.0 * threshold / (1.0 + threshold)
+    na_j, nb_j = F.col("a.n_sh"), F.col("b.n_sh")
+    li_a = na_j - F.ceil(na_j * F.lit(ifrac) - F.lit(1e-9)) + 1
+    li_b = nb_j - F.ceil(nb_j * F.lit(ifrac) - F.lit(1e-9)) + 1
+    cond = cond & (
+        F.when(na_j <= nb_j, F.col("a.pos") <= li_a)
+        .otherwise(F.col("b.pos") <= li_b)
+    )
     # PPJoin positional filter (lossless): both token arrays are sorted
     # by the SAME global (df, hash) order, so common tokens appear in
     # the same relative order in both docs. A shared token at 1-based
