@@ -286,15 +286,22 @@ def bench_stream_tumbling(spark, sf_dir: str) -> float:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = W.tumbling_counts(stream, window="1 hour", watermark="10 minutes")
-    t0 = time.time()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("bench_tumbling")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
-        .start()
+    # volume-derived state width (r14): the windowed agg is state-
+    # store-commit-bound — see streaming/state_sizing.py
+    from automated_data_pipeline_spark.streaming.state_sizing import (
+        volume_sized_shuffle,
     )
+
+    t0 = time.time()
+    with volume_sized_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_tumbling")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+            .start()
+        )
     q.awaitTermination()
     return round(time.time() - t0, 3)
 
@@ -316,15 +323,20 @@ def bench_stream_session(spark, sf_dir: str) -> float:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = W.session_counts(stream, gap="30 minutes", watermark="10 minutes")
-    t0 = time.time()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("bench_session")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
-        .start()
+    from automated_data_pipeline_spark.streaming.state_sizing import (
+        volume_sized_shuffle,
     )
+
+    t0 = time.time()
+    with volume_sized_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_session")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+            .start()
+        )
     q.awaitTermination()
     return round(time.time() - t0, 3)
 
@@ -359,15 +371,20 @@ def bench_stream_stream_join(spark, sf_dir: str) -> float:
         left_ts="ts", right_ts="click_ts",
         within="1 hour", watermark="10 minutes",
     )
-    t0 = time.time()
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("bench_ssjoin")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
-        .start()
+    from automated_data_pipeline_spark.streaming.state_sizing import (
+        volume_sized_shuffle,
     )
+
+    t0 = time.time()
+    with volume_sized_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("bench_ssjoin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="adp-bench-ckpt-"))
+            .start()
+        )
     q.awaitTermination()
     return round(time.time() - t0, 3)
 
