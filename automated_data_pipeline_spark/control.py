@@ -133,16 +133,42 @@ class ControlStore:
         """Latest-wins row for one key from disk — the cross-process
         fallback when this instance's cache has never seen the key
         (another process started the run; we must not wipe its state
-        to NULLs on update)."""
-        best = None
-        for row in self._disk_rows(directory):
-            if all(row.get(k) == v for k, v in key.items()):
-                if best is None or (row.get("event_seq") or 0) > (best.get("event_seq") or 0):
-                    best = row
-        if best is not None:
-            best = dict(best)
-            best.pop("event_seq", None)
-        return best
+        to NULLs on update).
+
+        Two-phase read (ADVICE r13: the probe ran per run completion
+        and read EVERY column of EVERY event file while holding the
+        store lock): phase 1 scans only the key + event_seq columns
+        across fragments to locate the winning event; phase 2 reads
+        the full row from the ONE file that holds it. Ties on
+        event_seq keep the earliest fragment/row — the same winner the
+        old single-pass strict-> comparison produced."""
+        if not os.path.isdir(directory) or not any(
+            f.endswith(".parquet") and not f.startswith((".", "_"))
+            for f in os.listdir(directory)
+        ):
+            return None
+        cols = list(key) + ["event_seq"]
+        ds = pq.ParquetDataset(directory)
+        best_seq, best_frag = None, None
+        for frag in ds.fragments:
+            for row in frag.to_table(columns=cols).to_pylist():
+                if all(row.get(k) == v for k, v in key.items()):
+                    seq = row.get("event_seq") or 0
+                    if best_seq is None or seq > best_seq:
+                        best_seq, best_frag = seq, frag
+        if best_frag is None:
+            return None
+        # first full row in the winning fragment with the winning seq —
+        # the same iteration order as phase 1, so the same row the old
+        # single-pass strict-> comparison selected
+        for row in best_frag.to_table().to_pylist():
+            if (row.get("event_seq") or 0) == best_seq and all(
+                row.get(k) == v for k, v in key.items()
+            ):
+                best = dict(row)
+                best.pop("event_seq", None)
+                return best
+        return None
 
     # ---- run lifecycle (reference: index.js:32-51; PipelineRunner.java:59-119)
     def next_run_number(self) -> int:

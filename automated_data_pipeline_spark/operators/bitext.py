@@ -117,7 +117,9 @@ def margin_bitext_mine(
     # serializes on those few tasks unless the rows are spread first.
     # Values are partition-independent (rounded cosines, total-order
     # ranks), the spread module's precondition.
-    par = fwd.sparkSession.sparkContext.defaultParallelism
+    from ..plans.spread import pinned_width
+
+    par = pinned_width(fwd.sparkSession)
     cand_vecs = (
         fwd.select("tgt_id", "_tv")
         .dropDuplicates(["tgt_id"])

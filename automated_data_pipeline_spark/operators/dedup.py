@@ -347,7 +347,9 @@ def jaccard_pairs(
         F.least(F.col("a.pos"), F.col("b.pos"))
         + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.spread import pinned_width
+
+    par = pinned_width(df.sparkSession)
     cand = (
         a.join(b, cond)
         .select(
@@ -536,7 +538,13 @@ def connected_components(
         labels = new_labels
         # exact fixpoint test (every vertex kept its label through both
         # the min-step and the jump), measured for free on the rows the
-        # checkpoint just materialized
+        # checkpoint just materialized.
+        # LOAD-BEARING (ADVICE r13): obs.get blocks INDEFINITELY until
+        # the observed plan has executed — localCheckpoint(eager=True)
+        # above is the action that fires it. Dropping the eagerness or
+        # replacing the checkpoint with a lazy barrier turns this line
+        # into a permanent hang; keep the materialization eager or add
+        # an explicit action on new_labels before fetching.
         if obs.get["n_changed"] == 0:
             converged = True
             break
@@ -737,7 +745,9 @@ def _lsh_verify_frames(
 
     a = buckets.alias("a")
     b = buckets.alias("b")
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.spread import pinned_width
+
+    par = pinned_width(df.sparkSession)
     candidates = (
         a.join(
             b,

@@ -18,17 +18,43 @@ also what makes the conditional safe: the SAME results either way.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 
 def planned_partitions(df: DataFrame) -> int:
     """Partition count the frame would execute with (physical planning
-    only — no job runs). Falls back to 1 on any planning hiccup so the
-    caller conservatively spreads."""
+    only — no job runs). A planning failure falls back to 1 so the
+    caller conservatively spreads — but it is LOGGED (ADVICE r13: a
+    silent blanket except here would mask genuine analysis errors as
+    an unconditional shuffle at every call site)."""
     try:
         return df.rdd.getNumPartitions()
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — py4j raises opaque types
+        log.warning(
+            "planned_partitions: planning failed (%s: %s) — "
+            "conservatively spreading", type(e).__name__, e,
+        )
         return 1
+
+
+def pinned_width(spark) -> int:
+    """Width for EXPLICIT verify-stage repartition pins (ADVICE r13):
+    a flat ``defaultParallelism`` pin fixes the stage width both down
+    AND up — at cluster scale it would cap a huge candidate set below
+    ``spark.sql.shuffle.partitions``/AQE's chosen width. Take the max
+    of the two, so the pin only ever guards against AQE byte-
+    coalescing (tiny-bytes/heavy-CPU pair stages), never against
+    scaling up. Locally the two are equal, so bench behavior is
+    unchanged."""
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 0
+    return max(spark.sparkContext.defaultParallelism, sp)
 
 
 def spread_if_narrow(df: DataFrame, *key_cols: str, min_ratio: float = 0.5) -> DataFrame:

@@ -51,8 +51,22 @@ from ..operators import dedup
 from .incremental_dedup import _has_parquet, _recover_compact
 
 
+# On-disk payload format of the docs/ side. v2 (r13): sorted-distinct
+# md5-derived shingle HASHES (array<bigint>); v1 (pre-r13) held raw
+# shingle strings. Stores are normally per-run scratch, but a store
+# that outlives a code upgrade must fail LOUDLY instead of silently
+# intersecting strings against bigints (VERDICT r13 item 6).
+LSH_STORE_FORMAT_VERSION = 2
+
+
 class LshStore:
-    """Persistent LSH index: bucket keys + shingle payloads."""
+    """Persistent LSH index: bucket keys + shingle payloads.
+
+    The docs/ payload format is stamped in a ``_format_version`` marker
+    (underscore-prefixed: invisible to parquet readers). A non-empty
+    store whose stamp is missing or different was written by another
+    code version — constructing the store raises rather than letting a
+    mixed-format verify return wrong candidates."""
 
     def __init__(self, path: str, num_hashes: int = 8, band_size: int = 2):
         assert num_hashes % band_size == 0
@@ -63,6 +77,25 @@ class LshStore:
         self.band_size = band_size
         os.makedirs(self.buckets_dir, exist_ok=True)
         os.makedirs(self.docs_dir, exist_ok=True)
+        marker = os.path.join(path, "_format_version")
+        found = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                found = f.read().strip()
+        if found is None and (
+            _has_parquet(self.buckets_dir) or _has_parquet(self.docs_dir)
+        ):
+            found = "1"  # pre-stamp stores hold v1 string payloads
+        if found is not None and found != str(LSH_STORE_FORMAT_VERSION):
+            raise ValueError(
+                f"LshStore at {path} holds format v{found}, this code "
+                f"writes v{LSH_STORE_FORMAT_VERSION} — rebuild the "
+                "store (it is derived state: replay the corpus) or "
+                "read it with the matching release"
+            )
+        if found is None:
+            with open(marker, "w") as f:
+                f.write(str(LSH_STORE_FORMAT_VERSION))
 
     def buckets(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.buckets_dir)
@@ -254,7 +287,9 @@ def near_dedup_batch_against_store(
     # a 6.3 s single-task stage per micro-batch at sf0.1). A
     # user-pinned width is exempt from AQE coalescing; the distinct
     # reuses the same exchange, so no shuffle is added.
-    par = spark.sparkContext.defaultParallelism
+    from ..plans.spread import pinned_width
+
+    par = pinned_width(spark)
     a, b = buckets.alias("a"), buckets.alias("b")
     in_batch_cand = (
         a.join(

@@ -975,17 +975,33 @@ def main():
     # hand-adjudicating shared-host swings.
     spreads: dict[str, float] = {}
 
+    # r14 (VERDICT r13 item 7): when the two timed samples disagree by
+    # more than TRANSIENT_SPREAD the row is mid-transient (JIT, GC, a
+    # host blip) — take ONE extra sample so min-of-N sees past it.
+    # Additive only: quiet rows still time exactly two samples, so
+    # cross-round minima stay comparable; kn_fluency_recovered burned
+    # two hand-adjudications on exactly this failure mode.
+    TRANSIENT_SPREAD = 1.5
+
+    def sample_more_if_spread(samples, take_one):
+        if max(samples) / max(min(samples), 1e-9) > TRANSIENT_SPREAD:
+            samples.append(take_one())
+        return samples
+
     for name in HEADLINE:
         fn = specs[name].fn
         run_query(spark, fn, SF_DIR)  # warm (scan caching, codegen)
         # min of two timed runs: the shared host shows 2-4x run-to-run
         # noise under load (see BASELINE.md); the minimum is the stable
         # engine-cost estimate
-        samples = []
-        for _ in range(2):
+
+        def one_timed():
             t0 = time.time()
             run_query(spark, fn, SF_DIR)
-            samples.append(time.time() - t0)
+            return time.time() - t0
+
+        samples = [one_timed() for _ in range(2)]
+        sample_more_if_spread(samples, one_timed)
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
@@ -995,9 +1011,12 @@ def main():
     # call), so a single sample eats the full shared-host noise band
     # (measured 2x swings within an hour); min-of-2 like the queries
     def min2(key, fn):
-        a, b = fn(spark, SF_DIR), fn(spark, SF_DIR)
-        spreads[key] = round(max(a, b) / max(min(a, b), 1e-9), 2)
-        timings[key] = round(min(a, b), 3)
+        samples = [fn(spark, SF_DIR), fn(spark, SF_DIR)]
+        sample_more_if_spread(samples, lambda: fn(spark, SF_DIR))
+        spreads[key] = round(
+            max(samples) / max(min(samples), 1e-9), 2
+        )
+        timings[key] = round(min(samples), 3)
 
     min2("stream_tumbling_events", bench_stream_tumbling)
     min2("stream_session_events", bench_stream_session)

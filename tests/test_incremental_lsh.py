@@ -284,3 +284,37 @@ def test_stream_size_triggered_compaction_identical_decisions(
     assert {r["doc_id"] for r in st_compact.docs(spark).collect()} == {
         r["doc_id"] for r in st_plain.docs(spark).collect()
     }
+
+
+def test_format_version_stamp(spark, tmp_path):
+    """VERDICT r13 item 6: the docs/ payload format is stamped; a
+    non-empty store with a missing or different stamp must raise
+    instead of silently mixing payload formats."""
+    from automated_data_pipeline_spark.streaming.incremental_lsh import (
+        LSH_STORE_FORMAT_VERSION,
+        near_dedup_batch_against_store,
+    )
+
+    root = str(tmp_path / "stamped")
+    store = LshStore(root)
+    marker = os.path.join(root, "_format_version")
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        assert f.read().strip() == str(LSH_STORE_FORMAT_VERSION)
+    # same-version reopen is fine
+    LshStore(root)
+    # a different stamped version refuses to open
+    with open(marker, "w") as f:
+        f.write("999")
+    with pytest.raises(ValueError, match="format v999"):
+        LshStore(root)
+    # a NON-EMPTY store with no stamp at all = pre-stamp (v1) layout
+    with open(marker, "w") as f:
+        f.write(str(LSH_STORE_FORMAT_VERSION))
+    store = LshStore(root)
+    near_dedup_batch_against_store(
+        spark, _df(spark, [(1, BASE)]), store, batch_key="b0"
+    )
+    os.remove(marker)
+    with pytest.raises(ValueError, match="format v1"):
+        LshStore(root)
