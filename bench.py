@@ -499,12 +499,22 @@ def bench_stream_incremental_segments(spark, sf_dir: str) -> float:
     _write_flat(work, src, parts[0], "b3.json")
     store = SegmentHashStore(os.path.join(work, "seg"))
     out = os.path.join(work, "curated")
-    t0 = time.time()
-    q = start_incremental_segment_dedup(
-        spark, src, store, out, os.path.join(work, "ckpt"),
-        available_now=True,
+    # volume-derived shuffle width for the whole query lifetime (r14):
+    # the seg-hash aggregation inside each micro-batch is shuffle-
+    # bound on tiny batch data (values width-independent — the
+    # survivor rule is a global min). The wrap covers awaitTermination
+    # because the batch fn builds jobs from the OUTER session too.
+    from automated_data_pipeline_spark.streaming.state_sizing import (
+        volume_sized_shuffle,
     )
-    q.awaitTermination()
+
+    t0 = time.time()
+    with volume_sized_shuffle(spark, src):
+        q = start_incremental_segment_dedup(
+            spark, src, store, out, os.path.join(work, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
     took = round(time.time() - t0, 3)
     kept = spark.read.parquet(out).agg(F.sum("n_kept")).first()[0]
     n_distinct = (
