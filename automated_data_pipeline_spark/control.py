@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .schemas import STEP_NAMES
+from .plans.empty import empty_local_frame
 
 _RUN_FIELDS = [
     ("run_id", pa.string()),
@@ -357,7 +358,7 @@ class ControlStore:
         if not files:
             # empty frame with the right schema
             schema = pa.schema(fields)
-            return spark.createDataFrame([], schema=str_schema(schema))
+            return empty_local_frame(spark, str_schema(schema))
         return spark.read.parquet(directory)
 
     def runs(self, spark: SparkSession) -> DataFrame:

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from ..storefs import fs_for
 from ..streaming.incremental_dedup import _has_parquet, _recover_compact
 from . import similarity
+from ..plans.empty import empty_local_frame
 
 FAMILIES = ("ivf", "ivfpq", "pq", "sq8")
 
@@ -97,7 +98,7 @@ def read_tombstones(
     tomb_dir = f"{index_path}/tombstones"
     _recover_compact(tomb_dir)
     if not _has_parquet(tomb_dir):
-        return spark.createDataFrame([], f"{id_col} bigint")
+        return empty_local_frame(spark, f"{id_col} bigint")
     return spark.read.parquet(tomb_dir).select(id_col).distinct()
 
 

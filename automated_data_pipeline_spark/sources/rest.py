@@ -19,6 +19,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import CANONICAL_INPUT_COLUMNS
+from ..plans.empty import empty_local_frame
 
 REQUEST_TIMEOUT_S = 30
 
@@ -135,7 +136,7 @@ def rest_json_source_distributed(
     import pandas as pd
 
     if not urls:
-        return spark.createDataFrame([], "url string, body string, error string")
+        return empty_local_frame(spark, "url string, body string, error string")
 
     def fetch(batches):
         mod, _, attr = transport_name.rpartition(".")

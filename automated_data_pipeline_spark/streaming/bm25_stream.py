@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class PostingsStore(FingerprintStore):
@@ -37,18 +38,14 @@ class PostingsStore(FingerprintStore):
     inherits the idempotent-append keying and crash-safe compaction."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "doc_id bigint, term string, tf bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "doc_id bigint, term string, tf bigint, batch_key string")
 
 
 class DocLenStore(FingerprintStore):
     """Append-only parquet per-document token counts."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "doc_id bigint, dl bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "doc_id bigint, dl bigint, batch_key string")
 
 
 def batch_postings(

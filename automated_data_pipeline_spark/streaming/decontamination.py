@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..operators import sketches as SK
 from .incremental_dedup import _has_parquet, _recover_compact
+from ..plans.empty import empty_local_frame
 
 
 def suggest_m_bits(expected_items: int, target_fp: float = 0.002,
@@ -73,7 +74,7 @@ class BloomBitStore:
         os.makedirs(path, exist_ok=True)
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame([], "bit bigint").coalesce(1)
+        return empty_local_frame(spark, "bit bigint")
 
     def read_bits(self, spark: SparkSession) -> DataFrame:
         """The merged filter: distinct set-bit rows (duplicate and

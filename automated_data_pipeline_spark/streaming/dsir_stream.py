@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class DsirBucketStore(FingerprintStore):
@@ -38,9 +39,7 @@ class DsirBucketStore(FingerprintStore):
     compaction."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "bucket bigint, n_target bigint, n_raw bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "bucket bigint, n_target bigint, n_raw bigint, batch_key string")
 
 
 def batch_dsir_buckets(

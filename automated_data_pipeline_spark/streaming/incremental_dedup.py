@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..storefs import fs_for
+from ..plans.empty import empty_local_frame
 
 
 def _recover_compact(path: str) -> None:
@@ -85,13 +86,12 @@ class FingerprintStore:
         fs_for(path).mkdirs(path)
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        # coalesce(1): a bare createDataFrame([]) parallelizes into
-        # defaultParallelism EMPTY partitions, and any take()-style
-        # probe over it then escalates through 4 scheduling rounds
-        # (1/4/20/rest) — four Spark jobs to learn nothing
-        return spark.createDataFrame(
-            [], "fingerprint string, doc_id bigint, batch_key string"
-        ).coalesce(1)
+        # LocalRelation-empty (r14, plans/empty.py): the optimizer can
+        # PROVE it empty, so first-batch joins against a fresh store
+        # collapse entirely and probes answer driver-side (r13's
+        # coalesce(1) only shrank the empty RDD — it still blocked
+        # PropagateEmptyRelation and cost this bench row 2x)
+        return empty_local_frame(spark, "fingerprint string, doc_id bigint, batch_key string")
 
     def read(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.path)

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators import dedup
 from .incremental_dedup import _has_parquet, _recover_compact
+from ..plans.empty import empty_local_frame
 
 
 # On-disk payload format of the docs/ side. v2 (r13): sorted-distinct
@@ -100,11 +101,8 @@ class LshStore:
     def buckets(self, spark: SparkSession) -> DataFrame:
         _recover_compact(self.buckets_dir)
         if not _has_parquet(self.buckets_dir):
-            # coalesce(1): see FingerprintStore._empty — a bare empty
-            # createDataFrame plans defaultParallelism empty partitions
-            return spark.createDataFrame(
-                [], "band int, bucket string, doc_id bigint"
-            ).coalesce(1)
+            # LocalRelation-empty: see FingerprintStore._empty (r14)
+            return empty_local_frame(spark, "band int, bucket string, doc_id bigint")
         return spark.read.parquet(self.buckets_dir)
 
     def docs(self, spark: SparkSession) -> DataFrame:
@@ -115,10 +113,7 @@ class LshStore:
             # values verify with integer compares and shrink the store
             # ~4x — identical Jaccard absent a 60-bit in-pair collision
             # (the batch operators' documented doctrine, jaccard_pairs)
-            return spark.createDataFrame(
-                [],
-                "doc_id bigint, shingles array<bigint>, batch_key string",
-            ).coalesce(1)
+            return empty_local_frame(spark, "doc_id bigint, shingles array<bigint>, batch_key string")
         return spark.read.parquet(self.docs_dir)
 
     def has_batch(self, spark: SparkSession, batch_key: str) -> bool:

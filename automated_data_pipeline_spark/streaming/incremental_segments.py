@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.spans import segment_occurrences
 from .incremental_dedup import FingerprintStore, _has_parquet
+from ..plans.empty import empty_local_frame
 
 
 class SegmentHashStore(FingerprintStore):
@@ -45,9 +46,7 @@ class SegmentHashStore(FingerprintStore):
     ``FingerprintStore``."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "seg_hash bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "seg_hash bigint, batch_key string")
 
 
 def dedup_segments_against_store(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators import sketches as SK
 from .incremental_dedup import _has_parquet, _recover_compact
+from ..plans.empty import empty_local_frame
 
 
 class HllSketchStore:
@@ -54,9 +55,7 @@ class HllSketchStore:
 
     def _empty(self, spark: SparkSession) -> DataFrame:
         fields = ", ".join(f"{c} string" for c in self.group_cols)
-        return spark.createDataFrame(
-            [], f"{fields}, bucket bigint, rho int"
-        ).coalesce(1)
+        return empty_local_frame(spark, f"{fields}, bucket bigint, rho int")
 
     def read_registers(self, spark: SparkSession) -> DataFrame:
         """Max-reduced register table (duplicate/replayed appends

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class BigramStore(FingerprintStore):
@@ -43,10 +44,11 @@ class BigramStore(FingerprintStore):
     keying and crash-safe compaction."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "doc_id bigint, w1 string, w2 string, c bigint, "
-                "batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(
+            spark,
+            "doc_id bigint, w1 string, w2 string, c bigint, "
+            "batch_key string",
+        )
 
 
 def batch_bigrams(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class GramDocStore(FingerprintStore):
@@ -35,9 +36,7 @@ class GramDocStore(FingerprintStore):
     replays are value-identical appends)."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "doc_id bigint, source string, gh bigint"
-        ).coalesce(1)
+        return empty_local_frame(spark, "doc_id bigint, source string, gh bigint")
 
     def read_distinct(self, spark: SparkSession) -> DataFrame:
         return self.read(spark).select("doc_id", "source", "gh").distinct()

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..operators.quality_model import score_quality
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class SourceScoreHistogramStore(FingerprintStore):
@@ -48,9 +49,7 @@ class SourceScoreHistogramStore(FingerprintStore):
     inherits the idempotent-append keying and crash-safe compact."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "source string, p_i bigint, n_docs bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "source string, p_i bigint, n_docs bigint, batch_key string")
 
 
 def batch_source_histogram(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.quality_model import score_quality
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class SourceStatsStore(FingerprintStore):
@@ -43,11 +44,11 @@ class SourceStatsStore(FingerprintStore):
     the idempotent-append keying and crash-safe compact."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [],
+        return empty_local_frame(
+            spark,
             "source string, n_docs bigint, chars_total bigint, "
             "sum_p_i bigint, batch_key string",
-        ).coalesce(1)
+        )
 
 
 def batch_source_stats(

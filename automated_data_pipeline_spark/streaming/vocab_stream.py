@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.stats import portable_round
 from .incremental_dedup import FingerprintStore
+from ..plans.empty import empty_local_frame
 
 
 class VocabCountStore(FingerprintStore):
@@ -31,9 +32,7 @@ class VocabCountStore(FingerprintStore):
     inherits the idempotent-append keying and crash-safe compaction."""
 
     def _empty(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [], "lang string, tok string, cnt bigint, batch_key string"
-        ).coalesce(1)
+        return empty_local_frame(spark, "lang string, tok string, cnt bigint, batch_key string")
 
 
 def batch_vocab_counts(
